@@ -1,0 +1,585 @@
+"""Core codec runtime: ``Writer``, ``Reader``, and the functional API.
+
+Drop-in surface parity with the reference (mtscomp.py:216-997):
+
+- ``Writer``: open a raw ``.bin``/``.npy`` file (memmapped), split it into
+  fixed-duration time chunks, delta-transform + entropy-code each chunk in
+  parallel batches, stream payloads to ``.cbin`` with an offset table and
+  dual SHA1s in the ``.ch`` sidecar, then (by default) verify the written
+  file by full decompression ("compress-then-verify").
+- ``Reader``: NumPy-protocol random access (``r[i0:i1, cols]``) over the
+  compressed file, per-instance LRU chunk cache, threaded bulk
+  ``tofile``, and ``chop``.
+- ``compress`` / ``decompress`` / ``check`` one-call wrappers.
+
+TPU-native additions: ``algorithm='ans'`` (format v2, lane-parallel rANS)
+and device-batched bulk decode through ``mtscomp_tpu.parallel.pipeline``.
+"""
+
+import bisect
+import hashlib
+from concurrent.futures import ThreadPoolExecutor
+from functools import lru_cache
+import math
+from pathlib import Path
+
+import numpy as np
+
+from .codec import get_codec
+from .config import read_config, CHECK_ATOL, CRITICAL_ERROR_MSG
+from .format import (build_cmeta, compute_chunk_bounds, read_cmeta,
+                     write_cmeta, cmeta_sidecar_path)
+from .io_host import load_raw_data, pread_exact, default_compressed_paths
+from .ops.delta import diff_along_axis, cumsum_along_axis
+from .utils.misc import Bunch, clip, logger, progress
+
+
+class Writer:
+    """Compress a raw multichannel binary file into ``.cbin`` + ``.ch``.
+
+    Configuration keys (merged through ``read_config``): chunk_duration,
+    algorithm ('zlib' legacy / 'ans' TPU), comp_level (recorded only),
+    do_time_diff, do_spatial_diff, chunk_order, n_threads,
+    check_after_compress, ans_lanes.
+
+    ``before_check`` is a hook invoked between writing and the automatic
+    integrity check (used by fault-injection tests; reference
+    mtscomp.py:241, 499).
+    """
+
+    def __init__(self, before_check=None, **kwargs):
+        self.quiet = kwargs.pop('quiet', False)
+        config = read_config(**kwargs)
+        self.config = config
+        self.chunk_duration = config.chunk_duration
+        self.algorithm = config.algorithm
+        self.comp_level = config.comp_level
+        self.do_time_diff = config.do_time_diff
+        self.do_spatial_diff = config.do_spatial_diff
+        self.chunk_order = config.chunk_order
+        self.n_threads = max(1, int(config.n_threads))
+        self.check_after_compress = config.check_after_compress
+        self.before_check = before_check or (lambda w: None)
+        self.codec = get_codec(self.algorithm, ans_lanes=config.ans_lanes)
+        self.data = None
+        self._pool = None
+
+    # -- setup --------------------------------------------------------------
+
+    def open(self, data_path, sample_rate=None, n_channels=None, dtype=None,
+             offset=None, mmap=True):
+        """Memmap the raw file and compute the chunk layout."""
+        self.data_path = Path(data_path)
+        sample_rate = sample_rate or self.config.get('sample_rate', None)
+        if not sample_rate:
+            raise ValueError("Please provide a sample rate (-s option in the "
+                             "command-line).")
+
+        if str(data_path).endswith('.npy'):
+            self.data = np.load(data_path, mmap_mode='r')
+            self.shape = self.data.shape
+            if self.data.ndim >= 3:
+                # Flatten leading axes; the original shape is kept in .ch.
+                self.data = np.reshape(self.data, (-1, self.data.shape[-1]))
+            self.dtype = self.data.dtype
+            n_channels = self.data.shape[1]
+        else:
+            n_channels = n_channels or self.config.get('n_channels', None)
+            if not n_channels:
+                raise ValueError("Please provide n_channels (-n option in the "
+                                 "command-line).")
+            dtype = dtype or self.config.get('dtype', None)
+            if not dtype:
+                raise ValueError("Please provide a dtype (-d option in the "
+                                 "command-line).")
+            self.dtype = np.dtype(dtype)
+            self.data = load_raw_data(
+                data_path, n_channels=n_channels, dtype=self.dtype,
+                offset=offset, mmap=mmap)
+            self.shape = self.data.shape
+
+        self.sample_rate = float(sample_rate)
+        assert self.sample_rate > 0
+        assert self.data.ndim == 2
+        self.n_samples, self.n_channels = self.data.shape
+        assert self.n_samples > 0
+        assert self.n_channels > 0
+        assert n_channels == self.n_channels
+        self.file_size = self.data.size * self.data.itemsize
+        logger.info("Opening %s, duration %.1fs, %d channels.", data_path,
+                    self.n_samples / self.sample_rate, self.n_channels)
+
+        self.chunk_bounds = compute_chunk_bounds(
+            self.n_samples, self.sample_rate, self.chunk_duration)
+        self.n_chunks = len(self.chunk_bounds) - 1
+        self.batch_size = self.n_threads
+        self.n_batches = math.ceil(self.n_chunks / self.batch_size)
+        self.sha1_compressed = hashlib.sha1()
+        self.sha1_uncompressed = hashlib.sha1()
+
+    # -- per-chunk pipeline ---------------------------------------------------
+
+    def get_chunk(self, chunk_idx):
+        """Raw data of one chunk, shape ``(n_samples_chunk, n_channels)``."""
+        assert 0 <= chunk_idx < self.n_chunks
+        i0, i1 = self.chunk_bounds[chunk_idx], self.chunk_bounds[chunk_idx + 1]
+        return self.data[i0:i1, :]
+
+    def _transform_chunk(self, chunk):
+        """Delta stage: time and/or spatial first-order diff."""
+        chunkd = diff_along_axis(chunk, axis=0 if self.do_time_diff else None)
+        chunkd = diff_along_axis(chunkd, axis=1 if self.do_spatial_diff else None)
+        assert chunkd.shape == chunk.shape
+        assert chunkd.dtype == chunk.dtype
+        return chunkd
+
+    def _compress_chunk(self, chunk_idx):
+        """Transform + entropy-code one chunk; returns (idx, (raw, payload))."""
+        chunk = self.get_chunk(chunk_idx)
+        assert chunk.ndim == 2 and chunk.shape[1] == self.n_channels
+        chunkd = self._transform_chunk(chunk)
+        payload = self.codec.encode(chunkd, order=self.chunk_order)
+        logger.debug("Chunk %d/%d: -%.3f%%.", chunk_idx + 1, self.n_chunks,
+                     100 - 100 * len(payload) / (chunk.size * chunk.itemsize))
+        return chunk_idx, (chunk, payload)
+
+    def compress_batch(self, first_chunk, last_chunk):
+        """Compress chunks ``[first_chunk, last_chunk)``; returns idx->result."""
+        assert 0 <= first_chunk < last_chunk <= self.n_chunks
+        ids = range(first_chunk, last_chunk)
+        if hasattr(self.codec, 'encode_batch'):
+            # Native batch path: one FFI call deflates the whole batch with
+            # C++ worker threads (no Python thread pool in the hot loop).
+            chunks = [self.get_chunk(i) for i in ids]
+            chunkds = [self._transform_chunk(c) for c in chunks]
+            payloads = self.codec.encode_batch(
+                chunkds, order=self.chunk_order, n_threads=self.n_threads)
+            return {i: (c, p) for i, c, p in zip(ids, chunks, payloads)}
+        if self.n_threads == 1 or self._pool is None:
+            results = [self._compress_chunk(i) for i in ids]
+        else:
+            results = list(self._pool.map(self._compress_chunk, ids))
+        return dict(results)
+
+    # -- output ---------------------------------------------------------------
+
+    def write(self, out, outmeta):
+        """Write ``.cbin`` + ``.ch``; returns compressed/raw size ratio."""
+        out, outmeta = default_compressed_paths(self.data_path, out, outmeta)
+        Path(out).parent.mkdir(exist_ok=True, parents=True)
+        offset = 0
+        self.chunk_offsets = [0]
+        self._pool = (ThreadPoolExecutor(self.batch_size)
+                      if self.n_threads > 1 else None)
+        logger.info("Starting compression with %d thread(s), algorithm=%s.",
+                    self.n_threads, self.algorithm)
+        with open(out, 'wb') as fb:
+            for batch in progress(range(self.n_batches), desc='Compressing',
+                                  disable=self.quiet):
+                first = self.batch_size * batch
+                last = min(self.batch_size * (batch + 1), self.n_chunks)
+                compressed = self.compress_batch(first, last)
+                assert set(compressed) == set(range(first, last))
+                # Ordered write-back: payload order defines the offset table.
+                for idx in sorted(compressed):
+                    chunk, payload = compressed[idx]
+                    fb.write(payload)
+                    offset += len(payload)
+                    self.chunk_offsets.append(offset)
+                    self.sha1_uncompressed.update(np.ascontiguousarray(chunk))
+                    self.sha1_compressed.update(payload)
+            csize = fb.tell()
+        assert self.chunk_offsets[-1] == csize
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+        ratio = csize / self.file_size
+        logger.info("Wrote %s (%.1f GB, -%.3f%%).", out, csize / 1024 ** 3,
+                    100 - 100 * ratio)
+        write_cmeta(outmeta, self.get_cmeta())
+        if self.check_after_compress:
+            self.before_check(self)
+            try:
+                check(self.data, out, outmeta)
+            except AssertionError:
+                raise RuntimeError(CRITICAL_ERROR_MSG)
+            logger.debug("Automatic integrity check after compression PASSED.")
+        return ratio
+
+    def get_cmeta(self):
+        """The ``.ch`` sidecar dictionary."""
+        extra = {}
+        if self.algorithm == 'ans':
+            extra['ans_lanes'] = self.codec.n_lanes
+        return build_cmeta(
+            algorithm=self.algorithm, comp_level=self.comp_level,
+            do_time_diff=self.do_time_diff,
+            do_spatial_diff=self.do_spatial_diff,
+            dtype=self.dtype, n_channels=self.n_channels,
+            sample_rate=self.sample_rate, chunk_bounds=self.chunk_bounds,
+            chunk_offsets=self.chunk_offsets, chunk_order=self.chunk_order,
+            sha1_compressed=self.sha1_compressed.hexdigest(),
+            sha1_uncompressed=self.sha1_uncompressed.hexdigest(),
+            shape=self.shape, extra=extra)
+
+    def close(self):
+        """Release the input memmap."""
+        if self.data is not None and hasattr(self.data, '_mmap'):
+            self.data._mmap.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Reader:
+    """Random-access reader over a compressed ``.cbin`` + ``.ch`` pair.
+
+    Implements the NumPy array protocol subset of the reference
+    (mtscomp.py:798-856): slices with positive steps, (row, col) tuples,
+    scalar ints (negatives wrap), clipping out-of-range slice bounds.
+    Decoded chunks are LRU-cached per instance.
+    """
+
+    def __init__(self, **kwargs):
+        self.pool = None
+        self.cdata = None
+        self.quiet = kwargs.pop('quiet', False)
+        self.config = read_config(**kwargs)
+        self.cache_size = self.config.cache_size
+        self.check_after_decompress = self.config.check_after_decompress
+        self._device = self.config.device
+
+    def open(self, cdata, cmeta=None):
+        """Open the compressed file and parse its sidecar."""
+        if cmeta is None:
+            cmeta = cmeta_sidecar_path(cdata)
+        self.cmeta = read_cmeta(cmeta)
+        self.n_channels = self.cmeta.n_channels
+        self.sample_rate = self.cmeta.sample_rate
+        self.dtype = np.dtype(self.cmeta.dtype)
+        self.chunk_offsets = self.cmeta.chunk_offsets
+        self.chunk_bounds = self.cmeta.chunk_bounds
+        self.chunk_order = self.cmeta.get('chunk_order', 'F')
+        self.algorithm = self.cmeta.get('algorithm', 'zlib')
+        self.codec = get_codec(self.algorithm,
+                               ans_lanes=self.cmeta.get('ans_lanes', 1024))
+        self.n_samples = self.chunk_bounds[-1]
+        self.n_chunks = len(self.chunk_bounds) - 1
+        self.shape = (self.n_samples, self.n_channels)
+        self.ndim = 2
+        self.batch_size = max(1, int(self.config.n_threads))
+        self.n_batches = math.ceil(self.n_chunks / self.batch_size)
+        self._owns_fd = isinstance(cdata, (str, Path))
+        if self._owns_fd:
+            if Path(cdata).suffix in ('.bin', '.dat'):  # pragma: no cover
+                logger.error("File to decompress has unexpected extension %s.",
+                             Path(cdata).suffix)
+            cdata = open(cdata, 'rb')
+        self.cdata = cdata
+        self.set_cache_size()
+
+    def set_cache_size(self, cache_size=None):
+        """(Re)wrap ``read_chunk`` with a fresh LRU cache."""
+        if cache_size != self.cache_size or not hasattr(self.read_chunk,
+                                                        'cache_info'):
+            cache_size = cache_size or self.cache_size
+            assert cache_size > 0
+            self.read_chunk = lru_cache(maxsize=cache_size)(
+                Reader.read_chunk.__get__(self))
+            self.cache_size = cache_size
+
+    # -- chunk access ---------------------------------------------------------
+
+    def iter_chunks(self, first_chunk=0, last_chunk=None):
+        """Yield ``(chunk_idx, byte_start, byte_length)`` tuples."""
+        last_chunk = self.n_chunks - 1 if last_chunk is None else last_chunk
+        for idx in range(first_chunk, last_chunk + 1):
+            i0, i1 = self.chunk_offsets[idx], self.chunk_offsets[idx + 1]
+            yield idx, i0, i1 - i0
+
+    def read_chunk(self, chunk_idx, chunk_start, chunk_length):
+        """Read + entropy-decode + inverse-transform one chunk."""
+        cbuffer = pread_exact(self.cdata, chunk_length, chunk_start)
+        i0, i1 = self.chunk_bounds[chunk_idx:chunk_idx + 2]
+        ns = i1 - i0
+        try:
+            chunkd = self.codec.decode(cbuffer, ns, self.n_channels,
+                                       self.dtype, order=self.chunk_order)
+        except IOError:
+            raise
+        except Exception:
+            raise IOError("Compressed chunk #%d is corrupted." % chunk_idx)
+        chunki = cumsum_along_axis(
+            chunkd, axis=1 if self.cmeta.do_spatial_diff else None)
+        chunki = cumsum_along_axis(
+            chunki, axis=0 if self.cmeta.do_time_diff else None)
+        assert chunki.dtype == self.dtype
+        assert chunki.shape == (ns, self.n_channels)
+        return np.ascontiguousarray(chunki)
+
+    def _decompress_chunk(self, chunk_idx):
+        assert 0 <= chunk_idx < self.n_chunks
+        start = self.chunk_offsets[chunk_idx]
+        length = self.chunk_offsets[chunk_idx + 1] - start
+        return chunk_idx, self.read_chunk(chunk_idx, start, length)
+
+    def decompress_chunks(self, chunk_ids, pool=None):
+        """Decode several chunks (optionally on a thread pool)."""
+        if pool is None:
+            out = dict(self._decompress_chunk(i) for i in chunk_ids)
+        else:
+            out = dict(pool.map(self._decompress_chunk, chunk_ids))
+        assert set(out) == set(chunk_ids)
+        return out
+
+    def _decompress_chunks_batch(self, chunk_ids):
+        """Bulk decode path: native batch inflate + vectorized inverse.
+
+        Bypasses the LRU cache (bulk reads would only thrash it) and the
+        Python thread pool (the batch loop runs in C++ workers).
+        """
+        chunk_ids = list(chunk_ids)
+        payloads = [pread_exact(self.cdata,
+                                self.chunk_offsets[i + 1] - self.chunk_offsets[i],
+                                self.chunk_offsets[i])
+                    for i in chunk_ids]
+        shapes = [(self.chunk_bounds[i + 1] - self.chunk_bounds[i],
+                   self.n_channels) for i in chunk_ids]
+        chunkds = self.codec.decode_batch(
+            payloads, shapes, self.dtype, order=self.chunk_order,
+            n_threads=self.batch_size)
+        out = {}
+        for i, chunkd in zip(chunk_ids, chunkds):
+            chunki = cumsum_along_axis(
+                chunkd, axis=1 if self.cmeta.do_spatial_diff else None)
+            chunki = cumsum_along_axis(
+                chunki, axis=0 if self.cmeta.do_time_diff else None)
+            out[i] = np.ascontiguousarray(chunki)
+        return out
+
+    # -- index machinery --------------------------------------------------------
+
+    def _validate_index(self, i, value_for_none=0):
+        if i is None:
+            i = value_for_none
+        elif i < 0:
+            i += self.n_samples
+        i = clip(i, 0, self.n_samples)
+        assert 0 <= i <= self.n_samples
+        return int(i)
+
+    def _chunks_for_interval(self, i0, i1):
+        """First and last chunk indices covering samples ``[i0, i1]``."""
+        i0 = clip(i0, 0, self.n_samples - 1)
+        i1 = clip(i1, i0, self.n_samples - 1)
+        first_chunk = clip(bisect.bisect_right(self.chunk_bounds, i0) - 1,
+                           0, self.n_chunks - 1)
+        assert self.chunk_bounds[first_chunk] <= i0 < self.chunk_bounds[first_chunk + 1]
+        last_chunk = clip(
+            bisect.bisect_right(self.chunk_bounds, i1, lo=first_chunk) - 1,
+            0, self.n_chunks - 1)
+        assert self.chunk_bounds[last_chunk] <= i1 <= self.chunk_bounds[last_chunk + 1]
+        assert 0 <= first_chunk <= last_chunk <= self.n_chunks - 1
+        return first_chunk, last_chunk
+
+    # -- bulk paths ---------------------------------------------------------------
+
+    def start_thread_pool(self):
+        if self.pool is None:
+            self.pool = ThreadPoolExecutor(self.batch_size)
+        return self.pool
+
+    def stop_thread_pool(self):
+        if self.pool is not None:
+            self.pool.shutdown()
+            self.pool = None
+
+    def tofile(self, out, overwrite=False):
+        """Decompress everything to a flat binary file (batched, threaded)."""
+        if out is None:
+            out = Path(self.cdata.name).with_suffix('.bin')
+        out = Path(out)
+        if out.exists():
+            if not overwrite:
+                raise ValueError(
+                    "The output file %s already exists, use --overwrite or "
+                    "specify another output path." % out)
+            out.unlink()
+        self.start_thread_pool()
+        with open(out, 'wb') as fb:
+            for batch in progress(range(self.n_batches), desc='Decompressing',
+                                  disable=self.quiet):
+                first = self.batch_size * batch
+                last = min(self.batch_size * (batch + 1), self.n_chunks)
+                if hasattr(self.codec, 'decode_batch'):
+                    decoded = self._decompress_chunks_batch(range(first, last))
+                else:
+                    decoded = self.decompress_chunks(range(first, last),
+                                                     self.pool)
+                for idx in sorted(decoded):
+                    fb.write(decoded[idx])
+            dsize = fb.tell()
+        assert dsize == self.n_samples * self.n_channels * self.dtype.itemsize
+        self.stop_thread_pool()
+        logger.info("Wrote %s (%.1f GB).", out, dsize / 1024 ** 3)
+        if self.check_after_decompress:
+            decompressed = load_raw_data(out, n_channels=self.n_channels,
+                                         dtype=self.dtype)
+            check(decompressed, self.cdata, self.cmeta)
+            logger.debug("Automatic integrity check after decompression PASSED.")
+
+    def chop(self, n_chunks, out=None):
+        """Truncate to the first ``n_chunks`` chunks without decompressing.
+
+        Byte-copies the payload prefix and rewrites the sidecar with
+        truncated tables, nulled SHA1s and ``chopped=True`` (reference:
+        mtscomp.py:750-796).
+        """
+        assert n_chunks > 0
+        if n_chunks >= self.n_chunks:  # pragma: no cover
+            logger.warning("Cannot chop more chunks than the file contains.")
+            return
+        assert out is not None, "The output path must be specified."
+        out = Path(out)
+        assert out.suffix == '.cbin'
+        if out.exists():  # pragma: no cover
+            raise IOError("File %s already exists." % out)
+        out.parent.mkdir(exist_ok=True, parents=True)
+        with open(out, 'wb') as f:
+            offset = 0
+            for i in range(n_chunks):
+                length = self.chunk_offsets[i + 1] - self.chunk_offsets[i]
+                f.write(pread_exact(self.cdata, length, offset))
+                offset += length
+        outmeta = out.with_suffix('.ch')
+        if outmeta.exists():  # pragma: no cover
+            raise IOError("File %s already exists." % outmeta)
+        cmeta = Bunch(self.cmeta.copy())
+        cmeta['chunk_bounds'] = cmeta['chunk_bounds'][:n_chunks + 1]
+        cmeta['chunk_offsets'] = cmeta['chunk_offsets'][:n_chunks + 1]
+        assert cmeta['chunk_offsets'][-1] == offset
+        cmeta['sha1_compressed'] = None
+        cmeta['sha1_uncompressed'] = None
+        cmeta['chopped'] = True
+        write_cmeta(outmeta, cmeta)
+
+    # -- NumPy protocol -----------------------------------------------------------
+
+    def __getitem__(self, item):
+        fallback = np.zeros((0, self.n_channels), dtype=self.dtype)
+        if isinstance(item, slice):
+            i0 = self._validate_index(item.start, 0)
+            i1 = self._validate_index(item.stop, self.n_samples)
+            if i1 <= i0:
+                return fallback
+            first_chunk, last_chunk = self._chunks_for_interval(i0, i1)
+            chunks = [self.read_chunk(idx, start, length)
+                      for idx, start, length
+                      in self.iter_chunks(first_chunk, last_chunk)]
+            if len(chunks) > 1:
+                arr = np.concatenate(chunks, axis=0)
+            else:
+                arr = chunks[0]
+            assert arr.shape[0] == (self.chunk_bounds[last_chunk + 1]
+                                    - self.chunk_bounds[first_chunk])
+            a = i0 - self.chunk_bounds[first_chunk]
+            b = i1 - self.chunk_bounds[first_chunk]
+            assert 0 <= a <= b <= arr.shape[0]
+            out = arr[a:b:item.step, :]
+            assert out.shape[0] == len(range(i0, i1, item.step or 1))
+            return out
+        elif isinstance(item, tuple):
+            if len(item) == 1:
+                return self[item[0]]
+            elif len(item) == 2 and np.isscalar(item[0]):
+                return self[item[0]][item[1]]
+            elif len(item) == 2:
+                return self[item[0]][:, item[1]]
+        elif isinstance(item, (int, np.integer)):
+            item = int(item)
+            if item < 0:
+                k = -int(math.floor(item / self.n_samples))
+                item += self.n_samples * k
+            if not 0 <= item < self.n_samples:
+                raise IndexError(
+                    "index %d is out of bounds for axis 0 with size %d"
+                    % (item, self.n_samples))
+            return self[item:item + 1][0]
+        elif isinstance(item, (list, np.ndarray)):
+            raise NotImplementedError(
+                "Indexing with multiple values is currently unsupported.")
+        return fallback  # pragma: no cover
+
+    def close(self):
+        # Only close handles we opened ourselves: a Reader may be given an
+        # already-open file object (e.g. by check() during tofile), and
+        # closing it would break the caller.
+        if self.cdata and getattr(self, '_owns_fd', True):
+            self.cdata.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # pragma: no cover
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# -- functional API ----------------------------------------------------------------
+
+def check(data, out, outmeta):
+    """Verify that the compressed file round-trips to ``data``.
+
+    Integer dtypes must match byte-for-byte; floats to within
+    ``CHECK_ATOL`` (the in-dtype diff/cumsum of floats is not exactly
+    associative).
+    """
+    unc = decompress(out, outmeta)
+    try:
+        for chunk_idx, start, length in progress(
+                unc.iter_chunks(), total=unc.n_chunks, desc='Checking',
+                disable=getattr(unc, 'quiet', False)):
+            chunk = unc.read_chunk(chunk_idx, start, length)
+            i0, i1 = unc.chunk_bounds[chunk_idx], unc.chunk_bounds[chunk_idx + 1]
+            expected = data[i0:i1]
+            assert chunk.dtype == expected.dtype
+            assert chunk.shape == expected.shape
+            if np.issubdtype(chunk.dtype, np.integer):
+                assert np.array_equal(chunk, expected)
+            else:
+                assert np.allclose(chunk, expected, atol=CHECK_ATOL)
+    finally:
+        unc.close()
+
+
+def compress(path, out=None, outmeta=None, sample_rate=None, n_channels=None,
+             dtype=None, **kwargs):
+    """One-call compression; returns the compressed/raw size ratio."""
+    w = Writer(**kwargs)
+    w.open(path, sample_rate=sample_rate, n_channels=n_channels, dtype=dtype)
+    ratio = w.write(out, outmeta)
+    w.close()
+    return ratio
+
+
+def decompress(cdata, cmeta=None, out=None, write_output=False,
+               overwrite=False, **kwargs):
+    """Open a compressed dataset; optionally write the decompressed file.
+
+    Returns a :class:`Reader` supporting NumPy-style slicing.
+    """
+    if out:
+        write_output = True
+    r = Reader(**kwargs)
+    r.open(cdata, cmeta)
+    if write_output:
+        r.tofile(out, overwrite=overwrite)
+    return r

@@ -1,0 +1,130 @@
+"""First-party native (C++) runtime: chunk-parallel deflate/inflate and rANS.
+
+The reference's hot loops run in third-party native code driven from a
+Python ThreadPool (zlib via mtscomp.py:394/619). Here the batch loops
+themselves are native: ``libmtsnative`` (built from ``mtsnative.cpp``)
+compresses/decompresses many chunks with C++ worker threads and no GIL
+round trips. Python falls back transparently when the library has not
+been built (outputs are byte-identical either way — same zlib).
+"""
+
+import ctypes
+import logging
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+logger = logging.getLogger('mtscomp_tpu')
+
+_HERE = Path(__file__).parent
+_LIB_PATH = _HERE / 'libmtsnative.so'
+_lib = None
+_load_attempted = False
+
+
+def build_library(force=False):
+    """Compile libmtsnative.so with g++ (idempotent)."""
+    src = _HERE / 'mtsnative.cpp'
+    if _LIB_PATH.exists() and not force:
+        if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+            return _LIB_PATH
+    cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared', '-fPIC',
+           str(src), '-o', str(_LIB_PATH), '-lz', '-pthread']
+    logger.debug("Building native library: %s", ' '.join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    """Load (building if needed) the native library; None on failure."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    try:
+        build_library()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except Exception as e:  # pragma: no cover
+        logger.debug("Native library unavailable (%s); using Python fallback.", e)
+        return None
+    # int mts_deflate_batch(int n, const uint8_t** in, const size_t* in_len,
+    #                       uint8_t** out, size_t* out_cap, size_t* out_len,
+    #                       int n_threads)
+    lib.mts_deflate_batch.restype = ctypes.c_int
+    lib.mts_deflate_batch.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int]
+    lib.mts_inflate_batch.restype = ctypes.c_int
+    lib.mts_inflate_batch.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int]
+    lib.mts_deflate_bound.restype = ctypes.c_size_t
+    lib.mts_deflate_bound.argtypes = [ctypes.c_size_t]
+    _lib = lib
+    return _lib
+
+
+def available():
+    return _load() is not None
+
+
+def deflate_batch(buffers, n_threads=1):
+    """zlib-compress a list of byte buffers in parallel; None if no lib."""
+    lib = _load()
+    if lib is None or not buffers:
+        return None
+    n = len(buffers)
+    in_ptrs = (ctypes.c_void_p * n)()
+    in_lens = (ctypes.c_size_t * n)()
+    out_ptrs = (ctypes.c_void_p * n)()
+    out_caps = (ctypes.c_size_t * n)()
+    out_lens = (ctypes.c_size_t * n)()
+    outs = []
+    keepalive = []
+    for i, buf in enumerate(buffers):
+        b = bytes(buf) if not isinstance(buf, (bytes, bytearray)) else buf
+        keepalive.append(b)
+        in_ptrs[i] = ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
+        in_lens[i] = len(b)
+        cap = lib.mts_deflate_bound(len(b))
+        ob = ctypes.create_string_buffer(cap)
+        outs.append(ob)
+        out_ptrs[i] = ctypes.cast(ob, ctypes.c_void_p)
+        out_caps[i] = cap
+    rc = lib.mts_deflate_batch(n, in_ptrs, in_lens, out_ptrs, out_caps,
+                               out_lens, int(n_threads))
+    if rc != 0:  # pragma: no cover
+        return None
+    return [outs[i].raw[:out_lens[i]] for i in range(n)]
+
+
+def inflate_batch(payloads, out_sizes, n_threads=1):
+    """zlib-decompress payloads into exact-size buffers; None if no lib."""
+    lib = _load()
+    if lib is None or not payloads:
+        return None
+    n = len(payloads)
+    in_ptrs = (ctypes.c_void_p * n)()
+    in_lens = (ctypes.c_size_t * n)()
+    out_ptrs = (ctypes.c_void_p * n)()
+    out_lens = (ctypes.c_size_t * n)()
+    outs = []
+    keepalive = []
+    for i, (buf, size) in enumerate(zip(payloads, out_sizes)):
+        b = bytes(buf) if not isinstance(buf, (bytes, bytearray)) else buf
+        keepalive.append(b)
+        in_ptrs[i] = ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
+        in_lens[i] = len(b)
+        ob = ctypes.create_string_buffer(size if size > 0 else 1)
+        outs.append(ob)
+        out_ptrs[i] = ctypes.cast(ob, ctypes.c_void_p)
+        out_lens[i] = size
+    rc = lib.mts_inflate_batch(n, in_ptrs, in_lens, out_ptrs, out_lens,
+                               int(n_threads))
+    if rc != 0:
+        return None
+    return [outs[i].raw[:out_sizes[i]] for i in range(n)]

@@ -1,0 +1,47 @@
+"""``chop`` semantics: a chopped file must be byte-identical to compressing
+the truncated original (reference: tests.py:451-492)."""
+
+import json
+
+import numpy as np
+
+from mtscomp_tpu import compress, decompress
+
+from conftest import SAMPLE_RATE, write_arr, to_int16, make_signal
+
+from test_check import sha1
+
+
+def test_chop_equivalence(tmp_path_, algorithm):
+    arr = to_int16(make_signal('colored', ns=5000, nc=7))
+    path = write_arr(tmp_path_ / 'data.bin', arr)
+    out, outmeta = tmp_path_ / 'data.cbin', tmp_path_ / 'data.ch'
+    compress(path, out, outmeta, sample_rate=1000.0, n_channels=7,
+             dtype=arr.dtype, algorithm=algorithm, quiet=True)
+
+    r = decompress(out, outmeta)
+    n_keep = 3
+    chopped = tmp_path_ / 'chopped.cbin'
+    r.chop(n_keep, chopped)
+    bounds = r.chunk_bounds
+    r.close()
+
+    # Compressing the truncated raw file must give identical bytes.
+    trunc = arr[:bounds[n_keep]]
+    tpath = write_arr(tmp_path_ / 'trunc.bin', trunc)
+    tout, toutmeta = tmp_path_ / 'trunc.cbin', tmp_path_ / 'trunc.ch'
+    compress(tpath, tout, toutmeta, sample_rate=1000.0, n_channels=7,
+             dtype=arr.dtype, algorithm=algorithm, quiet=True)
+    assert sha1(chopped) == sha1(tout)
+
+    # Chopped sidecar: truncated tables, nulled hashes, chopped flag.
+    cmeta = json.loads((tmp_path_ / 'chopped.ch').read_text())
+    assert cmeta['chopped'] is True
+    assert cmeta['sha1_compressed'] is None
+    assert cmeta['sha1_uncompressed'] is None
+    assert len(cmeta['chunk_bounds']) == n_keep + 1
+
+    # And it decompresses to the truncated data.
+    rc = decompress(chopped, tmp_path_ / 'chopped.ch')
+    assert np.array_equal(rc[:], trunc)
+    rc.close()

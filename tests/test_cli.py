@@ -1,0 +1,121 @@
+"""CLI round trips and arg->config mapping (reference: tests.py:533-712)."""
+
+import json
+import re
+
+import numpy as np
+import pytest
+
+from mtscomp_tpu import cli, load_raw_data
+from mtscomp_tpu.config import read_config
+
+from conftest import SAMPLE_RATE, write_arr, to_int16, make_signal
+
+
+@pytest.fixture
+def data(tmp_path_):
+    arr = to_int16(make_signal('colored', ns=3000, nc=5))
+    path = write_arr(tmp_path_ / 'data.bin', arr)
+    return tmp_path_, path, arr
+
+
+def test_args_to_config():
+    parser = cli.mtscomp_parser()
+    pargs, config = cli._args_to_config(
+        parser, ['f.bin', '-d', 'int16 ', '-s', '20000', '-n', '385',
+                 '-p', '2'], compress=True)
+    assert config.dtype == 'int16'
+    assert config.sample_rate == 20000.0
+    assert config.n_channels == 385
+    assert config.n_threads == 2
+    # -nc not passed => check_after_compress stays at its default True
+    assert config.check_after_compress is True
+
+
+def test_args_no_check():
+    parser = cli.mtscomp_parser()
+    pargs, config = cli._args_to_config(
+        parser, ['f.bin', '-d', 'int16', '-s', '1', '-n', '3', '-nc'],
+        compress=True)
+    assert config.check_after_compress is False
+
+
+def test_cli_roundtrip(data, capsys):
+    tmp, path, arr = data
+    out = tmp / 'data.cbin'
+    outmeta = tmp / 'data.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5'])
+    assert out.exists() and outmeta.exists()
+
+    # mtsdesc prints recoverable metadata.
+    cli.mtsdesc([str(out), str(outmeta)])
+    desc = capsys.readouterr().out
+    assert re.search(r'dtype\s+int16', desc)
+    assert re.search(r'n_channels\s+5', desc)
+
+    dec = tmp / 'dec.bin'
+    cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec)])
+    loaded = load_raw_data(dec, n_channels=5, dtype='int16')
+    assert np.array_equal(loaded, arr)
+    # Decompressing again without -f fails; with -f succeeds.
+    with pytest.raises(ValueError):
+        cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec)])
+    cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec), '-f'])
+
+
+def test_cli_ans_roundtrip(data):
+    tmp, path, arr = data
+    out, outmeta = tmp / 'a.cbin', tmp / 'a.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5', '-a', 'ans'])
+    cmeta = json.loads(outmeta.read_text())
+    assert cmeta['algorithm'] == 'ans'
+    dec = tmp / 'dec.bin'
+    cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec)])
+    assert np.array_equal(load_raw_data(dec, n_channels=5, dtype='int16'),
+                          arr)
+
+
+def test_cli_missing_args(data):
+    tmp, path, arr = data
+    with pytest.raises((ValueError, SystemExit)):
+        cli.mtscomp([str(path)])  # no dtype/rate/channels
+
+
+def test_cli_set_default(data):
+    tmp, path, arr = data
+    out, outmeta = tmp / 'd.cbin', tmp / 'd.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5', '--set-default'])
+    # The config file now holds these defaults.
+    config = read_config()
+    assert config.n_channels == 5
+    assert config.dtype == 'int16'
+    # A later compress can rely on the persisted defaults.
+    out2, outmeta2 = tmp / 'e.cbin', tmp / 'e.ch'
+    cli.mtscomp([str(path), str(out2), str(outmeta2)])
+    assert out2.exists()
+
+
+def test_cli_npy(tmp_path_):
+    arr = np.random.randint(-500, 500, size=(4, 250, 7)).astype(np.int16)
+    path = tmp_path_ / 'data.npy'
+    np.save(path, arr)
+    out, outmeta = tmp_path_ / 'data.cnpy', tmp_path_ / 'data.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-s', '1000'])
+    cmeta = json.loads(outmeta.read_text())
+    assert tuple(cmeta['shape']) == arr.shape
+
+
+def test_cli_chop(data):
+    tmp, path, arr = data
+    out, outmeta = tmp / 'data.cbin', tmp / 'data.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', '1000', '-n', '5'])
+    chopped = tmp / 'chopped.cbin'
+    cli.mtschop([str(out), '-n', '2', '-o', str(chopped)])
+    assert chopped.exists()
+    cmeta = json.loads((tmp / 'chopped.ch').read_text())
+    assert cmeta['chopped'] is True
+    assert len(cmeta['chunk_bounds']) == 3
