@@ -60,7 +60,8 @@ class Writer:
         self.n_threads = max(1, int(config.n_threads))
         self.check_after_compress = config.check_after_compress
         self.before_check = before_check or (lambda w: None)
-        self.codec = get_codec(self.algorithm, ans_lanes=config.ans_lanes)
+        self.codec = get_codec(self.algorithm,
+                               seg_log2=config.get('ans_seg_log2', 17))
         self.data = None
         self._pool = None
 
@@ -210,7 +211,7 @@ class Writer:
         """The ``.ch`` sidecar dictionary."""
         extra = {}
         if self.algorithm == 'ans':
-            extra['ans_lanes'] = self.codec.n_lanes
+            extra['ans_seg_log2'] = self.codec.seg_log2
         return build_cmeta(
             algorithm=self.algorithm, comp_level=self.comp_level,
             do_time_diff=self.do_time_diff,
@@ -265,7 +266,7 @@ class Reader:
         self.chunk_order = self.cmeta.get('chunk_order', 'F')
         self.algorithm = self.cmeta.get('algorithm', 'zlib')
         self.codec = get_codec(self.algorithm,
-                               ans_lanes=self.cmeta.get('ans_lanes', 1024))
+                               seg_log2=self.cmeta.get('ans_seg_log2', 17))
         self.n_samples = self.chunk_bounds[-1]
         self.n_chunks = len(self.chunk_bounds) - 1
         self.shape = (self.n_samples, self.n_channels)

@@ -1,34 +1,45 @@
-"""Format-v2 chunk codec: zigzag + byte planes + lane-interleaved rANS.
+"""Format-v2 chunk codec: zigzag + byte planes + grouped 128-lane rANS.
 
-Replaces the reference's zlib stage (mtscomp.py:394, 619) with a codec
-whose decode is data-parallel across K lanes and across chunks — the
-shape TPU hardware wants. Each chunk payload is fully self-contained
-(same invariant as the zlib chunks), so random access, ``chop`` and the
+Replaces the reference's zlib stage (mtscomp.py:394, 619) with an entropy
+layout engineered for TPU vector hardware (see models/rans.py for the
+coder itself). Each chunk payload is fully self-contained (same
+invariant as the zlib chunks), so random access, ``chop`` and the
 offset-table format all work unchanged.
+
+Layout of the element stream: integer elements are zigzag-mapped
+(wrapped diffs become small codes) and split into ``itemsize`` byte
+planes (LSB first); float elements skip zigzag. Each *coded* plane's
+byte stream is cut into **segments** of ``2**seg_log2`` symbols; each
+segment is one 128-lane interleaved rANS row; consecutive segments (in
+plane-major order, across plane boundaries) are packed into **groups**
+of up to 8 rows sharing one merged renorm-word stream in decoder order.
 
 Chunk container layout (all little-endian)::
 
-    header:
+    header (16 bytes):
       u32  magic   = 0x3253544D ("MTS2")
-      u8   container version (1)
+      u8   container version (2)
       u8   n_planes (= dtype itemsize)
-      u16  n_lanes K
-      u32  n_elems (elements in the chunk)
       u8   flags   (bit0: zigzag applied to elements)
       u8   scale_bits (12)
+      u32  n_elems (elements in the chunk)
+      u8   seg_log2 (symbols per segment = 1 << seg_log2, >= 7)
+      u8   min_freq (8)
       u16  reserved
-    then, per plane p (plane p = byte p of each element, LSB first):
+    per plane p:
       u8 mode:
         0 RAW   -> n_elems raw bytes
-        1 RANS  -> u16 freq[256] ; u32 n_words ; u32 state[K] ;
-                   u16 word[n_words]
+        1 RANS  -> u16 freq[256]
         2 CONST -> u8 value
+    if any plane is RANS:
+      u32 n_groups
+      u32 n_words[g] for g in range(n_groups)
+      per group g:
+        u32 state[R_g * 128]      (R_g = rows in group, 8 except last)
+        u16 word[n_words[g]]
 
-Plane transform: integer elements are zigzag-mapped (wrapped diffs become
-small codes) and split into itemsize byte planes; the high planes of
-int16 neural data then collapse to near-zero entropy and usually hit
-CONST/RANS-with-tiny-payload. Floats skip zigzag and code raw byte
-planes.
+Segments are derived, not stored: RANS planes in index order contribute
+``ceil(n_elems / seg)`` segments each; the flat list is grouped by 8.
 """
 
 import struct
@@ -38,10 +49,12 @@ import numpy as np
 from ..models import rans
 
 MAGIC = 0x3253544D
-CONTAINER_VERSION = 1
+CONTAINER_VERSION = 2
 MODE_RAW, MODE_RANS, MODE_CONST = 0, 1, 2
 
-_HEADER = struct.Struct('<IBBHIBBH')
+DEFAULT_SEG_LOG2 = 17           # 131072 symbols per segment
+
+_HEADER = struct.Struct('<IBBBBIBBH')
 assert _HEADER.size == 16
 
 
@@ -66,27 +79,36 @@ def join_planes(planes, dtype, zigzag):
     return flat.view(dtype)
 
 
-def _estimated_rans_bytes(counts, freqs, n_lanes):
-    """Size estimate used for the RAW-vs-RANS decision (header + tables +
-    states + Shannon payload under the quantized model)."""
+def segment_counts(n_elems, seg, modes):
+    """Per-RANS-plane segment count and the flat (plane, start, n) list."""
+    segments = []
+    for p, mode in enumerate(modes):
+        if mode != MODE_RANS:
+            continue
+        for start in range(0, n_elems, seg):
+            segments.append((p, start, min(seg, n_elems - start)))
+    return segments
+
+
+def _estimated_rans_bytes(counts, freqs, n_elems, seg):
+    """Container-cost estimate for the RAW-vs-RANS decision: table +
+    per-segment states + Shannon payload under the quantized model."""
     nz = counts > 0
     bits = float(np.sum(counts[nz] * (rans.SCALE_BITS - np.log2(freqs[nz]))))
-    return 512 + 4 + 4 * n_lanes + bits / 8.0
+    n_segs = -(-n_elems // seg)
+    return 512 + n_segs * (4 * rans.LANES) + bits / 8.0
 
 
 class AnsCodec:
-    """Encode/decode one diffed chunk with interleaved rANS byte planes."""
+    """Encode/decode one diffed chunk with grouped rANS byte planes."""
 
     name = 'ans'
     format_version = '2.0'
 
-    def __init__(self, ans_lanes=1024, **kwargs):
-        self.n_lanes = int(ans_lanes)
-        assert self.n_lanes >= 1
-
-    def lanes_for(self, n_elems):
-        """Lane count for a chunk: config value, shrunk for tiny chunks."""
-        return max(1, min(self.n_lanes, n_elems))
+    def __init__(self, seg_log2=DEFAULT_SEG_LOG2, **kwargs):
+        self.seg_log2 = int(seg_log2)
+        assert 7 <= self.seg_log2 <= 24
+        self.seg = 1 << self.seg_log2
 
     # --- encode -----------------------------------------------------------
 
@@ -96,32 +118,48 @@ class AnsCodec:
         n_elems = elements.size
         itemsize = elements.dtype.itemsize
         zigzag = elements.dtype.kind in 'iu'
-        K = self.lanes_for(n_elems)
-
         planes = split_planes(elements, zigzag)
-        parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize, K,
-                              n_elems, int(zigzag), rans.SCALE_BITS, 0)]
-        for p in range(itemsize):
-            parts.append(self._encode_plane(planes[:, p], K))
-        return b''.join(parts)
 
-    def _encode_plane(self, plane, K):
-        n = plane.size
-        counts = np.bincount(plane, minlength=256)
-        freqs = rans.quantize_freqs(counts)
-        if freqs is None:
-            # Single distinct byte value in the whole plane.
-            return struct.pack('<BB', MODE_CONST, int(plane[0]))
-        if _estimated_rans_bytes(counts, freqs, K) >= n:
-            return struct.pack('<B', MODE_RAW) + plane.tobytes()
-        states, words = rans.rans_encode_interleaved(plane, freqs, K)
-        return b''.join([
-            struct.pack('<B', MODE_RANS),
-            freqs.astype('<u2').tobytes(),
-            struct.pack('<I', words.size),
-            states.astype('<u4').tobytes(),
-            words.astype('<u2').tobytes(),
-        ])
+        modes, plane_meta, tables = [], [], {}
+        for p in range(itemsize):
+            plane = planes[:, p]
+            counts = np.bincount(plane, minlength=256)
+            freqs = rans.quantize_freqs(counts)
+            if freqs is None:
+                modes.append(MODE_CONST)
+                plane_meta.append(struct.pack('<BB', MODE_CONST,
+                                              int(plane[0])))
+            elif _estimated_rans_bytes(counts, freqs, n_elems,
+                                       self.seg) >= n_elems:
+                modes.append(MODE_RAW)
+                plane_meta.append(struct.pack('<B', MODE_RAW)
+                                  + plane.tobytes())
+            else:
+                modes.append(MODE_RANS)
+                tables[p] = freqs
+                plane_meta.append(struct.pack('<B', MODE_RANS)
+                                  + freqs.astype('<u2').tobytes())
+
+        parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
+                              int(zigzag), rans.SCALE_BITS, n_elems,
+                              self.seg_log2, rans.MIN_FREQ, 0)]
+        parts.extend(plane_meta)
+
+        segments = segment_counts(n_elems, self.seg, modes)
+        if segments:
+            group_blobs, word_counts = [], []
+            for g0 in range(0, len(segments), rans.GROUP_ROWS):
+                group = segments[g0:g0 + rans.GROUP_ROWS]
+                rows = [planes[start:start + n, p] for p, start, n in group]
+                freq_rows = np.stack([tables[p] for p, _, _ in group])
+                states, words = rans.rans_encode_group(rows, freq_rows)
+                word_counts.append(words.size)
+                group_blobs.append(states.astype('<u4').tobytes()
+                                   + words.astype('<u2').tobytes())
+            parts.append(struct.pack('<I', len(group_blobs)))
+            parts.append(np.asarray(word_counts, '<u4').tobytes())
+            parts.extend(group_blobs)
+        return b''.join(parts)
 
     # --- decode -----------------------------------------------------------
 
@@ -137,23 +175,23 @@ class AnsCodec:
                           % (parsed['itemsize'], dtype))
         planes = np.empty((n_elems, parsed['itemsize']), dtype=np.uint8)
         for p, plane in enumerate(parsed['planes']):
-            planes[:, p] = self._decode_plane(plane, n_elems)
+            if plane['mode'] == MODE_CONST:
+                planes[:, p] = plane['value']
+            elif plane['mode'] == MODE_RAW:
+                planes[:, p] = plane['raw']
+        for group in parsed['groups']:
+            freq_rows = np.stack([parsed['planes'][p]['freqs']
+                                  for p, _, _ in group['segments']])
+            rows, used = rans.rans_decode_group(
+                group['states'], group['words'], freq_rows,
+                [n for _, _, n in group['segments']])
+            if used != group['words'].size:
+                raise IOError("ANS group consumed %d of %d payload words."
+                              % (used, group['words'].size))
+            for (p, start, n), row in zip(group['segments'], rows):
+                planes[start:start + n, p] = row
         flat = join_planes(planes, dtype, parsed['zigzag'])
         return flat.reshape((n_samples, n_channels), order=order)
-
-    def _decode_plane(self, plane, n_elems):
-        mode = plane['mode']
-        if mode == MODE_CONST:
-            return np.full(n_elems, plane['value'], dtype=np.uint8)
-        if mode == MODE_RAW:
-            return plane['raw']
-        out, used = rans.rans_decode_interleaved(
-            plane['states'], plane['words'], plane['freqs'],
-            n_elems, plane['n_lanes'])
-        if used != plane['words'].size:
-            raise IOError("ANS plane consumed %d of %d payload words."
-                          % (used, plane['words'].size))
-        return out
 
     # --- container parsing (shared with the device decode path) -----------
 
@@ -162,8 +200,8 @@ class AnsCodec:
         mv = memoryview(payload)
         if len(mv) < _HEADER.size:
             raise IOError("ANS chunk too short (%d bytes)." % len(mv))
-        (magic, version, itemsize, K, n_elems, flags, scale_bits, _
-         ) = _HEADER.unpack_from(mv, 0)
+        (magic, version, itemsize, flags, scale_bits, n_elems, seg_log2,
+         min_freq, _) = _HEADER.unpack_from(mv, 0)
         if magic != MAGIC:
             raise IOError("Bad ANS chunk magic 0x%08X." % magic)
         if version != CONTAINER_VERSION:
@@ -171,9 +209,10 @@ class AnsCodec:
         if scale_bits != rans.SCALE_BITS:
             raise IOError("Unsupported ANS scale_bits %d." % scale_bits)
         off = _HEADER.size
-        planes = []
+        planes, modes = [], []
         for _p in range(itemsize):
             mode = mv[off]; off += 1
+            modes.append(mode)
             if mode == MODE_CONST:
                 planes.append({'mode': mode, 'value': mv[off]})
                 off += 1
@@ -183,15 +222,35 @@ class AnsCodec:
                 off += n_elems
             elif mode == MODE_RANS:
                 freqs = np.frombuffer(mv, '<u2', 256, off); off += 512
-                (n_words,) = struct.unpack_from('<I', mv, off); off += 4
-                states = np.frombuffer(mv, '<u4', K, off); off += 4 * K
-                words = np.frombuffer(mv, '<u2', n_words, off)
-                off += 2 * n_words
-                planes.append({'mode': mode, 'freqs': freqs, 'states': states,
-                               'words': words, 'n_lanes': K})
+                planes.append({'mode': mode, 'freqs': freqs})
             else:
                 raise IOError("Unknown ANS plane mode %d." % mode)
+
+        seg = 1 << seg_log2
+        segments = segment_counts(n_elems, seg, modes)
+        groups = []
+        if segments:
+            (n_groups,) = struct.unpack_from('<I', mv, off); off += 4
+            expect = -(-len(segments) // rans.GROUP_ROWS)
+            if n_groups != expect:
+                raise IOError("ANS chunk has %d groups, expected %d."
+                              % (n_groups, expect))
+            word_counts = np.frombuffer(mv, '<u4', n_groups, off)
+            off += 4 * n_groups
+            for g in range(n_groups):
+                segs = segments[g * rans.GROUP_ROWS:
+                                (g + 1) * rans.GROUP_ROWS]
+                R = len(segs)
+                states = np.frombuffer(mv, '<u4', R * rans.LANES, off)
+                off += 4 * R * rans.LANES
+                nw = int(word_counts[g])
+                words = np.frombuffer(mv, '<u2', nw, off)
+                off += 2 * nw
+                groups.append({'segments': segs,
+                               'states': states.reshape(R, rans.LANES),
+                               'words': words})
         if off != len(mv):
             raise IOError("ANS chunk has %d trailing bytes." % (len(mv) - off))
-        return {'itemsize': itemsize, 'n_lanes': K, 'n_elems': n_elems,
-                'zigzag': bool(flags & 1), 'planes': planes}
+        return {'itemsize': itemsize, 'n_elems': n_elems,
+                'zigzag': bool(flags & 1), 'seg_log2': seg_log2,
+                'modes': modes, 'planes': planes, 'groups': groups}

@@ -4,29 +4,41 @@ Design
 ------
 The reference's entropy stage is a sequential zlib stream per chunk
 (mtscomp.py:394, 619), which cannot be parallelized *within* a chunk.
-This module replaces it with K interleaved rANS streams ("lanes"): symbol
-``t`` belongs to lane ``t % K`` at step ``t // K``. All K lanes share one
-frequency table, and renormalization words are laid out in **decoder
-order** — at each step, the lanes whose state underflows read one 16-bit
-word each, in ascending lane order. A vectorized decoder therefore
-consumes the payload strictly front-to-back with no per-lane cursors:
-it is one masked vector step per K symbols, which is exactly the shape
-TPU hardware wants (see ops/device_rans.py for the JAX/Pallas decoders).
+Format v2 replaces it with a layout designed around the TPU vector unit:
+
+- A chunk's byte planes are cut into **segments** of contiguous symbols;
+  each segment is coded by **128 interleaved rANS lanes** (lane ``j``
+  takes symbols ``j, j+128, ...``) — one segment maps onto one 128-lane
+  vector register row.
+- Segments are packed into **groups of R <= 8 rows** (one (8, 128)
+  vector). A group shares a single renormalization word stream, merged
+  in **decoder order**: at each step, the lanes whose state underflows
+  read one 16-bit word each, in row-major lane order. The vectorized
+  decoder therefore consumes the stream strictly front-to-back — no
+  per-lane cursors, just a masked rank within the step.
+- Each row carries its own frequency table (so one group can mix byte
+  planes with different statistics).
 
 Coder parameters (fixed for the format):
 
 - 32-bit states, 16-bit renorm words, state invariant ``[2^16, 2^32)``;
 - ``SCALE_BITS = 12`` (frequencies sum to 4096), 256-symbol alphabet;
-- per (step, lane) visit, at most ONE word is emitted/read — this is what
-  makes the decode step a single masked vector operation.
+- **minimum frequency 8** for present symbols: every 16-slot bucket of
+  the 4096-slot table then contains at most 3 symbols, so the decoder's
+  slot->symbol lookup is one 256-entry coarse lookup plus at most two
+  compare-increments over a dense alphabet — the shape TPU shuffles
+  want (no binary search);
+- per (step, lane) visit at most ONE word is emitted/read, making the
+  decode step a single masked vector operation.
 
 The encoder walks symbols backward (steps descending), emitting at most
-one word per visit *before* each state update; the decoder walks forward,
-reading at most one word per visit *after* each state update. The two
-word sequences mirror exactly (verified exhaustively in tests).
+one word per visit *before* each state update; the decoder walks forward
+reading at most one word per visit *after* each update. The word
+sequences mirror exactly (verified exhaustively in tests).
 
 This file is the host (NumPy) implementation and the normative spec; the
-device implementations must match it bit-for-bit.
+device implementations (ops/device_rans.py, ops/pallas_rans.py) must
+match it bit-for-bit.
 """
 
 import numpy as np
@@ -35,7 +47,10 @@ SCALE_BITS = 12
 SCALE = 1 << SCALE_BITS          # 4096
 RANS_L = 1 << 16                 # state lower bound
 WORD_BITS = 16
-MAX_FREQ = SCALE - 1             # 4096 is expressed as a constant plane instead
+MIN_FREQ = 8                     # present symbols get >= 8/4096
+MAX_FREQ = SCALE - MIN_FREQ      # >= 2 present symbols when RANS is used
+LANES = 128                      # lanes per segment (one vector row)
+GROUP_ROWS = 8                   # segments per group (one (8,128) vector)
 
 
 def zigzag_encode(values):
@@ -59,18 +74,18 @@ def zigzag_decode(codes, dtype):
     u = np.asarray(codes)
     assert u.dtype.kind == 'u'
     s = (u >> 1).astype(u.dtype)
-    out = (s ^ (-(u & 1)).astype(u.dtype)).view(np.dtype('int%d' % (u.dtype.itemsize * 8)))
+    out = (s ^ (-(u & 1)).astype(u.dtype)).view(
+        np.dtype('int%d' % (u.dtype.itemsize * 8)))
     return out.view(dtype)
 
 
-def quantize_freqs(counts, scale_bits=SCALE_BITS):
+def quantize_freqs(counts, scale_bits=SCALE_BITS, min_freq=MIN_FREQ):
     """Quantize symbol counts to frequencies summing to ``2**scale_bits``.
 
-    Every present symbol gets frequency >= 1; absent symbols get 0.
-    Uses largest-remainder apportionment, then steals from the largest
-    buckets if rounding overshoots. Returns ``None`` if only one symbol
-    is present (callers should use a constant-plane encoding instead,
-    since freq == 4096 does not fit the coder's 12-bit table).
+    Every present symbol gets frequency >= ``min_freq`` (so the decoder's
+    coarse slot lookup needs only one fixup); absent symbols get 0.
+    Largest-remainder apportionment, then rebalancing. Returns ``None``
+    when fewer than two symbols are present (use a constant plane).
     """
     counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
@@ -80,132 +95,152 @@ def quantize_freqs(counts, scale_bits=SCALE_BITS):
     if n_present <= 1:
         return None
     scale = 1 << scale_bits
+    assert n_present * min_freq <= scale
     ideal = counts * scale / total
     freqs = np.floor(ideal).astype(np.int64)
-    # Guarantee >= 1 for present symbols.
-    freqs[present & (freqs == 0)] = 1
+    freqs[present] = np.maximum(freqs[present], min_freq)
     remainder = int(scale - freqs.sum())
     if remainder > 0:
-        # Distribute leftovers to the largest fractional parts.
         frac = np.where(present, ideal - np.floor(ideal), -1.0)
         order = np.argsort(-frac, kind='stable')
         take = order[:remainder]
         freqs[take] += 1
-    elif remainder < 0:
-        # Steal from the biggest buckets (keeping each >= 1).
-        for _ in range(-remainder):
-            k = int(np.argmax(freqs))
-            assert freqs[k] > 1
-            freqs[k] -= 1
+    while freqs.sum() > scale:
+        # Steal from the largest buckets, never dipping below min_freq.
+        over = int(freqs.sum() - scale)
+        k = int(np.argmax(freqs))
+        cut = min(over, int(freqs[k]) - min_freq)
+        assert cut > 0, "cannot rebalance frequency table"
+        freqs[k] -= cut
     assert freqs.sum() == scale
-    assert np.all(freqs[present] >= 1)
+    assert np.all(freqs[present] >= min_freq)
     assert np.all(freqs[~present] == 0)
-    assert freqs.max() <= MAX_FREQ
     return freqs.astype(np.uint16)
 
 
 def cumulative_freqs(freqs):
-    """Exclusive prefix sum of the frequency table (256 entries, uint32)."""
-    cum = np.zeros(256, dtype=np.uint32)
-    np.cumsum(freqs[:-1], out=cum[1:])
+    """Exclusive prefix sum along the last axis (uint32)."""
+    freqs = np.asarray(freqs)
+    cum = np.zeros(freqs.shape, dtype=np.uint32)
+    np.cumsum(freqs[..., :-1], axis=-1, out=cum[..., 1:])
     return cum
 
 
 def slot_to_symbol_table(freqs):
-    """Dense slot -> symbol lookup of length SCALE (uint8)."""
-    return np.repeat(np.arange(256, dtype=np.uint8), freqs.astype(np.int64))
+    """Dense slot -> symbol lookup of length SCALE (uint8), 1-D input."""
+    return np.repeat(np.arange(256, dtype=np.uint8),
+                     np.asarray(freqs, dtype=np.int64))
 
 
-def rans_encode_interleaved(symbols, freqs, n_lanes):
-    """Encode a uint8 symbol sequence into K interleaved rANS lanes.
+def coarse_table(freqs):
+    """256-entry coarse lookup: bucket b (16 slots) -> symbol at slot 16*b.
 
-    Returns ``(states, words)``: the K final uint32 states the decoder
-    starts from, and the uint16 renorm payload in decoder read order.
-
-    Vectorized over lanes: the backward pass processes one step (K
-    symbols) at a time; per-visit emissions are collected per step and
-    concatenated in forward order at the end.
+    With ``min_freq >= 8`` each 16-slot bucket holds at most three
+    symbols, so over a *dense* alphabet two compare-increments finish
+    the lookup: ``id += (slot >= upper[id])`` twice.
     """
-    symbols = np.asarray(symbols, dtype=np.uint8)
-    n = symbols.size
-    K = int(n_lanes)
-    assert K >= 1
-    n_steps = -(-n // K) if n else 0
+    return slot_to_symbol_table(np.asarray(freqs, np.int64))[::16].copy()
 
-    freqs = np.asarray(freqs)
-    cum = cumulative_freqs(freqs)
-    f_all = freqs.astype(np.uint64)
-    c_all = cum.astype(np.uint64)
 
-    x = np.full(K, RANS_L, dtype=np.uint64)
-    lane_ids = np.arange(K, dtype=np.int64)
-    # words_per_step[s] is the (lanes-ascending) list of words the decoder
-    # will read after step s.
-    words_per_step = [None] * n_steps
+def _lane_counts(row_counts):
+    """Per-(row, lane) symbol counts given per-row symbol counts."""
+    n = np.asarray(row_counts, dtype=np.int64)[:, None]
+    j = np.arange(LANES, dtype=np.int64)[None, :]
+    return np.maximum(0, -(-(n - j) // LANES))          # ceil((n-j)/LANES)
 
-    for s in range(n_steps - 1, -1, -1):
-        t0 = s * K
-        active = (t0 + lane_ids) < n
-        syms = np.zeros(K, dtype=np.int64)
-        idx = t0 + lane_ids[active]
-        syms[active] = symbols[idx]
-        # Padded lanes use f=1 so the (masked-out) update stays well defined.
-        f = np.where(active, f_all[syms], np.uint64(1))
-        c = c_all[syms]
-        # Renormalize before the update: emit the low 16 bits wherever the
-        # update would overflow 32 bits.
+
+def group_steps(row_counts):
+    """Scan length for a group: max over rows of ceil(count / LANES)."""
+    return int(max((-(-int(c) // LANES) for c in row_counts), default=0))
+
+
+def rans_encode_group(rows, freqs_rows):
+    """Encode R segment rows (R <= 8) into one merged-stream group.
+
+    rows : list of uint8 arrays (the segments' symbols, row r has n_r).
+    freqs_rows : (R, 256) per-row frequency tables.
+
+    Returns ``(states, words)``: (R, 128) uint32 decoder start states and
+    the merged uint16 renorm payload in decoder read order.
+    """
+    R = len(rows)
+    assert 1 <= R <= GROUP_ROWS
+    counts = [len(r) for r in rows]
+    S = group_steps(counts)
+
+    freqs_rows = np.asarray(freqs_rows, dtype=np.uint64)
+    assert freqs_rows.shape == (R, 256)
+    cum_rows = cumulative_freqs(freqs_rows).astype(np.uint64)
+
+    # Pad rows to S*LANES symbols (padding never touched thanks to masks).
+    syms = np.zeros((R, S * LANES), dtype=np.int64)
+    for r, row in enumerate(rows):
+        syms[r, :counts[r]] = row
+    n = np.asarray(counts, dtype=np.int64)[:, None]
+
+    x = np.full((R, LANES), RANS_L, dtype=np.uint64)
+    lane_j = np.arange(LANES, dtype=np.int64)[None, :]
+    words_per_step = [None] * S
+    for s in range(S - 1, -1, -1):
+        active = (s * LANES + lane_j) < n                    # (R, 128)
+        sy = syms[:, s * LANES:(s + 1) * LANES]
+        f = np.take_along_axis(freqs_rows, sy, axis=1)
+        f = np.where(active, f, np.uint64(1))
+        c = np.take_along_axis(cum_rows, sy, axis=1)
         emit = active & (x >= (f << np.uint64(20)))
         if emit.any():
+            # Row-major flatten == decoder lane order (r*128 + j).
             words_per_step[s] = (x[emit] & np.uint64(0xFFFF)).astype(np.uint16)
             x[emit] >>= np.uint64(16)
         else:
             words_per_step[s] = _EMPTY_U16
-        # State update (C(x, s) = (x // f) * 4096 + (x % f) + cum).
         upd = (x // f) * np.uint64(SCALE) + (x % f) + c
         x = np.where(active, upd, x)
 
-    words = np.concatenate(words_per_step) if n_steps else _EMPTY_U16
+    words = np.concatenate(words_per_step) if S else _EMPTY_U16
     return x.astype(np.uint32), words
 
 
 _EMPTY_U16 = np.zeros(0, dtype=np.uint16)
 
 
-def rans_decode_interleaved(states, words, freqs, n_symbols, n_lanes):
-    """Decode ``n_symbols`` uint8 symbols from interleaved rANS lanes.
+def rans_decode_group(states, words, freqs_rows, row_counts):
+    """Decode one group; the normative mirror of :func:`rans_encode_group`.
 
-    This is the normative (host/NumPy) decoder; the device decoders in
-    ``ops/device_rans.py`` implement the same step function.
+    Returns ``(rows, words_used)`` with ``rows`` a list of uint8 arrays.
     """
-    K = int(n_lanes)
-    n = int(n_symbols)
-    n_steps = -(-n // K) if n else 0
-
-    freqs = np.asarray(freqs)
-    cum = cumulative_freqs(freqs).astype(np.uint64)
-    f_all = freqs.astype(np.uint64)
-    slot2sym = slot_to_symbol_table(freqs)
-
-    x = np.asarray(states, dtype=np.uint64).copy()
-    assert x.size == K
+    states = np.asarray(states, dtype=np.uint64)
+    R = states.shape[0]
+    assert states.shape == (R, LANES)
+    freqs_rows = np.asarray(freqs_rows, dtype=np.uint64)
+    cum_rows = cumulative_freqs(freqs_rows).astype(np.uint64)
+    S = group_steps(row_counts)
+    n = np.asarray(row_counts, dtype=np.int64)[:, None]
+    lane_j = np.arange(LANES, dtype=np.int64)[None, :]
     words = np.asarray(words, dtype=np.uint16)
-    lane_ids = np.arange(K, dtype=np.int64)
-    out = np.empty(n_steps * K, dtype=np.uint8)
+
+    x = states.copy()
+    out = np.empty((R, S * LANES), dtype=np.uint8)
     pos = 0
-    for s in range(n_steps):
-        active = (s * K + lane_ids) < n
+    for s in range(S):
+        active = (s * LANES + lane_j) < n
         slot = (x & np.uint64(SCALE - 1)).astype(np.int64)
-        sym = slot2sym[slot]
-        out[s * K:(s + 1) * K] = sym
-        upd = f_all[sym] * (x >> np.uint64(SCALE_BITS)) \
-            + slot.astype(np.uint64) - cum[sym]
+        # slot -> symbol via searchsorted per row (normative; device code
+        # uses the coarse-table + single-fixup equivalent).
+        sym = np.empty((R, LANES), dtype=np.int64)
+        for r in range(R):
+            sym[r] = np.searchsorted(
+                np.cumsum(freqs_rows[r]), slot[r], side='right')
+        out[:, s * LANES:(s + 1) * LANES] = sym
+        f = np.take_along_axis(freqs_rows, sym, axis=1)
+        c = np.take_along_axis(cum_rows, sym, axis=1)
+        upd = f * (x >> np.uint64(SCALE_BITS)) + slot.astype(np.uint64) - c
         x = np.where(active, upd, x)
-        # Renormalize after the update: read one word per underflowed lane,
-        # lanes ascending.
         need = active & (x < np.uint64(RANS_L))
         cnt = int(need.sum())
         if cnt:
             w = words[pos:pos + cnt].astype(np.uint64)
-            x[need] = (x[need] << np.uint64(16)) | w
+            x[need] = (x[need] << np.uint64(16)) | w    # row-major order
             pos += cnt
-    return out[:n], pos
+    rows = [out[r, :row_counts[r]] for r in range(R)]
+    return rows, pos

@@ -1,0 +1,164 @@
+"""Device (TPU) delta transform and inverse prefix-scan.
+
+Semantics identical to the host ops in ``ops/delta.py`` (reference:
+mtscomp.py:143-169): first-order diff along time keeping row 0 verbatim,
+and the in-dtype cumulative sum inverse. Integer exactness relies on
+modular (wrapping) arithmetic — all device ops here stay in the integer
+domain or in ranges where f32 is exact, so round trips are byte-exact.
+
+Two implementations:
+
+- ``*_jnp``: plain XLA ops (work on any backend, fuse well);
+- ``cumsum_time_pallas``: a Pallas TPU kernel that streams (time x
+  channel) tiles and carries the per-channel running sum in VMEM across
+  the time grid, computing in-tile prefix sums on the MXU via a
+  lower-triangular ones matmul (f32 is exact for partial sums < 2^24).
+
+All functions operate on batched chunks ``(B, T, C)``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def diff_time_jnp(x):
+    """Batched time diff, row 0 kept: (B, T, C) -> (B, T, C)."""
+    return jnp.concatenate([x[:, :1, :], x[:, 1:, :] - x[:, :-1, :]], axis=1)
+
+
+def cumsum_time_jnp(d):
+    """Inverse of :func:`diff_time_jnp` (in-dtype, wrapping)."""
+    return jnp.cumsum(d, axis=1, dtype=d.dtype)
+
+
+def diff_space_jnp(x):
+    """Batched spatial diff, column 0 kept."""
+    return jnp.concatenate([x[:, :, :1], x[:, :, 1:] - x[:, :, :-1]], axis=2)
+
+
+def cumsum_space_jnp(d):
+    return jnp.cumsum(d, axis=2, dtype=d.dtype)
+
+
+def zigzag_decode_jnp(z, dtype):
+    """Device inverse zigzag: uint codes -> original integer dtype."""
+    bits = jnp.dtype(dtype).itemsize * 8
+    u = z.astype(jnp.dtype('uint%d' % bits))
+    s = (u >> 1) ^ (-(u & 1)).astype(u.dtype)
+    return s.astype(jnp.dtype('int%d' % bits)).astype(dtype) \
+        if jnp.dtype(dtype).kind == 'i' else s.astype(dtype)
+
+
+def zigzag_encode_jnp(v):
+    """Device zigzag: integer dtype -> uint codes of the same width."""
+    bits = jnp.dtype(v.dtype).itemsize * 8
+    s = v.astype(jnp.dtype('int%d' % bits))
+    u = s.astype(jnp.dtype('uint%d' % bits))
+    return (u * 2) ^ (s >> (bits - 1)).astype(u.dtype)
+
+
+# --- Pallas kernel: carried int16 prefix scan over time tiles ---------------
+
+def _cumsum_kernel(x_ref, out_ref, carry_ref):
+    """One (Tt, Ct) int16 tile: in-tile prefix sum + carried offset.
+
+    Grid is (B, C_tiles, T_tiles) with the time dimension innermost, so
+    ``carry_ref`` (the running per-channel sum, wrapped to int16) is
+    reset whenever a new (batch, channel-tile) stripe starts.
+    """
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    x = x_ref[0].astype(jnp.float32)                      # (Tt, Ct), exact
+    tt = x.shape[0]
+    # Lower-triangular ones (incl. diagonal): prefix[i] = sum_{j<=i} x[j].
+    row = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 1)
+    tri = (col <= row).astype(jnp.float32)
+    # MXU matmul; partial sums bounded by Tt * 2^15 < 2^24 so f32 is exact,
+    # but ONLY at HIGHEST precision (default MXU f32 is bf16-pass emulated
+    # and loses low bits — verified on v5e).
+    prefix = jax.lax.dot(tri, x, precision=jax.lax.Precision.HIGHEST)
+    # Wrap each prefix to int16 (mod 2^16), then add the carried offset in
+    # int16 so the running total wraps exactly like np.cumsum(dtype=int16).
+    wrapped = _wrap_i16(prefix)
+    out = wrapped + carry_ref[...]                        # int16 add, wraps
+    out_ref[0] = out
+    carry_ref[...] = out[-1:, :]
+
+
+def _wrap_i16(f):
+    """f32 (integer-valued) -> int16 with mod-2^16 wrapping semantics."""
+    m = jnp.mod(f, 65536.0)                               # [0, 65536)
+    m = jnp.where(m >= 32768.0, m - 65536.0, m)           # [-32768, 32768)
+    return m.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=('t_tile', 'interpret'))
+def cumsum_time_pallas(d, t_tile=256, interpret=False):
+    """Pallas TPU int16 prefix scan along time for (B, T, C) chunks.
+
+    Requires T % t_tile == 0 and C % 128 == 0 (callers pad channels;
+    chunk lengths are padded to the tile and trimmed).
+    """
+    B, T, C = d.shape
+    assert d.dtype == jnp.int16
+    assert T % t_tile == 0 and C % 128 == 0
+    grid = (B, C // 128, T // t_tile)
+    return pl.pallas_call(
+        _cumsum_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, t_tile, 128),
+                               lambda b, c, t: (b, t, c),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, t_tile, 128),
+                               lambda b, c, t: (b, t, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.int16)],
+        interpret=interpret,
+    )(d)
+
+
+def pad_to(x, multiple, axis):
+    """Zero-pad ``axis`` up to the next multiple (no-op when aligned)."""
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - size)
+    return jnp.pad(x, widths)
+
+
+def cumsum_time(d, use_pallas=None, interpret=False):
+    """Dispatch: Pallas kernel on TPU (int16), XLA everywhere else."""
+    if use_pallas is None:
+        use_pallas = (d.dtype == jnp.int16
+                      and jax.default_backend() == 'tpu')
+    if not use_pallas:
+        return cumsum_time_jnp(d)
+    B, T, C = d.shape
+    t_tile = 256 if T % 256 == 0 else None
+    if t_tile is None:
+        for cand in (512, 256, 128, 64, 32, 16, 8):
+            if T % cand == 0:
+                t_tile = cand
+                break
+    if t_tile is None:
+        dp = pad_to(d, 256, axis=1)     # zero rows add nothing to the scan
+        dp = pad_to(dp, 128, axis=2)
+        out = cumsum_time_pallas(dp, t_tile=256, interpret=interpret)
+        return out[:, :T, :C]
+    dp = pad_to(d, 128, axis=2)
+    out = cumsum_time_pallas(dp, t_tile=t_tile, interpret=interpret)
+    return out[:, :, :C] if dp.shape[2] != C else out

@@ -1,0 +1,117 @@
+"""Batched grouped-rANS decode as a JAX program (runs on TPU under jit).
+
+Decodes N independent *groups* (8 segment rows x 128 lanes each, see
+models/rans.py) simultaneously: one scan step advances all N*8*128 lanes
+and consumes each group's merged word stream strictly front-to-back.
+Bit-exact against the normative NumPy coder (tested); the Pallas kernel
+in ``ops/pallas_rans.py`` is the hand-tuned version of the same step.
+
+Static shapes per call signature:
+
+- ``states``  (N, 8, 128) uint32 — decoder start states (inactive rows L)
+- ``words``   (N, W)      uint16 — merged renorm payload, zero-padded
+- ``freqs``   (N, 8, 256) int32  — per-row frequency tables
+- ``counts``  (N, 8)      int32  — symbols per row (0 for absent rows)
+
+Output: (N, S, 8, 128) uint8 symbols; entry (n, s, r, j) is row r's
+symbol ``s*128 + j`` (garbage where inactive).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.rans import SCALE_BITS, SCALE, RANS_L, LANES, GROUP_ROWS
+
+
+def derive_tables(freqs):
+    """cumfreq and dense slot->symbol tables from (N, R, 256) freqs."""
+    cum = jnp.cumsum(freqs, axis=-1) - freqs           # exclusive prefix
+    slots = jnp.arange(SCALE, dtype=jnp.int32)
+    upper = cum + freqs                                # (N, R, 256)
+    slot2sym = jnp.sum(slots[None, None, :, None] >= upper[:, :, None, :],
+                       axis=-1).astype(jnp.int32)      # (N, R, 4096)
+    return cum, slot2sym
+
+
+@functools.partial(jax.jit, static_argnames=('n_steps',))
+def decode_groups(states, words, freqs, counts, *, n_steps):
+    """Decode all groups for ``n_steps`` steps; returns (N, S, 8, 128) u8."""
+    N, R, K = states.shape
+    assert R == GROUP_ROWS and K == LANES
+    W = words.shape[1]
+    freqs = freqs.astype(jnp.int32)
+    cum, slot2sym = derive_tables(freqs)
+    lane_j = jnp.arange(K, dtype=jnp.int32)
+
+    def step(carry, s):
+        x, pos = carry                            # (N,R,K) u32, (N,) i32
+        active = (s * K + lane_j)[None, None, :] < counts[:, :, None]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        sym = jnp.take_along_axis(slot2sym, slot, axis=2)
+        f = jnp.take_along_axis(freqs, sym, axis=2).astype(jnp.uint32)
+        c = jnp.take_along_axis(cum, sym, axis=2).astype(jnp.uint32)
+        upd = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(active, upd, x)
+        # Renorm: underflowed lanes read the next words in row-major
+        # lane order across the whole group.
+        need = (active & (x < jnp.uint32(RANS_L))).reshape(N, R * K)
+        rank = jnp.cumsum(need, axis=1, dtype=jnp.int32) - need
+        idx = jnp.minimum(pos[:, None] + rank, W - 1)
+        w = jnp.take_along_axis(words, idx, axis=1).astype(jnp.uint32)
+        xf = x.reshape(N, R * K)
+        xf = jnp.where(need, (xf << 16) | w, xf)
+        x = xf.reshape(N, R, K)
+        pos = pos + jnp.sum(need, axis=1, dtype=jnp.int32)
+        return (x, pos), sym.astype(jnp.uint8)
+
+    (x, pos), syms = jax.lax.scan(
+        step, (states, jnp.zeros(N, jnp.int32)),
+        jnp.arange(n_steps, dtype=jnp.int32))
+    return jnp.transpose(syms, (1, 0, 2, 3))           # (N, S, R, K)
+
+
+def pack_groups(groups, freq_of_plane):
+    """Host-side padding of parsed container groups into batch arrays.
+
+    ``groups``: list of parsed group dicts (codec.ans.parse output, may
+    span several chunks). ``freq_of_plane``: callable (group_index, p) ->
+    (256,) table for plane p of that group's chunk.
+
+    Returns (states, words, freqs, counts, n_steps, word_sizes).
+    """
+    N = len(groups)
+    S = 0
+    W = 1
+    for g in groups:
+        for _, _, n in g['segments']:
+            S = max(S, -(-n // LANES))
+        W = max(W, g['words'].size)
+    W = 1 << max(0, (W - 1)).bit_length()              # pow2 bucket
+    states = np.full((N, GROUP_ROWS, LANES), RANS_L, dtype=np.uint32)
+    words = np.zeros((N, W), dtype=np.uint16)
+    freqs = np.zeros((N, GROUP_ROWS, 256), dtype=np.int32)
+    counts = np.zeros((N, GROUP_ROWS), dtype=np.int32)
+    for i, g in enumerate(groups):
+        R = len(g['segments'])
+        states[i, :R] = g['states']
+        words[i, :g['words'].size] = g['words']
+        for r, (p, _, n) in enumerate(g['segments']):
+            freqs[i, r] = freq_of_plane(i, p)
+            counts[i, r] = n
+    return states, words, freqs, counts, S
+
+
+def decode_groups_host(groups, freq_of_plane):
+    """Convenience wrapper: pack, decode on device, unpack row arrays."""
+    states, words, freqs, counts, S = pack_groups(groups, freq_of_plane)
+    out = np.asarray(decode_groups(states, jnp.asarray(words),
+                                   jnp.asarray(freqs), jnp.asarray(counts),
+                                   n_steps=S))
+    rows = []
+    for i, g in enumerate(groups):
+        rows.append([out[i, :, r, :].reshape(-1)[:n]
+                     for r, (_, _, n) in enumerate(g['segments'])])
+    return rows

@@ -1,0 +1,205 @@
+"""Batched device decode pipeline.
+
+Replaces the reference's ThreadPool-of-chunks decompression
+(mtscomp.py:645-650, 686-699) with a device program: a batch of B chunk
+containers is parsed on the host, every rANS *group* across the batch is
+decoded by the vectorized scan (``ops/device_rans.py``), segments are
+reassembled into byte planes, planes are combined, zigzag is inverted,
+the F-order element stream is reshaped, and the inverse delta scan runs
+— all inside ONE jitted function per shape signature, so XLA fuses the
+postprocessing and the only host<->device traffic is (compressed payload
+in, decoded chunks out).
+
+Shape signatures are (B, T, C, dtype, plane modes, segment geometry,
+W-bucket); payload word lengths are padded to power-of-two buckets to
+bound the number of compilations.
+"""
+
+import functools
+
+import numpy as np
+
+from ..codec.ans import MODE_RAW, MODE_RANS, MODE_CONST
+from ..models.rans import LANES, GROUP_ROWS, RANS_L
+from ..utils.misc import logger
+
+
+def _jax():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+@functools.lru_cache(maxsize=32)
+def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
+                     do_time_diff, do_spatial_diff, zigzag):
+    """Compile the fused decode for one shape signature.
+
+    B chunks of (T, C); ``modes`` per-plane; each RANS plane has
+    ``n_seg`` segments of ``seg`` symbols; G groups per chunk; scan
+    length S; word buffers padded to W.
+    """
+    jax, jnp = _jax()
+    from ..ops.device_rans import decode_groups
+    from ..ops.device_delta import (cumsum_time_jnp, cumsum_space_jnp,
+                                    zigzag_decode_jnp)
+
+    dtype = np.dtype(dtype_str)
+    n_elems = T * C
+    rans_planes = [p for p, m in enumerate(modes) if m == MODE_RANS]
+    const_planes = [p for p, m in enumerate(modes) if m == MODE_CONST]
+    raw_planes = [p for p, m in enumerate(modes) if m == MODE_RAW]
+    n_rows = len(rans_planes) * n_seg          # flat segments per chunk
+    # Segment payload slice: full segments carry exactly ``seg`` symbols;
+    # when the chunk is smaller than one segment, rows only span S*128.
+    seg_eff = min(seg, S * LANES) if rans_planes else 0
+
+    @jax.jit
+    def decode(states, words, freqs, counts, const_vals, raw_vals):
+        ubits = 'uint%d' % (dtype.itemsize * 8)
+        acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
+        if rans_planes:
+            syms = decode_groups(states, words, freqs, counts, n_steps=S)
+            # (B*G, S, 8, 128) -> (B, G*8 rows, S*128) -> per-plane bytes
+            rows = syms.reshape(B, G, S, GROUP_ROWS, LANES)
+            rows = jnp.transpose(rows, (0, 1, 3, 2, 4))
+            rows = rows.reshape(B, G * GROUP_ROWS, S * LANES)
+            rows = rows[:, :n_rows, :seg_eff]
+            planes = rows.reshape(B, len(rans_planes), n_seg * seg_eff)
+            planes = planes[:, :, :n_elems]
+            for j, p in enumerate(rans_planes):
+                acc = acc | (planes[:, j, :].astype(ubits) << (8 * p))
+        for j, p in enumerate(const_planes):
+            acc = acc | (const_vals[:, j:j + 1].astype(ubits) << (8 * p))
+        for j, p in enumerate(raw_planes):
+            acc = acc | (raw_vals[:, j, :].astype(ubits) << (8 * p))
+        if zigzag:
+            elems = zigzag_decode_jnp(acc, dtype)
+        else:
+            elems = acc.astype(dtype)
+        if order == 'F':
+            chunks = jnp.transpose(elems.reshape(B, C, T), (0, 2, 1))
+        else:
+            chunks = elems.reshape(B, T, C)
+        if do_spatial_diff:
+            chunks = cumsum_space_jnp(chunks)
+        if do_time_diff:
+            chunks = cumsum_time_jnp(chunks)
+        return chunks
+
+    return decode
+
+
+class DeviceBatchDecoder:
+    """Decode batches of parsed ANS chunk containers on the device."""
+
+    def __init__(self, reader):
+        self.reader = reader
+        assert reader.algorithm == 'ans', \
+            "device batch decode requires the ans (v2) format"
+        self.dtype = reader.dtype
+        self.order = reader.chunk_order
+        self.do_time_diff = bool(reader.cmeta.do_time_diff)
+        self.do_spatial_diff = bool(reader.cmeta.do_spatial_diff)
+
+    def supported(self, parsed_list, n_samples):
+        """Uniform geometry/modes across the batch, integer dtype."""
+        if self.dtype.kind not in 'iu':
+            return False
+        first = parsed_list[0]
+        for parsed in parsed_list:
+            if parsed['modes'] != first['modes']:
+                return False
+            if parsed['seg_log2'] != first['seg_log2']:
+                return False
+            if parsed['n_elems'] != n_samples * self.reader.n_channels:
+                return False
+        return True
+
+    def decode_batch(self, parsed_list, n_samples):
+        """Returns (B, n_samples, n_channels) decoded ndarray."""
+        jax, jnp = _jax()
+        B = len(parsed_list)
+        C = self.reader.n_channels
+        T = n_samples
+        n_elems = T * C
+        first = parsed_list[0]
+        modes = tuple(first['modes'])
+        seg = 1 << first['seg_log2']
+        rans_planes = [p for p, m in enumerate(modes) if m == MODE_RANS]
+        const_planes = [p for p, m in enumerate(modes) if m == MODE_CONST]
+        raw_planes = [p for p, m in enumerate(modes) if m == MODE_RAW]
+        n_seg = -(-n_elems // seg) if rans_planes else 0
+        G = len(first['groups'])
+        S = -(-min(seg, n_elems) // LANES) if rans_planes else 0
+
+        w_max = 1
+        for parsed in parsed_list:
+            for g in parsed['groups']:
+                w_max = max(w_max, g['words'].size)
+        W = 1 << max(0, (w_max - 1)).bit_length()
+
+        NG = max(B * G, 1)
+        states = np.full((NG, GROUP_ROWS, LANES), RANS_L, dtype=np.uint32)
+        words = np.zeros((NG, W), dtype=np.uint16)
+        freqs = np.zeros((NG, GROUP_ROWS, 256), dtype=np.int32)
+        counts = np.zeros((NG, GROUP_ROWS), dtype=np.int32)
+        const_vals = np.zeros((B, max(len(const_planes), 1)), dtype=np.uint8)
+        raw_vals = np.zeros((B, max(len(raw_planes), 1),
+                             n_elems if raw_planes else 1), dtype=np.uint8)
+        for b, parsed in enumerate(parsed_list):
+            for gi, g in enumerate(parsed['groups']):
+                i = b * G + gi
+                R = len(g['segments'])
+                states[i, :R] = g['states']
+                words[i, :g['words'].size] = g['words']
+                for r, (p, _, n) in enumerate(g['segments']):
+                    freqs[i, r] = parsed['planes'][p]['freqs']
+                    counts[i, r] = n
+            for j, p in enumerate(const_planes):
+                const_vals[b, j] = parsed['planes'][p]['value']
+            for j, p in enumerate(raw_planes):
+                raw_vals[b, j] = parsed['planes'][p]['raw']
+
+        fn = _build_decode_fn(
+            B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
+            self.order, self.do_time_diff, self.do_spatial_diff,
+            first['zigzag'])
+        out = fn(states, words, freqs, counts, const_vals, raw_vals)
+        return np.asarray(out)
+
+
+def decompress_to_array(reader, first_chunk=0, last_chunk=None):
+    """Bulk-decode chunks [first, last] to one array via the device path.
+
+    Falls back to the host codec for chunk groups the device path cannot
+    batch (mixed plane modes, trailing partial chunk, float dtypes).
+    """
+    last_chunk = reader.n_chunks - 1 if last_chunk is None else last_chunk
+    parts = []
+    groups = []
+    for idx in range(first_chunk, last_chunk + 1):
+        ns = reader.chunk_bounds[idx + 1] - reader.chunk_bounds[idx]
+        if groups and groups[-1][1] == ns:
+            groups[-1][0].append(idx)
+        else:
+            groups.append(([idx], ns))
+    for chunk_ids, ns in groups:
+        payloads = [_read_payload(reader, i) for i in chunk_ids]
+        parsed = [reader.codec.parse(p) for p in payloads]
+        dec = DeviceBatchDecoder(reader)
+        if dec.supported(parsed, ns):
+            out = dec.decode_batch(parsed, ns)
+            parts.extend(out[i] for i in range(len(chunk_ids)))
+        else:  # pragma: no cover - rare mixed-mode batches
+            logger.debug("Device decode unsupported for chunks %s; "
+                         "using host path.", chunk_ids)
+            parts.extend(reader._decompress_chunk(i)[1] for i in chunk_ids)
+    return np.concatenate(parts, axis=0)
+
+
+def _read_payload(reader, idx):
+    from ..io_host import pread_exact
+    start = reader.chunk_offsets[idx]
+    length = reader.chunk_offsets[idx + 1] - start
+    return pread_exact(reader.cdata, length, start)

@@ -16,6 +16,12 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# Plugin backends (e.g. the axon TPU tunnel) can override JAX_PLATFORMS;
+# pin the platform explicitly before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 from pathlib import Path
 
 import numpy as np

@@ -1,0 +1,122 @@
+"""Device (JAX) paths: grouped rANS decode, delta kernels, full pipeline.
+
+Runs on the virtual CPU backend (conftest pins jax to cpu with 8 virtual
+devices); the same code paths execute on TPU.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+import jax.numpy as jnp  # noqa: E402
+
+from mtscomp_tpu import compress, decompress  # noqa: E402
+from mtscomp_tpu.models import rans  # noqa: E402
+from mtscomp_tpu.ops import device_delta as dd  # noqa: E402
+from mtscomp_tpu.ops.device_rans import decode_groups_host  # noqa: E402
+from mtscomp_tpu.parallel.pipeline import decompress_to_array  # noqa: E402
+
+from conftest import write_arr, to_int16, make_signal
+
+
+def test_jax_decode_groups_bit_exact():
+    rng = np.random.default_rng(0)
+    groups, tables = [], []
+    for gi in range(5):
+        R = int(rng.integers(1, 9))
+        rows, freq_rows, segs = [], [], []
+        for r in range(R):
+            n = int(rng.integers(1, 4000))
+            p = rng.dirichlet(np.full(256, float(rng.choice([0.05, 1.0]))))
+            syms = rng.choice(256, size=n, p=p).astype(np.uint8)
+            counts = np.bincount(syms, minlength=256)
+            f = rans.quantize_freqs(counts)
+            if f is None:
+                f = rans.quantize_freqs(
+                    np.array([1, 1] + [0] * 254, dtype=np.int64))
+            rows.append(syms)
+            freq_rows.append(f)
+            segs.append((r, 0, n))
+        states, words = rans.rans_encode_group(rows, np.stack(freq_rows))
+        groups.append({'segments': segs, 'states': states, 'words': words,
+                       'rows_truth': rows, 'tables': freq_rows})
+
+    def freq_of_plane(i, p):
+        return groups[i]['tables'][p]
+
+    decoded = decode_groups_host(groups, freq_of_plane)
+    for g, rows_dec in zip(groups, decoded):
+        for truth, got in zip(g['rows_truth'], rows_dec):
+            assert np.array_equal(truth, got)
+
+
+@pytest.mark.parametrize('shape', [(3, 1000, 100), (1, 256, 128),
+                                   (2, 777, 19)])
+def test_device_delta_exact(shape):
+    rng = np.random.default_rng(1)
+    x = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+    d = np.asarray(dd.diff_time_jnp(x))
+    ref = np.concatenate([x[:, :1], np.diff(x, axis=1)], axis=1)
+    assert np.array_equal(d, ref)
+    assert np.array_equal(np.asarray(dd.cumsum_time_jnp(jnp.asarray(d))), x)
+    # Pallas kernel in interpreter mode (compiled path covered on TPU).
+    out = np.asarray(dd.cumsum_time(jnp.asarray(d), use_pallas=True,
+                                    interpret=True))
+    assert np.array_equal(out, x)
+
+
+def test_device_zigzag_matches_host():
+    rng = np.random.default_rng(2)
+    for dt in ('int16', 'uint16', 'int8', 'int32'):
+        info = np.iinfo(dt)
+        v = rng.integers(info.min, info.max, size=500, endpoint=True,
+                         dtype=dt)
+        z = rans.zigzag_encode(v)
+        assert np.array_equal(np.asarray(dd.zigzag_encode_jnp(jnp.asarray(v))), z)
+        assert np.array_equal(
+            np.asarray(dd.zigzag_decode_jnp(jnp.asarray(z), np.dtype(dt))), v)
+
+
+@pytest.mark.parametrize('nc', [19, 128])
+def test_pipeline_full_roundtrip(tmp_path_, nc):
+    arr = to_int16(make_signal('colored', ns=10000, nc=nc))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=3000.0, n_channels=nc, dtype='int16',
+             algorithm='ans', quiet=True, ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
+    try:
+        out = decompress_to_array(r)
+        assert out.shape == arr.shape
+        assert np.array_equal(out, arr)
+        out2 = decompress_to_array(r, 1, 2)
+        assert np.array_equal(out2, arr[3000:9000])
+    finally:
+        r.close()
+
+
+def test_pipeline_spatial_diff(tmp_path_):
+    arr = to_int16(make_signal('white_sine', ns=5000, nc=16))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=2000.0, n_channels=16, dtype='int16',
+             algorithm='ans', quiet=True, do_spatial_diff=True,
+             ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
+    try:
+        assert np.array_equal(decompress_to_array(r), arr)
+    finally:
+        r.close()
+
+
+def test_pipeline_order_c(tmp_path_):
+    arr = to_int16(make_signal('randn', ns=4000, nc=8))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=2000.0, n_channels=8, dtype='int16',
+             algorithm='ans', quiet=True, chunk_order='C', ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
+    try:
+        assert np.array_equal(decompress_to_array(r), arr)
+    finally:
+        r.close()

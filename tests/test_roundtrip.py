@@ -136,11 +136,11 @@ def test_n_threads(tmp_path_, n_threads, algorithm):
     _roundtrip(tmp_path_, arr, algorithm, n_threads=n_threads)
 
 
-@pytest.mark.parametrize('ans_lanes', [1, 3, 64, 128, 1024, 100000])
-def test_ans_lane_counts(tmp_path_, ans_lanes):
+@pytest.mark.parametrize('ans_seg_log2', [7, 9, 12, 17, 24])
+def test_ans_segment_sizes(tmp_path_, ans_seg_log2):
     np.random.seed(14)
     arr = to_int16(np.random.normal(size=(2000, 9)))
-    _roundtrip(tmp_path_, arr, 'ans', ans_lanes=ans_lanes)
+    _roundtrip(tmp_path_, arr, 'ans', ans_seg_log2=ans_seg_log2)
 
 
 def test_npy_roundtrip(tmp_path_, algorithm):
