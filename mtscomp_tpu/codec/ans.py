@@ -20,13 +20,17 @@ Chunk container layout (all little-endian)::
       u32  magic   = 0x3253544D ("MTS2")
       u8   container version (2)
       u8   n_planes (= dtype itemsize)
-      u8   flags   (bit0: zigzag applied to elements)
+      u8   flags   (bit0: zigzag applied to elements,
+                    bit1: first row stored verbatim)
       u8   scale_bits (12)
       u32  n_elems (elements in the chunk)
       u8   seg_log2 (symbols per segment = 1 << seg_log2, >= 7)
       u8   min_freq (8)
-      u16  reserved
-    per plane p:
+      u16  n_head (elements stored verbatim = n_channels when bit1)
+    [if flags bit1] head: n_head raw little-endian elements (row 0 of the
+      chunk — after a time diff this row holds raw sample amplitudes
+      whose byte statistics would poison the diff planes' tables)
+    per plane p (planes cover the remaining n_elems - n_head elements):
       u8 mode:
         0 RAW   -> n_elems raw bytes
         1 RANS  -> u16 freq[256]
@@ -114,13 +118,27 @@ class AnsCodec:
 
     def encode(self, chunkd, order='F'):
         chunkd = np.asarray(chunkd)
-        elements = chunkd.ravel(order=order)
-        n_elems = elements.size
-        itemsize = elements.dtype.itemsize
-        zigzag = elements.dtype.kind in 'iu'
+        n_elems = chunkd.size
+        itemsize = chunkd.dtype.itemsize
+        zigzag = chunkd.dtype.kind in 'iu'
+        # Row 0 is verbatim under the time-diff transform (raw sample
+        # amplitudes); storing it raw keeps the diff planes' statistics
+        # clean (see header docs). Only worthwhile for 2-D chunks with
+        # more than one row and a head that fits the u16 field.
+        split_head = chunkd.ndim == 2 and chunkd.shape[0] > 1 \
+            and chunkd.shape[1] < 65536
+        if split_head:
+            head = np.ascontiguousarray(chunkd[0])
+            elements = chunkd[1:].ravel(order=order)
+            n_head = head.size
+        else:
+            head = None
+            elements = chunkd.ravel(order=order)
+            n_head = 0
         planes = split_planes(elements, zigzag)
 
         modes, plane_meta, tables = [], [], {}
+        n_coded = elements.size
         for p in range(itemsize):
             plane = planes[:, p]
             counts = np.bincount(plane, minlength=256)
@@ -129,8 +147,8 @@ class AnsCodec:
                 modes.append(MODE_CONST)
                 plane_meta.append(struct.pack('<BB', MODE_CONST,
                                               int(plane[0])))
-            elif _estimated_rans_bytes(counts, freqs, n_elems,
-                                       self.seg) >= n_elems:
+            elif _estimated_rans_bytes(counts, freqs, n_coded,
+                                       self.seg) >= n_coded:
                 modes.append(MODE_RAW)
                 plane_meta.append(struct.pack('<B', MODE_RAW)
                                   + plane.tobytes())
@@ -140,12 +158,18 @@ class AnsCodec:
                 plane_meta.append(struct.pack('<B', MODE_RANS)
                                   + freqs.astype('<u2').tobytes())
 
+        flags = int(zigzag) | (2 if split_head else 0)
         parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
-                              int(zigzag), rans.SCALE_BITS, n_elems,
-                              self.seg_log2, rans.MIN_FREQ, 0)]
+                              flags, rans.SCALE_BITS, n_elems,
+                              self.seg_log2, rans.MIN_FREQ, n_head)]
+        if split_head:
+            h = head
+            if h.dtype.byteorder == '>':  # pragma: no cover
+                h = h.astype(h.dtype.newbyteorder('<'))
+            parts.append(h.tobytes())
         parts.extend(plane_meta)
 
-        segments = segment_counts(n_elems, self.seg, modes)
+        segments = segment_counts(n_coded, self.seg, modes)
         if segments:
             group_blobs, word_counts = [], []
             for g0 in range(0, len(segments), rans.GROUP_ROWS):
@@ -173,7 +197,9 @@ class AnsCodec:
         if parsed['itemsize'] != dtype.itemsize:
             raise IOError("ANS chunk itemsize %d does not match dtype %s."
                           % (parsed['itemsize'], dtype))
-        planes = np.empty((n_elems, parsed['itemsize']), dtype=np.uint8)
+        n_head = parsed['n_head']
+        n_coded = n_elems - n_head
+        planes = np.empty((n_coded, parsed['itemsize']), dtype=np.uint8)
         for p, plane in enumerate(parsed['planes']):
             if plane['mode'] == MODE_CONST:
                 planes[:, p] = plane['value']
@@ -191,6 +217,14 @@ class AnsCodec:
             for (p, start, n), row in zip(group['segments'], rows):
                 planes[start:start + n, p] = row
         flat = join_planes(planes, dtype, parsed['zigzag'])
+        if n_head:
+            if n_head != n_channels:
+                raise IOError("ANS chunk head has %d elements, expected "
+                              "%d channels." % (n_head, n_channels))
+            out = np.empty((n_samples, n_channels), dtype=dtype)
+            out[0] = parsed['head'].view(dtype)
+            out[1:] = flat.reshape((n_samples - 1, n_channels), order=order)
+            return out
         return flat.reshape((n_samples, n_channels), order=order)
 
     # --- container parsing (shared with the device decode path) -----------
@@ -201,7 +235,7 @@ class AnsCodec:
         if len(mv) < _HEADER.size:
             raise IOError("ANS chunk too short (%d bytes)." % len(mv))
         (magic, version, itemsize, flags, scale_bits, n_elems, seg_log2,
-         min_freq, _) = _HEADER.unpack_from(mv, 0)
+         min_freq, n_head) = _HEADER.unpack_from(mv, 0)
         if magic != MAGIC:
             raise IOError("Bad ANS chunk magic 0x%08X." % magic)
         if version != CONTAINER_VERSION:
@@ -209,6 +243,13 @@ class AnsCodec:
         if scale_bits != rans.SCALE_BITS:
             raise IOError("Unsupported ANS scale_bits %d." % scale_bits)
         off = _HEADER.size
+        if not flags & 2:
+            n_head = 0
+        head = None
+        if n_head:
+            head = np.frombuffer(mv, np.uint8, n_head * itemsize, off)
+            off += n_head * itemsize
+        n_coded = n_elems - n_head
         planes, modes = [], []
         for _p in range(itemsize):
             mode = mv[off]; off += 1
@@ -217,9 +258,9 @@ class AnsCodec:
                 planes.append({'mode': mode, 'value': mv[off]})
                 off += 1
             elif mode == MODE_RAW:
-                raw = np.frombuffer(mv, np.uint8, n_elems, off)
+                raw = np.frombuffer(mv, np.uint8, n_coded, off)
                 planes.append({'mode': mode, 'raw': raw})
-                off += n_elems
+                off += n_coded
             elif mode == MODE_RANS:
                 freqs = np.frombuffer(mv, '<u2', 256, off); off += 512
                 planes.append({'mode': mode, 'freqs': freqs})
@@ -227,7 +268,7 @@ class AnsCodec:
                 raise IOError("Unknown ANS plane mode %d." % mode)
 
         seg = 1 << seg_log2
-        segments = segment_counts(n_elems, seg, modes)
+        segments = segment_counts(n_coded, seg, modes)
         groups = []
         if segments:
             (n_groups,) = struct.unpack_from('<I', mv, off); off += 4
@@ -252,5 +293,6 @@ class AnsCodec:
         if off != len(mv):
             raise IOError("ANS chunk has %d trailing bytes." % (len(mv) - off))
         return {'itemsize': itemsize, 'n_elems': n_elems,
+                'n_head': n_head, 'head': head,
                 'zigzag': bool(flags & 1), 'seg_log2': seg_log2,
                 'modes': modes, 'planes': planes, 'groups': groups}

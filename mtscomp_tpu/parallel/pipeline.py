@@ -32,7 +32,7 @@ def _jax():
 
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
-                     do_time_diff, do_spatial_diff, zigzag):
+                     do_time_diff, do_spatial_diff, zigzag, has_head):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
@@ -45,7 +45,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                                     zigzag_decode_jnp)
 
     dtype = np.dtype(dtype_str)
-    n_elems = T * C
+    Tc = T - 1 if has_head else T       # rows covered by the coded planes
+    n_elems = Tc * C
     rans_planes = [p for p, m in enumerate(modes) if m == MODE_RANS]
     const_planes = [p for p, m in enumerate(modes) if m == MODE_CONST]
     raw_planes = [p for p, m in enumerate(modes) if m == MODE_RAW]
@@ -55,7 +56,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     seg_eff = min(seg, S * LANES) if rans_planes else 0
 
     @jax.jit
-    def decode(states, words, freqs, counts, const_vals, raw_vals):
+    def decode(states, words, freqs, counts, const_vals, raw_vals, heads):
         ubits = 'uint%d' % (dtype.itemsize * 8)
         acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
         if rans_planes:
@@ -78,9 +79,11 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         else:
             elems = acc.astype(dtype)
         if order == 'F':
-            chunks = jnp.transpose(elems.reshape(B, C, T), (0, 2, 1))
+            chunks = jnp.transpose(elems.reshape(B, C, Tc), (0, 2, 1))
         else:
-            chunks = elems.reshape(B, T, C)
+            chunks = elems.reshape(B, Tc, C)
+        if has_head:
+            chunks = jnp.concatenate([heads[:, None, :], chunks], axis=1)
         if do_spatial_diff:
             chunks = cumsum_space_jnp(chunks)
         if do_time_diff:
@@ -114,6 +117,8 @@ class DeviceBatchDecoder:
                 return False
             if parsed['n_elems'] != n_samples * self.reader.n_channels:
                 return False
+            if parsed['n_head'] != first['n_head']:
+                return False
         return True
 
     def decode_batch(self, parsed_list, n_samples):
@@ -126,12 +131,14 @@ class DeviceBatchDecoder:
         first = parsed_list[0]
         modes = tuple(first['modes'])
         seg = 1 << first['seg_log2']
+        has_head = first['n_head'] > 0
+        n_coded = n_elems - first['n_head']
         rans_planes = [p for p, m in enumerate(modes) if m == MODE_RANS]
         const_planes = [p for p, m in enumerate(modes) if m == MODE_CONST]
         raw_planes = [p for p, m in enumerate(modes) if m == MODE_RAW]
-        n_seg = -(-n_elems // seg) if rans_planes else 0
+        n_seg = -(-n_coded // seg) if rans_planes else 0
         G = len(first['groups'])
-        S = -(-min(seg, n_elems) // LANES) if rans_planes else 0
+        S = -(-min(seg, n_coded) // LANES) if rans_planes else 0
 
         w_max = 1
         for parsed in parsed_list:
@@ -146,8 +153,11 @@ class DeviceBatchDecoder:
         counts = np.zeros((NG, GROUP_ROWS), dtype=np.int32)
         const_vals = np.zeros((B, max(len(const_planes), 1)), dtype=np.uint8)
         raw_vals = np.zeros((B, max(len(raw_planes), 1),
-                             n_elems if raw_planes else 1), dtype=np.uint8)
+                             n_coded if raw_planes else 1), dtype=np.uint8)
+        heads = np.zeros((B, C), dtype=self.dtype)
         for b, parsed in enumerate(parsed_list):
+            if has_head:
+                heads[b] = parsed['head'].view(self.dtype)
             for gi, g in enumerate(parsed['groups']):
                 i = b * G + gi
                 R = len(g['segments'])
@@ -164,8 +174,8 @@ class DeviceBatchDecoder:
         fn = _build_decode_fn(
             B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
-            first['zigzag'])
-        out = fn(states, words, freqs, counts, const_vals, raw_vals)
+            first['zigzag'], has_head)
+        out = fn(states, words, freqs, counts, const_vals, raw_vals, heads)
         return np.asarray(out)
 
 
