@@ -171,12 +171,18 @@ class AnsCodec:
 
         segments = segment_counts(n_coded, self.seg, modes)
         if segments:
-            group_blobs, word_counts = [], []
+            plane_bytes = {p: np.ascontiguousarray(planes[:, p])
+                           for p in tables}
+            group_inputs = []
             for g0 in range(0, len(segments), rans.GROUP_ROWS):
                 group = segments[g0:g0 + rans.GROUP_ROWS]
-                rows = [planes[start:start + n, p] for p, start, n in group]
+                rows = [plane_bytes[p][start:start + n]
+                        for p, start, n in group]
                 freq_rows = np.stack([tables[p] for p, _, _ in group])
-                states, words = rans.rans_encode_group(rows, freq_rows)
+                group_inputs.append((rows, freq_rows))
+            encoded = self._encode_groups(group_inputs)
+            group_blobs, word_counts = [], []
+            for states, words in encoded:
                 word_counts.append(words.size)
                 group_blobs.append(states.astype('<u4').tobytes()
                                    + words.astype('<u2').tobytes())
@@ -184,6 +190,17 @@ class AnsCodec:
             parts.append(np.asarray(word_counts, '<u4').tobytes())
             parts.extend(group_blobs)
         return b''.join(parts)
+
+    def _encode_groups(self, group_inputs):
+        """Encode groups via the native batch encoder when available."""
+        from ..native import rans_encode_groups
+        import multiprocessing
+        out = rans_encode_groups(group_inputs,
+                                 n_threads=multiprocessing.cpu_count())
+        if out is not None:
+            return out
+        return [rans.rans_encode_group(rows, freq_rows)  # pragma: no cover
+                for rows, freq_rows in group_inputs]
 
     # --- decode -----------------------------------------------------------
 

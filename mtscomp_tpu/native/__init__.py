@@ -64,6 +64,13 @@ def _load():
         ctypes.POINTER(ctypes.c_size_t), ctypes.c_int]
     lib.mts_deflate_bound.restype = ctypes.c_size_t
     lib.mts_deflate_bound.argtypes = [ctypes.c_size_t]
+    lib.mts_rans_encode_batch.restype = ctypes.c_int
+    lib.mts_rans_encode_batch.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -128,3 +135,56 @@ def inflate_batch(payloads, out_sizes, n_threads=1):
     if rc != 0:
         return None
     return [outs[i].raw[:out_sizes[i]] for i in range(n)]
+
+
+def rans_encode_groups(groups, n_threads=1):
+    """Encode rANS groups natively; None if the library is unavailable.
+
+    ``groups``: list of (rows, freq_rows) where rows is a list of
+    contiguous uint8 arrays and freq_rows a (R, 256) uint16 array.
+    Returns a list of (states (R,128) uint32, words uint16).
+    """
+    import numpy as np
+    lib = _load()
+    if lib is None or not groups:
+        return None
+    n_rows_total = sum(len(rows) for rows, _ in groups)
+    n = len(groups)
+    offs = (ctypes.c_int * (n + 1))()
+    row_ptrs = (ctypes.c_void_p * max(n_rows_total, 1))()
+    row_counts = (ctypes.c_int * max(n_rows_total, 1))()
+    row_freqs = (ctypes.c_void_p * max(n_rows_total, 1))()
+    states_out = (ctypes.c_void_p * n)()
+    words_out = (ctypes.c_void_p * n)()
+    words_cap = (ctypes.c_size_t * n)()
+    words_len = (ctypes.c_size_t * n)()
+    keepalive = []
+    results = []
+    ri = 0
+    for g, (rows, freq_rows) in enumerate(groups):
+        offs[g] = ri
+        freq_rows = np.ascontiguousarray(freq_rows, dtype=np.uint16)
+        keepalive.append(freq_rows)
+        total = 0
+        for r, row in enumerate(rows):
+            row = np.ascontiguousarray(row, dtype=np.uint8)
+            keepalive.append(row)
+            row_ptrs[ri] = row.ctypes.data
+            row_counts[ri] = row.size
+            row_freqs[ri] = freq_rows[r:r + 1].ctypes.data
+            total += row.size
+            ri += 1
+        states = np.empty((len(rows), 128), dtype=np.uint32)
+        words = np.empty(max(total, 1), dtype=np.uint16)
+        results.append((states, words))
+        states_out[g] = states.ctypes.data
+        words_out[g] = words.ctypes.data
+        words_cap[g] = words.size
+    offs[n] = ri
+    rc = lib.mts_rans_encode_batch(n, offs, row_ptrs, row_counts, row_freqs,
+                                   states_out, words_out, words_cap,
+                                   words_len, int(n_threads))
+    if rc != 0:  # pragma: no cover
+        return None
+    return [(states, words[:words_len[g]])
+            for g, (states, words) in enumerate(results)]

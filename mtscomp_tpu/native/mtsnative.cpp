@@ -17,7 +17,137 @@
 
 #include <zlib.h>
 
+namespace {
+
+// ---- grouped interleaved rANS encoder (normative spec: models/rans.py) ----
+//
+// Encodes one group: R segment rows x 128 lanes, shared merged word
+// stream in decoder read order. Backward pass over steps; per (step,
+// lane) at most one 16-bit word is emitted before the state update; the
+// final stream is the step-ascending, row-major concatenation.
+
+constexpr int kLanes = 128;
+constexpr uint32_t kScaleBits = 12;
+constexpr uint64_t kRansL = 1ull << 16;
+
+struct GroupTask {
+  const uint8_t* const* rows;   // R pointers
+  const int* counts;            // R
+  const uint16_t* const* freqs; // R pointers to 256-entry tables
+  int n_rows;
+  uint32_t* states_out;         // R * 128
+  uint16_t* words_out;          // capacity >= total symbols
+  size_t words_cap;
+  size_t words_len;             // result
+  int error;
+};
+
+void encode_group(GroupTask& t) {
+  const int R = t.n_rows;
+  int S = 0;
+  for (int r = 0; r < R; ++r) {
+    int s = (t.counts[r] + kLanes - 1) / kLanes;
+    if (s > S) S = s;
+  }
+  std::vector<uint64_t> x(static_cast<size_t>(R) * kLanes, kRansL);
+  std::vector<uint32_t> cum(static_cast<size_t>(R) * 256);
+  for (int r = 0; r < R; ++r) {
+    uint32_t c = 0;
+    for (int sym = 0; sym < 256; ++sym) {
+      cum[r * 256 + sym] = c;
+      c += t.freqs[r][sym];
+    }
+  }
+  // Emit backward into per-step scratch, then concatenate ascending.
+  std::vector<std::vector<uint16_t>> step_words(S);
+  size_t total_words = 0;
+  for (int s = S - 1; s >= 0; --s) {
+    auto& out = step_words[s];
+    for (int r = 0; r < R; ++r) {
+      const int base = s * kLanes;
+      const int hi = t.counts[r] - base;
+      if (hi <= 0) continue;
+      const int jmax = hi < kLanes ? hi : kLanes;
+      const uint8_t* row = t.rows[r];
+      const uint16_t* freq = t.freqs[r];
+      const uint32_t* cumr = &cum[r * 256];
+      uint64_t* xr = &x[static_cast<size_t>(r) * kLanes];
+      for (int j = 0; j < jmax; ++j) {
+        const uint8_t sym = row[base + j];
+        const uint64_t f = freq[sym];
+        uint64_t xx = xr[j];
+        if (xx >= (f << 20)) {
+          out.push_back(static_cast<uint16_t>(xx & 0xFFFF));
+          xx >>= 16;
+        }
+        xr[j] = (xx / f) * (1ull << kScaleBits) + (xx % f) + cumr[sym];
+      }
+    }
+    total_words += out.size();
+  }
+  if (total_words > t.words_cap) {
+    t.error = 1;
+    return;
+  }
+  // NOTE: within a step the backward pass visited rows ascending; the
+  // decoder reads row-major ascending too, so per-step order is right.
+  size_t w = 0;
+  for (int s = 0; s < S; ++s) {
+    std::memcpy(t.words_out + w, step_words[s].data(),
+                step_words[s].size() * sizeof(uint16_t));
+    w += step_words[s].size();
+  }
+  t.words_len = w;
+  for (int r = 0; r < R; ++r)
+    for (int j = 0; j < kLanes; ++j)
+      t.states_out[r * kLanes + j] =
+          static_cast<uint32_t>(x[static_cast<size_t>(r) * kLanes + j]);
+  t.error = 0;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Encode n_groups groups in parallel. Flat row arrays are split per
+// group by group_row_offsets (n_groups + 1 prefix offsets).
+int mts_rans_encode_batch(
+    int n_groups, const int* group_row_offsets,
+    const uint8_t* const* row_ptrs, const int* row_counts,
+    const uint16_t* const* row_freqs,
+    uint32_t* const* states_out, uint16_t* const* words_out,
+    const size_t* words_cap, size_t* words_len, int n_threads) {
+  if (n_groups <= 0) return 0;
+  std::vector<GroupTask> tasks(n_groups);
+  for (int g = 0; g < n_groups; ++g) {
+    int r0 = group_row_offsets[g], r1 = group_row_offsets[g + 1];
+    tasks[g] = GroupTask{row_ptrs + r0, row_counts + r0, row_freqs + r0,
+                         r1 - r0,       states_out[g],  words_out[g],
+                         words_cap[g],  0,              0};
+  }
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  auto worker = [&]() {
+    for (;;) {
+      int g = next.fetch_add(1);
+      if (g >= n_groups || err.load()) return;
+      encode_group(tasks[g]);
+      if (tasks[g].error) err.store(tasks[g].error);
+    }
+  };
+  int t = n_threads < 1 ? 1 : (n_threads < n_groups ? n_threads : n_groups);
+  if (t <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(t);
+    for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  if (err.load()) return err.load();
+  for (int g = 0; g < n_groups; ++g) words_len[g] = tasks[g].words_len;
+  return 0;
+}
 
 size_t mts_deflate_bound(size_t n) { return compressBound(n); }
 
