@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: TPU decompress throughput on the Neuropixels config.
+
+Config (BASELINE.json #2): 385-channel int16 @ 30 kHz — synthetic AP-band
+data with diff std ~6 (entropy comparable to real Neuropixels
+recordings). Pipeline measured: compressed chunks on host RAM ->
+device-batched rANS decode + inverse delta -> decoded array on host.
+
+Reference baseline: 22 MB/s single-threaded zlib decompression
+(README.md:177 of int-brain-lab/mtscomp).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": GB/s, "unit": "GB/s", "vs_baseline": x}
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    # Keep the user config out of the measurement.
+    import mtscomp_tpu.config as cfg
+    cfg.CONFIG_PATH = Path(tempfile.mkdtemp()) / '.mtscomp'
+    from mtscomp_tpu import compress, decompress
+    from mtscomp_tpu.parallel.pipeline import decompress_to_array
+
+    seconds = int(os.environ.get('BENCH_SECONDS', '8'))
+    T, C, SR = 30000, 385, 30000.0
+    rng = np.random.default_rng(0)
+    arr = np.cumsum(rng.normal(0.0, 6.0, size=(T * seconds, C)),
+                    axis=0).astype(np.int16)
+
+    tmp = Path(tempfile.mkdtemp())
+    raw = tmp / 'bench.bin'
+    arr.tofile(raw)
+
+    t0 = time.time()
+    ratio = compress(raw, tmp / 'bench.cbin', tmp / 'bench.ch',
+                     sample_rate=SR, n_channels=C, dtype='int16',
+                     algorithm='ans', quiet=True,
+                     check_after_compress=False)
+    enc_mbps = arr.nbytes / 1e6 / (time.time() - t0)
+
+    r = decompress(tmp / 'bench.cbin', tmp / 'bench.ch', quiet=True)
+    try:
+        # Warm-up (compiles the fused decode).
+        out = decompress_to_array(r)
+        if not np.array_equal(out, arr):
+            print(json.dumps({"metric": "decompress_throughput",
+                              "value": 0.0, "unit": "GB/s",
+                              "vs_baseline": 0.0,
+                              "error": "round trip mismatch"}))
+            return 1
+        reps = int(os.environ.get('BENCH_REPS', '3'))
+        t0 = time.time()
+        for _ in range(reps):
+            out = decompress_to_array(r)
+        dt = (time.time() - t0) / reps
+    finally:
+        r.close()
+
+    gbps = arr.nbytes / 1e9 / dt
+    print(json.dumps({
+        "metric": "decompress_throughput_neuropixels_385ch_int16",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / 0.022, 1),
+        "compression_ratio": round(1.0 / ratio, 2),
+        "encode_mbps": round(enc_mbps, 1),
+        "byte_exact": True,
+    }))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -67,9 +67,11 @@ def decode_groups(states, words, freqs, counts, *, n_steps):
         pos = pos + jnp.sum(need, axis=1, dtype=jnp.int32)
         return (x, pos), sym.astype(jnp.uint8)
 
+    # Derive pos0 from states so its sharding/vma matches inside
+    # shard_map (a literal zeros carry trips the varying-axis check).
+    pos0 = (states[:, 0, 0] & jnp.uint32(0)).astype(jnp.int32)
     (x, pos), syms = jax.lax.scan(
-        step, (states, jnp.zeros(N, jnp.int32)),
-        jnp.arange(n_steps, dtype=jnp.int32))
+        step, (states, pos0), jnp.arange(n_steps, dtype=jnp.int32))
     return jnp.transpose(syms, (1, 0, 2, 3))           # (N, S, R, K)
 
 

@@ -32,15 +32,17 @@ def _jax():
 
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
-                     do_time_diff, do_spatial_diff, zigzag, has_head):
+                     do_time_diff, do_spatial_diff, zigzag, has_head,
+                     use_pallas):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
     ``n_seg`` segments of ``seg`` symbols; G groups per chunk; scan
-    length S; word buffers padded to W.
+    length S; word buffers padded to W words ( = WR rows of 128).
     """
     jax, jnp = _jax()
     from ..ops.device_rans import decode_groups
+    from ..ops.pallas_rans import decode_groups_pallas
     from ..ops.device_delta import (cumsum_time_jnp, cumsum_space_jnp,
                                     zigzag_decode_jnp)
 
@@ -56,11 +58,19 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     seg_eff = min(seg, S * LANES) if rans_planes else 0
 
     @jax.jit
-    def decode(states, words, freqs, counts, const_vals, raw_vals, heads):
+    def decode(states, words, freqs, counts, coarse_pk, dense_pk, counts_b,
+               const_vals, raw_vals, heads):
         ubits = 'uint%d' % (dtype.itemsize * 8)
         acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
         if rans_planes:
-            syms = decode_groups(states, words, freqs, counts, n_steps=S)
+            if use_pallas:
+                syms = decode_groups_pallas(states, words, coarse_pk,
+                                            dense_pk, counts_b, n_steps=S)
+                syms = syms[:, :S].astype(jnp.uint8)
+            else:
+                syms = decode_groups(
+                    states, words.reshape(words.shape[0], -1),
+                    freqs, counts, n_steps=S)
             # (B*G, S, 8, 128) -> (B, G*8 rows, S*128) -> per-plane bytes
             rows = syms.reshape(B, G, S, GROUP_ROWS, LANES)
             rows = jnp.transpose(rows, (0, 1, 3, 2, 4))
@@ -140,21 +150,32 @@ class DeviceBatchDecoder:
         G = len(first['groups'])
         S = -(-min(seg, n_coded) // LANES) if rans_planes else 0
 
+        jax_mod = _jax()[0]
+        use_pallas = jax_mod.default_backend() == 'tpu' and bool(rans_planes)
+
+        from ..ops.pallas_rans import pack_device_tables, WINDOW_ROWS
         w_max = 1
         for parsed in parsed_list:
             for g in parsed['groups']:
                 w_max = max(w_max, g['words'].size)
-        W = 1 << max(0, (w_max - 1)).bit_length()
+        # Word buffers: rows of 128, pow2-bucketed, plus window slack.
+        wr = -(-w_max // LANES) + WINDOW_ROWS
+        WR = 1 << max(0, (wr - 1)).bit_length()
+        W = WR * LANES
 
         NG = max(B * G, 1)
         states = np.full((NG, GROUP_ROWS, LANES), RANS_L, dtype=np.uint32)
-        words = np.zeros((NG, W), dtype=np.uint16)
+        words = np.zeros((NG, WR, LANES), dtype=np.uint16)
         freqs = np.zeros((NG, GROUP_ROWS, 256), dtype=np.int32)
         counts = np.zeros((NG, GROUP_ROWS), dtype=np.int32)
+        counts_b = np.zeros((NG, GROUP_ROWS, LANES), dtype=np.int32)
+        coarse_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
+        dense_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
         const_vals = np.zeros((B, max(len(const_planes), 1)), dtype=np.uint8)
         raw_vals = np.zeros((B, max(len(raw_planes), 1),
                              n_coded if raw_planes else 1), dtype=np.uint8)
         heads = np.zeros((B, C), dtype=self.dtype)
+        table_cache = {}
         for b, parsed in enumerate(parsed_list):
             if has_head:
                 heads[b] = parsed['head'].view(self.dtype)
@@ -162,10 +183,16 @@ class DeviceBatchDecoder:
                 i = b * G + gi
                 R = len(g['segments'])
                 states[i, :R] = g['states']
-                words[i, :g['words'].size] = g['words']
+                words[i].reshape(-1)[:g['words'].size] = g['words']
                 for r, (p, _, n) in enumerate(g['segments']):
-                    freqs[i, r] = parsed['planes'][p]['freqs']
+                    table = parsed['planes'][p]['freqs']
+                    freqs[i, r] = table
                     counts[i, r] = n
+                    counts_b[i, r] = n
+                    key = (b, p)
+                    if key not in table_cache:
+                        table_cache[key] = pack_device_tables(table)
+                    coarse_pk[i, r], dense_pk[i, r] = table_cache[key]
             for j, p in enumerate(const_planes):
                 const_vals[b, j] = parsed['planes'][p]['value']
             for j, p in enumerate(raw_planes):
@@ -174,8 +201,9 @@ class DeviceBatchDecoder:
         fn = _build_decode_fn(
             B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
-            first['zigzag'], has_head)
-        out = fn(states, words, freqs, counts, const_vals, raw_vals, heads)
+            first['zigzag'], has_head, use_pallas)
+        out = fn(states, words, freqs, counts, coarse_pk, dense_pk,
+                 counts_b, const_vals, raw_vals, heads)
         return np.asarray(out)
 
 
