@@ -398,6 +398,36 @@ class Reader:
             self.pool.shutdown()
             self.pool = None
 
+    def _use_device(self):
+        """Whether bulk decodes should go through the device pipeline."""
+        if self.algorithm != 'ans' or self._device == 'none':
+            return False
+        if self._device in ('tpu', 'cpu'):
+            return True
+        # auto: prefer the device pipeline on real accelerators always,
+        # on CPU backends only when the data amortizes the compile.
+        try:
+            import jax
+        except ImportError:  # pragma: no cover
+            return False
+        if jax.default_backend() != 'cpu':
+            return True
+        return self.n_samples * self.n_channels >= (1 << 22)
+
+    def to_array(self, first_chunk=0, last_chunk=None):
+        """Bulk-decode chunks [first, last] into one ndarray.
+
+        Uses the batched device pipeline for the ans format (TPU when
+        available), the host codec otherwise.
+        """
+        last_chunk = self.n_chunks - 1 if last_chunk is None else last_chunk
+        if self._use_device():
+            from .parallel.pipeline import decompress_to_array
+            return decompress_to_array(self, first_chunk, last_chunk)
+        decoded = [self._decompress_chunk(i)[1]
+                   for i in range(first_chunk, last_chunk + 1)]
+        return np.concatenate(decoded, axis=0)
+
     def tofile(self, out, overwrite=False):
         """Decompress everything to a flat binary file (batched, threaded)."""
         if out is None:
@@ -409,12 +439,17 @@ class Reader:
                     "The output file %s already exists, use --overwrite or "
                     "specify another output path." % out)
             out.unlink()
+        use_device = self._use_device()
         self.start_thread_pool()
         with open(out, 'wb') as fb:
             for batch in progress(range(self.n_batches), desc='Decompressing',
                                   disable=self.quiet):
                 first = self.batch_size * batch
                 last = min(self.batch_size * (batch + 1), self.n_chunks)
+                if use_device:
+                    fb.write(np.ascontiguousarray(
+                        self.to_array(first, last - 1)))
+                    continue
                 if hasattr(self.codec, 'decode_batch'):
                     decoded = self._decompress_chunks_batch(range(first, last))
                 else:

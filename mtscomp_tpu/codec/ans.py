@@ -16,7 +16,7 @@ of up to 8 rows sharing one merged renorm-word stream in decoder order.
 
 Chunk container layout (all little-endian)::
 
-    header (16 bytes):
+    header (20 bytes):
       u32  magic   = 0x3253544D ("MTS2")
       u8   container version (2)
       u8   n_planes (= dtype itemsize)
@@ -26,7 +26,10 @@ Chunk container layout (all little-endian)::
       u32  n_elems (elements in the chunk)
       u8   seg_log2 (symbols per segment = 1 << seg_log2, >= 7)
       u8   min_freq (8)
+      u8   group_rows (segments per group, 32)
+      u8   reserved
       u16  n_head (elements stored verbatim = n_channels when bit1)
+      u16  reserved2
     [if flags bit1] head: n_head raw little-endian elements (row 0 of the
       chunk — after a time diff this row holds raw sample amplitudes
       whose byte statistics would poison the diff planes' tables)
@@ -56,10 +59,10 @@ MAGIC = 0x3253544D
 CONTAINER_VERSION = 2
 MODE_RAW, MODE_RANS, MODE_CONST = 0, 1, 2
 
-DEFAULT_SEG_LOG2 = 17           # 131072 symbols per segment
+DEFAULT_SEG_LOG2 = 16           # 65536 symbols per segment
 
-_HEADER = struct.Struct('<IBBBBIBBH')
-assert _HEADER.size == 16
+_HEADER = struct.Struct('<IBBBBIBBBBHH')
+assert _HEADER.size == 20
 
 
 def split_planes(elements, zigzag):
@@ -161,7 +164,8 @@ class AnsCodec:
         flags = int(zigzag) | (2 if split_head else 0)
         parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
                               flags, rans.SCALE_BITS, n_elems,
-                              self.seg_log2, rans.MIN_FREQ, n_head)]
+                              self.seg_log2, rans.MIN_FREQ,
+                              rans.GROUP_ROWS, 0, n_head, 0)]
         if split_head:
             h = head
             if h.dtype.byteorder == '>':  # pragma: no cover
@@ -252,13 +256,15 @@ class AnsCodec:
         if len(mv) < _HEADER.size:
             raise IOError("ANS chunk too short (%d bytes)." % len(mv))
         (magic, version, itemsize, flags, scale_bits, n_elems, seg_log2,
-         min_freq, n_head) = _HEADER.unpack_from(mv, 0)
+         min_freq, group_rows, _r1, n_head, _r2) = _HEADER.unpack_from(mv, 0)
         if magic != MAGIC:
             raise IOError("Bad ANS chunk magic 0x%08X." % magic)
         if version != CONTAINER_VERSION:
             raise IOError("Unsupported ANS container version %d." % version)
         if scale_bits != rans.SCALE_BITS:
             raise IOError("Unsupported ANS scale_bits %d." % scale_bits)
+        if group_rows != rans.GROUP_ROWS:
+            raise IOError("Unsupported ANS group_rows %d." % group_rows)
         off = _HEADER.size
         if not flags & 2:
             n_head = 0

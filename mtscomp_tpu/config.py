@@ -34,7 +34,7 @@ DEFAULT_CONFIG = (
     ('n_threads', multiprocessing.cpu_count()),
     # --- TPU-native extensions ---
     ('device', 'auto'),             # 'auto' | 'tpu' | 'cpu' | 'none' (host only)
-    ('ans_seg_log2', 17),           # log2 symbols per rANS segment (128 lanes each)
+    ('ans_seg_log2', 16),           # log2 symbols per rANS segment (128 lanes each)
     ('batch_chunks', 0),            # 0 = auto batch size for the device pipeline
 )
 

@@ -10,12 +10,14 @@ Format v2 replaces it with a layout designed around the TPU vector unit:
   each segment is coded by **128 interleaved rANS lanes** (lane ``j``
   takes symbols ``j, j+128, ...``) — one segment maps onto one 128-lane
   vector register row.
-- Segments are packed into **groups of R <= 8 rows** (one (8, 128)
-  vector). A group shares a single renormalization word stream, merged
-  in **decoder order**: at each step, the lanes whose state underflows
-  read one 16-bit word each, in row-major lane order. The vectorized
-  decoder therefore consumes the stream strictly front-to-back — no
-  per-lane cursors, just a masked rank within the step.
+- Segments are packed into **groups of R <= 32 rows** (one (32, 128)
+  vector — TPU vector ops cost roughly the same at 8 and 32 sublanes,
+  so wide groups quarter the per-symbol cost). A group shares a single
+  renormalization word stream, merged in **decoder order**: at each
+  step, the lanes whose state underflows read one 16-bit word each, in
+  row-major lane order. The vectorized decoder therefore consumes the
+  stream strictly front-to-back — no per-lane cursors, just a masked
+  rank within the step.
 - Each row carries its own frequency table (so one group can mix byte
   planes with different statistics).
 
@@ -50,7 +52,7 @@ WORD_BITS = 16
 MIN_FREQ = 8                     # present symbols get >= 8/4096
 MAX_FREQ = SCALE - MIN_FREQ      # >= 2 present symbols when RANS is used
 LANES = 128                      # lanes per segment (one vector row)
-GROUP_ROWS = 8                   # segments per group (one (8,128) vector)
+GROUP_ROWS = 32                  # segments per group (one (32,128) vector)
 
 
 def zigzag_encode(values):

@@ -1,28 +1,31 @@
 """Pallas TPU kernel: grouped rANS decode at vector-unit speed.
 
-One grid cell decodes one group — 8 segment rows x 128 lanes, exactly one
-(8, 128) vector register — running the scan of ``models/rans.py`` with
-every data-dependent lookup mapped onto ops Mosaic lowers well:
+One grid cell decodes one group — GROUP_ROWS (32) segment rows x 128
+lanes, one (32, 128) vector — running the scan of ``models/rans.py``
+with every data-dependent lookup mapped onto ops Mosaic lowers well:
 
 - **slot -> symbol**: 256-entry coarse bucket table (packed
   ``upper<<8 | dense_id``) + two compare-increments over the *dense*
   alphabet, then one packed dense-table lookup
-  (``value<<24 | freq<<12 | cum``). All tables are two (8, 128) rows;
+  (``value<<24 | freq<<12 | cum``). All tables are two (R, 128) rows;
   a lookup is two per-row lane shuffles (``take_along_axis`` on the
   lane axis, the one dynamic gather Mosaic supports) and a select.
 - **renorm**: the group's merged word stream is consumed front-to-back;
-  lane ranks come from a roll-based Hillis-Steele prefix sum over the
-  (8, 128) mask in row-major order, and each lane pulls its word from a
-  10-row window of the stream via a row-select shuffle chain.
+  lane ranks come from an MXU prefix sum (mask @ upper-triangular ones;
+  exact — values <= 128 fit bf16) plus a sublane Hillis-Steele scan of
+  row totals, and each lane pulls its word from a window of the stream
+  via a row-select shuffle chain. The window is two-tier: a 12-row fast
+  path covers typical renorm rates, a full 33-row path the worst case
+  (``lax.cond`` on the step's word count).
 - **state math**: int32 with logical shifts (values are mod-2^32; the
   unsigned ``x < 2^16`` test becomes ``x >> 16 == 0``).
 
+Group width rationale: Mosaic vector ops cost nearly the same at 8 and
+32 sublanes, so (32, 128) groups quarter the per-symbol cost relative
+to (8, 128).
+
 Outputs are packed 4 symbols per int32 (u8 stores are off the fast
 path on TPU); the caller unpacks with vector shifts.
-
-The word stream is a per-group VMEM block (auto double-buffered across
-grid cells by Pallas); the kernel reads 10-row windows of it with
-dynamic slices — no manual DMA.
 """
 
 import functools
@@ -36,7 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.rans import SCALE_BITS, LANES, GROUP_ROWS
 
-WINDOW_ROWS = 10            # covers (pos & 127) + rank < 128 + 1024
+R = GROUP_ROWS
+FAST_ROWS = 12                        # typical-step window
+SLOW_ROWS = R * LANES // LANES + 1    # worst case: 128 + R*128 span
+WINDOW_ROWS = SLOW_ROWS               # row slack callers must pad
 
 
 def _srl(x, n):
@@ -44,24 +50,33 @@ def _srl(x, n):
 
 
 def _lookup256(t0, t1, idx):
-    """Gather from a 256-entry per-row table stored as two (8,128) rows."""
+    """Gather from a 256-entry per-row table stored as two (R,128) rows."""
     col = idx & 127
     lo = jnp.take_along_axis(t0, col, axis=1)
     hi = jnp.take_along_axis(t1, col, axis=1)
     return jnp.where(idx < 128, lo, hi)
 
 
-def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
-            out_ref, *, n_steps4):
-    x0 = states_ref[0].astype(jnp.int32)                    # (8,128)
-    counts = counts_ref[0]                                  # (8,128) i32
+def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, tri_ref,
+            words_ref, out_ref, *, n_steps4):
+    x0 = states_ref[0].astype(jnp.int32)                    # (R,128)
+    counts = counts_ref[0]                                  # (R,128) i32
     c0 = coarse_ref[0, :, 0, :]
     c1 = coarse_ref[0, :, 1, :]
     d0t = dense_ref[0, :, 0, :]
     d1t = dense_ref[0, :, 1, :]
 
-    lane_col = jax.lax.broadcasted_iota(jnp.int32, (GROUP_ROWS, LANES), 1)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (GROUP_ROWS, LANES), 0)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+
+    def window_gather(n_rows, base, col, wrow):
+        window = words_ref[0, pl.ds(base, n_rows), :]
+        w = jnp.zeros((R, LANES), jnp.int32)
+        for r in range(n_rows):
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(window[r:r + 1], (R, LANES)), col, axis=1)
+            w = jnp.where(wrow == r, cand, w)
+        return w
 
     def substep(s, x, pos):
         active = (s * LANES + lane_col) < counts
@@ -80,41 +95,38 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
         val = _srl(pk, 24)
         # rANS inverse update (mod 2^32 in int32).
         x = jnp.where(active, f * _srl(x, SCALE_BITS) + slot - cum, x)
-        # Renorm: lanes with x < 2^16 read the next words in row-major
-        # lane order. Exclusive rank via Hillis-Steele prefix sums.
+        # Renorm ranks: MXU prefix along lanes + sublane scan of totals.
         need = active & (_srl(x, 16) == 0)
         m = need.astype(jnp.int32)
-        inc = m
-        for k in (1, 2, 4, 8, 16, 32, 64):
-            rolled = pltpu.roll(inc, shift=k, axis=1)
-            inc = inc + jnp.where(lane_col >= k, rolled, 0)
-        row_tot = jnp.broadcast_to(inc[:, 127:128], (GROUP_ROWS, LANES))
+        inc = jax.lax.dot(m.astype(jnp.float32), tri_ref[...],
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+        row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
         run = row_tot
-        for k in (1, 2, 4):
+        for k in (1, 2, 4, 8, 16):
             rolled = pltpu.roll(run, shift=k, axis=0)
             run = run + jnp.where(row_id >= k, rolled, 0)
         rank = (inc - m) + (run - row_tot)          # exclusive, row-major
-        widx = (pos & 127) + rank
+        total = jnp.sum(m)
+        pos_off = pos & 127
+        widx = pos_off + rank
         base = _srl(pos, 7)
-        window = words_ref[0, pl.ds(base, WINDOW_ROWS), :]   # (10,128)
         col = widx & 127
         wrow = _srl(widx, 7)
-        w = jnp.zeros((GROUP_ROWS, LANES), jnp.int32)
-        for r in range(WINDOW_ROWS):
-            cand = jnp.take_along_axis(
-                jnp.broadcast_to(window[r:r + 1], (GROUP_ROWS, LANES)),
-                col, axis=1)
-            w = jnp.where(wrow == r, cand, w)
+        w = jax.lax.cond(
+            pos_off + total <= FAST_ROWS * LANES,
+            lambda: window_gather(FAST_ROWS, base, col, wrow),
+            lambda: window_gather(SLOW_ROWS, base, col, wrow))
         x = jnp.where(need, (x << 16) | w, x)
-        pos = pos + jnp.sum(m)
+        pos = pos + total
         return x, pos, val
 
     def body(q, carry):
         x, pos = carry
-        acc = jnp.zeros((GROUP_ROWS, LANES), jnp.int32)
-        for r in range(4):
-            x, pos, val = substep(q * 4 + r, x, pos)
-            acc = acc | (val << (8 * r))
+        acc = jnp.zeros((R, LANES), jnp.int32)
+        for r4 in range(4):
+            x, pos, val = substep(q * 4 + r4, x, pos)
+            acc = acc | (val << (8 * r4))
         out_ref[0, pl.ds(q, 1)] = acc[None]
         return x, pos
 
@@ -124,45 +136,51 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret'))
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                          *, n_steps, interpret=False):
-    """Decode N groups on TPU; returns (N, 4*ceil(S/4), 8, 128) i32 symbols.
+    """Decode N groups on TPU; returns (N, 4*ceil(S/4), R, 128) i32 symbols.
 
-    states    (N, 8, 128) uint32
+    states    (N, R, 128) uint32
     words_u16 (N, WR, 128) uint16 — merged streams, row-padded, with
               >= WINDOW_ROWS rows of slack at the end
-    coarse_pk (N, 8, 2, 128) int32 — packed coarse tables
-    dense_pk  (N, 8, 2, 128) int32 — packed dense symbol tables
-    counts_b  (N, 8, 128) int32 — per-row symbol counts (lane-broadcast)
+    coarse_pk (N, R, 2, 128) int32 — packed coarse tables
+    dense_pk  (N, R, 2, 128) int32 — packed dense symbol tables
+    counts_b  (N, R, 128) int32 — per-row symbol counts (lane-broadcast)
     """
     N = states.shape[0]
     WR = words_u16.shape[1]
     S4 = -(-max(n_steps, 1) // 4)
     words_i32 = words_u16.astype(jnp.int32)
+    # Upper-triangular ones: prefix[l] = sum_{k<=l} m[k] via one matmul.
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+           ).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_kernel, n_steps4=S4),
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, GROUP_ROWS, LANES), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, R, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GROUP_ROWS, LANES), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, R, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GROUP_ROWS, 2, LANES), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((1, R, 2, LANES), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GROUP_ROWS, 2, LANES), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((1, R, 2, LANES), lambda n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WR, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S4, GROUP_ROWS, LANES),
+        out_specs=pl.BlockSpec((1, S4, R, LANES),
                                lambda n: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, S4, GROUP_ROWS, LANES),
-                                       jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((N, S4, R, LANES), jnp.int32),
         interpret=interpret,
-    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, words_i32)
-    # Unpack 4 packed symbols per int32 -> (N, 4*S4, 8, 128).
+    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, tri,
+      words_i32)
+    # Unpack 4 packed symbols per int32 -> (N, 4*S4, R, 128).
     syms = jnp.stack([(jax.lax.shift_right_logical(out, 8 * r) & 255)
                       for r in range(4)], axis=2)
-    return syms.reshape(N, S4 * 4, GROUP_ROWS, LANES)
+    return syms.reshape(N, S4 * 4, R, LANES)
 
 
 def pack_device_tables(freqs):

@@ -43,8 +43,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     jax, jnp = _jax()
     from ..ops.device_rans import decode_groups
     from ..ops.pallas_rans import decode_groups_pallas
-    from ..ops.device_delta import (cumsum_time_jnp, cumsum_space_jnp,
-                                    zigzag_decode_jnp)
+    from ..ops.device_delta import (cumsum_time, cumsum_time_jnp,
+                                    cumsum_space_jnp, zigzag_decode_jnp)
 
     dtype = np.dtype(dtype_str)
     Tc = T - 1 if has_head else T       # rows covered by the coded planes
@@ -97,7 +97,12 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         if do_spatial_diff:
             chunks = cumsum_space_jnp(chunks)
         if do_time_diff:
-            chunks = cumsum_time_jnp(chunks)
+            # The Pallas carried-scan kernel: XLA's cumsum lowering over
+            # tens of thousands of timesteps is unusable on TPU.
+            if use_pallas and chunks.dtype == jnp.int16:
+                chunks = cumsum_time(chunks, use_pallas=True)
+            else:
+                chunks = cumsum_time_jnp(chunks)
         return chunks
 
     return decode
@@ -133,6 +138,16 @@ class DeviceBatchDecoder:
 
     def decode_batch(self, parsed_list, n_samples):
         """Returns (B, n_samples, n_channels) decoded ndarray."""
+        fn, args = self.pack(parsed_list, n_samples)
+        return np.asarray(fn(*args))
+
+    def pack(self, parsed_list, n_samples):
+        """Stage a batch: build device arrays + the compiled decode fn.
+
+        Returns ``(fn, device_args)``; calling ``fn(*device_args)``
+        decodes entirely on-device. Useful to amortize host->device
+        transfer of the compressed batch across repeated decodes.
+        """
         jax, jnp = _jax()
         B = len(parsed_list)
         C = self.reader.n_channels
@@ -158,10 +173,16 @@ class DeviceBatchDecoder:
         for parsed in parsed_list:
             for g in parsed['groups']:
                 w_max = max(w_max, g['words'].size)
-        # Word buffers: rows of 128, pow2-bucketed, plus window slack.
+        # Word buffers: rows of 128, bucketed to 512-row multiples (bounds
+        # recompiles without doubling VMEM), plus window slack.
         wr = -(-w_max // LANES) + WINDOW_ROWS
-        WR = 1 << max(0, (wr - 1)).bit_length()
+        WR = -(-wr // 512) * 512
         W = WR * LANES
+        if use_pallas and WR > 8192:
+            # Word stream too large for the VMEM-resident kernel window
+            # (~4 MB/block double-buffered; high-entropy planes only);
+            # fall back to the XLA scan.
+            use_pallas = False
 
         NG = max(B * G, 1)
         states = np.full((NG, GROUP_ROWS, LANES), RANS_L, dtype=np.uint32)
@@ -202,9 +223,10 @@ class DeviceBatchDecoder:
             B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
             first['zigzag'], has_head, use_pallas)
-        out = fn(states, words, freqs, counts, coarse_pk, dense_pk,
-                 counts_b, const_vals, raw_vals, heads)
-        return np.asarray(out)
+        args = tuple(jnp.asarray(a) for a in (
+            states, words, freqs, counts, coarse_pk, dense_pk,
+            counts_b, const_vals, raw_vals, heads))
+        return fn, args
 
 
 def decompress_to_array(reader, first_chunk=0, last_chunk=None):

@@ -16,7 +16,7 @@ def _random_table(rng, conc=1.0):
 @pytest.mark.parametrize('seed', range(8))
 def test_rans_group_roundtrip(seed):
     rng = np.random.default_rng(seed)
-    R = int(rng.integers(1, 9))
+    R = int(rng.integers(1, rans.GROUP_ROWS + 1))
     rows, tables = [], []
     for _ in range(R):
         n = int(rng.integers(0, 6000))
@@ -191,7 +191,7 @@ def test_container_mixed_planes_grouped():
     assert parsed['modes'][0] == MODE_RANS
     assert parsed['modes'][1] == MODE_CONST
     n_segs = -(-100000 // 4096)
-    assert len(parsed['groups']) == -(-n_segs // 8)
+    assert len(parsed['groups']) == -(-n_segs // rans.GROUP_ROWS)
     back = codec.decode(payload, 20000, 5, np.int16, order='F')
     assert np.array_equal(back, chunkd)
 
