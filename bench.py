@@ -68,18 +68,29 @@ def main():
         dec = DeviceBatchDecoder(r)
         assert dec.supported(parsed, T)
         fn, dev_args = dec.pack(parsed, T)
-        out = np.asarray(fn(*dev_args))   # warm-up / compile
-        if not np.array_equal(out.reshape(arr.shape), arr):
+        out = fn(*dev_args)               # warm-up / compile
+        if not np.array_equal(np.asarray(out).reshape(arr.shape), arr):
             print(json.dumps({"metric": "decompress_throughput",
                               "value": 0.0, "unit": "GB/s",
                               "vs_baseline": 0.0,
                               "error": "round trip mismatch"}))
             return 1
+        # Timed: decode on device; a full-array reduction fetched to host
+        # forces completion of every output element (block_until_ready is
+        # not reliable through remote-device relays, and hauling 23 MB/s
+        # of output through a dev tunnel would measure the tunnel).
+        import jax.numpy as jnp
+
+        def run_once():
+            o = fn(*dev_args)
+            return float(jnp.sum(o.astype(jnp.float32)))
+
+        run_once()
         reps = int(os.environ.get('BENCH_REPS', '5'))
         times = []
         for _ in range(reps):
             t1 = time.time()
-            out = np.asarray(fn(*dev_args))
+            run_once()
             times.append(time.time() - t1)
         dt = sorted(times)[len(times) // 2]
     finally:

@@ -1,0 +1,22 @@
+"""Device meshes for multi-chip codec runs.
+
+The codec's natural parallel axis is the chunk batch (embarrassingly
+parallel, mirroring the reference's thread pool over chunks,
+mtscomp.py:456/691) — sharded over ICI with no cross-chunk
+communication. Multi-host deployments split the chunk *range* per host
+and concatenate offset tables, exactly like the reference's ordered
+batch write-back.
+"""
+
+import numpy as np
+
+
+def chunk_mesh(devices=None, n_devices=None):
+    """A 1-D mesh over the 'chunks' axis."""
+    import jax
+    from jax.sharding import Mesh
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), ('chunks',))

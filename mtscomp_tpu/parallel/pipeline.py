@@ -136,17 +136,21 @@ class DeviceBatchDecoder:
                 return False
         return True
 
-    def decode_batch(self, parsed_list, n_samples):
+    def decode_batch(self, parsed_list, n_samples, mesh=None):
         """Returns (B, n_samples, n_channels) decoded ndarray."""
-        fn, args = self.pack(parsed_list, n_samples)
+        fn, args = self.pack(parsed_list, n_samples, mesh=mesh)
         return np.asarray(fn(*args))
 
-    def pack(self, parsed_list, n_samples):
+    def pack(self, parsed_list, n_samples, mesh=None):
         """Stage a batch: build device arrays + the compiled decode fn.
 
         Returns ``(fn, device_args)``; calling ``fn(*device_args)``
         decodes entirely on-device. Useful to amortize host->device
         transfer of the compressed batch across repeated decodes.
+
+        With ``mesh`` (a 1-D device mesh), the chunk batch is sharded
+        across devices under shard_map — each device decodes its own
+        chunks' groups; no cross-chunk communication is needed.
         """
         jax, jnp = _jax()
         B = len(parsed_list)
@@ -219,14 +223,33 @@ class DeviceBatchDecoder:
             for j, p in enumerate(raw_planes):
                 raw_vals[b, j] = parsed['planes'][p]['raw']
 
-        fn = _build_decode_fn(
-            B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
+        raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
+                    counts_b, const_vals, raw_vals, heads)
+        if mesh is None:
+            fn = _build_decode_fn(
+                B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
+                self.order, self.do_time_diff, self.do_spatial_diff,
+                first['zigzag'], has_head, use_pallas)
+            return fn, tuple(jnp.asarray(a) for a in raw_args)
+
+        # Shard the chunk batch over the mesh: every array's leading dim
+        # is chunk-major (B or B*G), so a leading-axis shard keeps whole
+        # chunks per device.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec, NamedSharding
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        assert B % n_dev == 0, "chunk batch must divide the mesh"
+        axis = mesh.axis_names[0]
+        inner = _build_decode_fn(
+            B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
             first['zigzag'], has_head, use_pallas)
-        args = tuple(jnp.asarray(a) for a in (
-            states, words, freqs, counts, coarse_pk, dense_pk,
-            counts_b, const_vals, raw_vals, heads))
-        return fn, args
+        spec = PartitionSpec(axis)
+        fn = jax.jit(shard_map(
+            lambda *a: inner(*a), mesh=mesh,
+            in_specs=(spec,) * len(raw_args), out_specs=spec))
+        sharding = NamedSharding(mesh, spec)
+        return fn, tuple(jax.device_put(a, sharding) for a in raw_args)
 
 
 def decompress_to_array(reader, first_chunk=0, last_chunk=None):

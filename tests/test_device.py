@@ -120,3 +120,26 @@ def test_pipeline_order_c(tmp_path_):
         assert np.array_equal(decompress_to_array(r), arr)
     finally:
         r.close()
+
+
+def test_pipeline_sharded_mesh(tmp_path_):
+    """Chunk batch sharded over the 8-device virtual mesh (shard_map)."""
+    from mtscomp_tpu.parallel.mesh import chunk_mesh
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                               _read_payload)
+    arr = to_int16(make_signal('colored', ns=8 * 2000, nc=16))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=2000.0, n_channels=16, dtype='int16',
+             algorithm='ans', quiet=True, ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
+    try:
+        assert r.n_chunks == 8
+        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(8)]
+        dec = DeviceBatchDecoder(r)
+        assert dec.supported(parsed, 2000)
+        mesh = chunk_mesh(jax.devices('cpu')[:8])
+        out = dec.decode_batch(parsed, 2000, mesh=mesh)
+        assert np.array_equal(out.reshape(-1, 16), arr)
+    finally:
+        r.close()
