@@ -14,9 +14,10 @@ with every data-dependent lookup mapped onto ops Mosaic lowers well:
   lane ranks come from an MXU prefix sum (mask @ upper-triangular ones;
   exact — values <= 128 fit bf16) plus a sublane Hillis-Steele scan of
   row totals, and each lane pulls its word from a window of the stream
-  via a row-select shuffle chain. The window is two-tier: a 12-row fast
-  path covers typical renorm rates, a full 33-row path the worst case
-  (``lax.cond`` on the step's word count).
+  in two phases: each target row's words span at most two consecutive
+  128-word stream rows, which are brought to the row by one-hot MXU
+  row-selects (HIGHEST precision: u16 words need f32 mantissa), then a
+  per-lane shuffle picks within them.
 - **state math**: int32 with logical shifts (values are mod-2^32; the
   unsigned ``x < 2^16`` test becomes ``x >> 16 == 0``).
 
@@ -24,8 +25,7 @@ Group width rationale: Mosaic vector ops cost nearly the same at 8 and
 32 sublanes, so (32, 128) groups quarter the per-symbol cost relative
 to (8, 128).
 
-Outputs are packed 4 symbols per int32 (u8 stores are off the fast
-path on TPU); the caller unpacks with vector shifts.
+Symbols are stored directly as one (32, 128) uint8 tile per step.
 """
 
 import functools
@@ -40,56 +40,56 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.rans import SCALE_BITS, LANES, GROUP_ROWS
 
 R = GROUP_ROWS
-FAST_ROWS = 12                        # typical-step window
-SLOW_ROWS = R * LANES // LANES + 1    # worst case: 128 + R*128 span
-WINDOW_ROWS = SLOW_ROWS               # row slack callers must pad
+WINDOW_ROWS = R + 2                   # word rows one step can span
 
 
 def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _lookup256(t0, t1, idx):
-    """Gather from a 256-entry per-row table stored as two (R,128) rows."""
-    col = idx & 127
-    lo = jnp.take_along_axis(t0, col, axis=1)
-    hi = jnp.take_along_axis(t1, col, axis=1)
-    return jnp.where(idx < 128, lo, hi)
-
-
-def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, tri_ref,
-            words_ref, out_ref, *, n_steps4):
+def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
+            out_ref, *, n_steps4, small_alpha):
     x0 = states_ref[0].astype(jnp.int32)                    # (R,128)
     counts = counts_ref[0]                                  # (R,128) i32
-    c0 = coarse_ref[0, :, 0, :]
-    c1 = coarse_ref[0, :, 1, :]
-    d0t = dense_ref[0, :, 0, :]
-    d1t = dense_ref[0, :, 1, :]
 
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    # Upper-triangular ones for the MXU lane-prefix (values <= 128: f32
+    # single-pass exact).
+    triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            ).astype(jnp.float32)
+    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WINDOW_ROWS), 1)
 
-    def window_gather(n_rows, base, col, wrow):
-        window = words_ref[0, pl.ds(base, n_rows), :]
-        w = jnp.zeros((R, LANES), jnp.int32)
-        for r in range(n_rows):
-            cand = jnp.take_along_axis(
-                jnp.broadcast_to(window[r:r + 1], (R, LANES)), col, axis=1)
-            w = jnp.where(wrow == r, cand, w)
-        return w
+    def lookup_coarse(idx):
+        # 256-entry table as two 128-lane rows (re-read from VMEM at each
+        # use: cheaper than keeping 4 more (R,128) values live).
+        col = idx & 127
+        lo = jnp.take_along_axis(coarse_ref[0, :, 0, :], col, axis=1)
+        hi = jnp.take_along_axis(coarse_ref[0, :, 1, :], col, axis=1)
+        return jnp.where(idx < 128, lo, hi)
+
+    def lookup_dense(idx):
+        if small_alpha:          # alphabet <= 128: single-row table
+            return jnp.take_along_axis(dense_ref[0, :, 0, :], idx & 127,
+                                       axis=1)
+        col = idx & 127
+        lo = jnp.take_along_axis(dense_ref[0, :, 0, :], col, axis=1)
+        hi = jnp.take_along_axis(dense_ref[0, :, 1, :], col, axis=1)
+        return jnp.where(idx < 128, lo, hi)
 
     def substep(s, x, pos):
         active = (s * LANES + lane_col) < counts
         slot = x & 4095
         # slot -> dense symbol id (coarse bucket + two fixups).
-        cp = _lookup256(c0, c1, _srl(slot, 4))
+        cp = lookup_coarse(_srl(slot, 4))
         did = cp & 255
         upper = _srl(cp, 8)
         did = did + jnp.where(slot >= upper, 1, 0)
-        pk = _lookup256(d0t, d1t, did)
+        pk = lookup_dense(did)
         upper2 = (pk & 4095) + (_srl(pk, 12) & 4095)
         did = did + jnp.where(slot >= upper2, 1, 0)
-        pk = _lookup256(d0t, d1t, did)
+        pk = lookup_dense(did)
         cum = pk & 4095
         f = _srl(pk, 12) & 4095
         val = _srl(pk, 24)
@@ -98,7 +98,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, tri_ref,
         # Renorm ranks: MXU prefix along lanes + sublane scan of totals.
         need = active & (_srl(x, 16) == 0)
         m = need.astype(jnp.int32)
-        inc = jax.lax.dot(m.astype(jnp.float32), tri_ref[...],
+        inc = jax.lax.dot(m.astype(jnp.float32), triu,
                           preferred_element_type=jnp.float32
                           ).astype(jnp.int32)
         row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
@@ -106,36 +106,47 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, tri_ref,
         for k in (1, 2, 4, 8, 16):
             rolled = pltpu.roll(run, shift=k, axis=0)
             run = run + jnp.where(row_id >= k, rolled, 0)
-        rank = (inc - m) + (run - row_tot)          # exclusive, row-major
-        total = jnp.sum(m)
-        pos_off = pos & 127
-        widx = pos_off + rank
-        base = _srl(pos, 7)
-        col = widx & 127
-        wrow = _srl(widx, 7)
-        w = jax.lax.cond(
-            pos_off + total <= FAST_ROWS * LANES,
-            lambda: window_gather(FAST_ROWS, base, col, wrow),
-            lambda: window_gather(SLOW_ROWS, base, col, wrow))
+        row_off = run - row_tot
+        rank = (inc - m) + row_off                  # exclusive, row-major
+        # Word fetch, two phases: (1) each target row's words span at
+        # most two consecutive stream rows; bring those to the row with
+        # one-hot MXU row-selects (u16 word values are f32-exact);
+        # (2) per-lane shuffle within the two rows.
+        widx = (pos & 127) + rank
+        first = (pos & 127) + row_off               # row's first word idx
+        brow = _srl(first, 7)                       # 0 .. WINDOW_ROWS-2
+        window = words_ref[0, pl.ds(_srl(pos, 7), WINDOW_ROWS), :]
+        brow_c = brow[:, 0:1]                       # row-constant
+        onehot0 = (wrow_iota == brow_c).astype(jnp.float32)
+        onehot1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
+        # HIGHEST precision: u16 word values exceed bf16's mantissa, and
+        # the default MXU f32 path is bf16-emulated.
+        wf = window.astype(jnp.float32)
+        w0 = jax.lax.dot(onehot0, wf,
+                         precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        w1 = jax.lax.dot(onehot1, wf,
+                         precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        off = widx - (brow << 7)                    # [0, 256)
+        g0 = jnp.take_along_axis(w0, off & 127, axis=1)
+        g1 = jnp.take_along_axis(w1, off & 127, axis=1)
+        w = jnp.where(off < 128, g0, g1)
         x = jnp.where(need, (x << 16) | w, x)
-        pos = pos + total
+        pos = pos + jnp.sum(m)
         return x, pos, val
 
-    def body(q, carry):
+    def body(s, carry):
         x, pos = carry
-        acc = jnp.zeros((R, LANES), jnp.int32)
-        for r4 in range(4):
-            x, pos, val = substep(q * 4 + r4, x, pos)
-            acc = acc | (val << (8 * r4))
-        out_ref[0, pl.ds(q, 1)] = acc[None]
+        x, pos, val = substep(s, x, pos)
+        out_ref[0, pl.ds(s, 1)] = val.astype(jnp.uint8)[None]
         return x, pos
 
-    jax.lax.fori_loop(0, n_steps4, body, (x0, jnp.int32(0)))
+    jax.lax.fori_loop(0, n_steps4 * 4, body, (x0, jnp.int32(0)))
 
 
-@functools.partial(jax.jit, static_argnames=('n_steps', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
+                                             'small_alpha'))
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
-                         *, n_steps, interpret=False):
+                         *, n_steps, interpret=False, small_alpha=False):
     """Decode N groups on TPU; returns (N, 4*ceil(S/4), R, 128) i32 symbols.
 
     states    (N, R, 128) uint32
@@ -144,17 +155,15 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
     coarse_pk (N, R, 2, 128) int32 — packed coarse tables
     dense_pk  (N, R, 2, 128) int32 — packed dense symbol tables
     counts_b  (N, R, 128) int32 — per-row symbol counts (lane-broadcast)
+    small_alpha: all tables have <= 128 present symbols (single-row
+              dense lookups; caller asserts)
     """
     N = states.shape[0]
     WR = words_u16.shape[1]
     S4 = -(-max(n_steps, 1) // 4)
     words_i32 = words_u16.astype(jnp.int32)
-    # Upper-triangular ones: prefix[l] = sum_{k<=l} m[k] via one matmul.
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-           ).astype(jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_steps4=S4),
+        functools.partial(_kernel, n_steps4=S4, small_alpha=small_alpha),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, R, LANES), lambda n: (n, 0, 0),
@@ -165,22 +174,16 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, 2, LANES), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda n: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WR, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S4, R, LANES),
+        out_specs=pl.BlockSpec((1, S4 * 4, R, LANES),
                                lambda n: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, S4, R, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((N, S4 * 4, R, LANES), jnp.uint8),
         interpret=interpret,
-    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, tri,
-      words_i32)
-    # Unpack 4 packed symbols per int32 -> (N, 4*S4, R, 128).
-    syms = jnp.stack([(jax.lax.shift_right_logical(out, 8 * r) & 255)
-                      for r in range(4)], axis=2)
-    return syms.reshape(N, S4 * 4, R, LANES)
+    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, words_i32)
+    return out.astype(jnp.int32)
 
 
 def pack_device_tables(freqs):

@@ -33,7 +33,7 @@ def _jax():
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                      do_time_diff, do_spatial_diff, zigzag, has_head,
-                     use_pallas):
+                     use_pallas, small_alpha=False):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
@@ -65,7 +65,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         if rans_planes:
             if use_pallas:
                 syms = decode_groups_pallas(states, words, coarse_pk,
-                                            dense_pk, counts_b, n_steps=S)
+                                            dense_pk, counts_b, n_steps=S,
+                                            small_alpha=small_alpha)
                 syms = syms[:, :S].astype(jnp.uint8)
             else:
                 syms = decode_groups(
@@ -201,6 +202,7 @@ class DeviceBatchDecoder:
                              n_coded if raw_planes else 1), dtype=np.uint8)
         heads = np.zeros((B, C), dtype=self.dtype)
         table_cache = {}
+        alpha_max = 0
         for b, parsed in enumerate(parsed_list):
             if has_head:
                 heads[b] = parsed['head'].view(self.dtype)
@@ -216,8 +218,11 @@ class DeviceBatchDecoder:
                     counts_b[i, r] = n
                     key = (b, p)
                     if key not in table_cache:
-                        table_cache[key] = pack_device_tables(table)
-                    coarse_pk[i, r], dense_pk[i, r] = table_cache[key]
+                        table_cache[key] = (
+                            pack_device_tables(table),
+                            int(np.count_nonzero(table)))
+                    (coarse_pk[i, r], dense_pk[i, r]), a = table_cache[key]
+                    alpha_max = max(alpha_max, a)
             for j, p in enumerate(const_planes):
                 const_vals[b, j] = parsed['planes'][p]['value']
             for j, p in enumerate(raw_planes):
@@ -225,11 +230,12 @@ class DeviceBatchDecoder:
 
         raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
                     counts_b, const_vals, raw_vals, heads)
+        small_alpha = alpha_max <= 128
         if mesh is None:
             fn = _build_decode_fn(
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
                 self.order, self.do_time_diff, self.do_spatial_diff,
-                first['zigzag'], has_head, use_pallas)
+                first['zigzag'], has_head, use_pallas, small_alpha)
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -243,7 +249,7 @@ class DeviceBatchDecoder:
         inner = _build_decode_fn(
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
-            first['zigzag'], has_head, use_pallas)
+            first['zigzag'], has_head, use_pallas, small_alpha)
         spec = PartitionSpec(axis)
         fn = jax.jit(shard_map(
             lambda *a: inner(*a), mesh=mesh,
