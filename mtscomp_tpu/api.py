@@ -144,10 +144,36 @@ class Writer:
                      100 - 100 * len(payload) / (chunk.size * chunk.itemsize))
         return chunk_idx, (chunk, payload)
 
+    def _use_device(self):
+        """Whether batches should encode through the device pipeline."""
+        if self.algorithm != 'ans' or self.config.device == 'none':
+            return False
+        if self.config.device in ('tpu', 'cpu'):
+            return True
+        try:
+            import jax
+        except ImportError:  # pragma: no cover
+            return False
+        if jax.default_backend() != 'cpu':
+            return True
+        return self.n_samples * self.n_channels >= (1 << 22)
+
     def compress_batch(self, first_chunk, last_chunk):
         """Compress chunks ``[first_chunk, last_chunk)``; returns idx->result."""
         assert 0 <= first_chunk < last_chunk <= self.n_chunks
         ids = range(first_chunk, last_chunk)
+        if self.algorithm == 'ans' and self._use_device():
+            chunks = [self.get_chunk(i) for i in ids]
+            shapes = {c.shape for c in chunks}
+            if len(shapes) == 1:
+                from .parallel.pipeline import DeviceBatchEncoder
+                enc = DeviceBatchEncoder(self)
+                if enc.supported(chunks[0].shape[0]):
+                    payloads = enc.encode_batch(
+                        np.stack([np.asarray(c) for c in chunks]))
+                    if payloads is not None:
+                        return {i: (c, p) for i, c, p
+                                in zip(ids, chunks, payloads)}
         if hasattr(self.codec, 'encode_batch'):
             # Native batch path: one FFI call deflates the whole batch with
             # C++ worker threads (no Python thread pool in the hot loop).

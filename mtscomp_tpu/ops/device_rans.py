@@ -75,6 +75,71 @@ def decode_groups(states, words, freqs, counts, *, n_steps):
     return jnp.transpose(syms, (1, 0, 2, 3))           # (N, S, R, K)
 
 
+@functools.partial(jax.jit, static_argnames=('n_steps',))
+def encode_groups(symbols, freqs, counts, *, n_steps):
+    """Encode N groups on device; the mirror of :func:`decode_groups`.
+
+    symbols (N, R, S*128) uint8 — segment rows, zero-padded
+    freqs   (N, R, 256)   int32 — per-row tables
+    counts  (N, R)        int32 — symbols per row
+
+    Returns ``(states, words_dense, emit)`` where ``states`` are the
+    (N, R, 128) uint32 decoder start states and ``words_dense`` /
+    ``emit`` are (N, S, R*128) uint16/bool in DECODER order (step
+    ascending, row-major): compact ``words_dense[emit]`` per group (in
+    order) to obtain the merged stream. Bit-identical to the normative
+    encoder for the same inputs.
+    """
+    N, R, SK = symbols.shape
+    K = LANES
+    S = n_steps
+    assert SK == S * K
+    freqs = freqs.astype(jnp.uint32)
+    cum = (jnp.cumsum(freqs, axis=-1) - freqs).astype(jnp.uint32)
+    lane_j = jnp.arange(K, dtype=jnp.int32)
+    syms_steps = jnp.transpose(
+        symbols.reshape(N, R, S, K), (2, 0, 1, 3))         # (S, N, R, K)
+
+    def step(x, inp):
+        s, sy = inp                                        # scalar, (N,R,K)
+        sy = sy.astype(jnp.int32)
+        active = (s * K + lane_j)[None, None, :] < counts[:, :, None]
+        f = jnp.take_along_axis(freqs, sy, axis=2)
+        f = jnp.where(active, f, jnp.uint32(1))
+        c = jnp.take_along_axis(cum, sy, axis=2)
+        # Renormalize before the update: emit low 16 bits wherever the
+        # update would overflow 32 bits.
+        emit = active & (x >= (f << 20))
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        x = jnp.where(emit, x >> 16, x)
+        upd = (x // f) * jnp.uint32(SCALE) + (x % f) + c
+        x = jnp.where(active, upd, x)
+        return x, (word.reshape(N, R * K), emit.reshape(N, R * K))
+
+    x0 = jnp.full((N, R, K), RANS_L, jnp.uint32)
+    steps = jnp.arange(S - 1, -1, -1, dtype=jnp.int32)     # backward
+    x, (words, emit) = jax.lax.scan(step, x0,
+                                    (steps, syms_steps[::-1]))
+    # Scan emitted steps S-1..0; flip to decoder (ascending) order.
+    return x, words[::-1], emit[::-1]
+
+
+def compact_words(words_dense, emit, n_words_max):
+    """Device stream compaction: (S, N, RK) dense -> (N, W) merged stream.
+
+    Scatter each emitted word to its rank (cumulative count in decoder
+    order); masked slots land in a discard slot past the stream end.
+    """
+    S, N, RK = words_dense.shape
+    w = jnp.transpose(words_dense, (1, 0, 2)).reshape(N, S * RK)
+    e = jnp.transpose(emit, (1, 0, 2)).reshape(N, S * RK)
+    rank = jnp.cumsum(e, axis=1, dtype=jnp.int32) - e
+    idx = jnp.where(e, rank, n_words_max)
+    out = jnp.zeros((N, n_words_max + 1), jnp.uint16)
+    out = jax.vmap(lambda o, i, v: o.at[i].set(v, mode='drop'))(out, idx, w)
+    return out[:, :n_words_max], jnp.sum(e, axis=1, dtype=jnp.int32)
+
+
 def pack_groups(groups, freq_of_plane):
     """Host-side padding of parsed container groups into batch arrays.
 

@@ -258,6 +258,196 @@ class DeviceBatchDecoder:
         return fn, tuple(jax.device_put(a, sharding) for a in raw_args)
 
 
+@functools.lru_cache(maxsize=16)
+def _build_transform_fn(B, T, C, dtype_str, order, do_time_diff,
+                        do_spatial_diff, split_head):
+    """Device transform stage: diff -> zigzag -> byte planes + histograms."""
+    jax, jnp = _jax()
+    from ..ops.device_delta import (diff_time_jnp, diff_space_jnp,
+                                    zigzag_encode_jnp)
+    dtype = np.dtype(dtype_str)
+    P = dtype.itemsize
+
+    @jax.jit
+    def transform(chunks):
+        d = chunks
+        if do_time_diff:
+            d = diff_time_jnp(d)
+        if do_spatial_diff:
+            d = diff_space_jnp(d)
+        coded = d[:, 1:, :] if split_head else d
+        z = zigzag_encode_jnp(coded)
+        if order == 'F':
+            flat = jnp.transpose(z, (0, 2, 1)).reshape(B, -1)
+        else:
+            flat = z.reshape(B, -1)
+        planes = jnp.stack(
+            [(flat >> (8 * p)).astype(jnp.uint8) for p in range(P)], axis=1)
+        hists = jax.vmap(jax.vmap(
+            lambda v: jnp.bincount(v, length=256)))(planes)
+        head = d[:, 0, :] if split_head else None
+        return planes, hists, head
+
+    return transform
+
+
+class DeviceBatchEncoder:
+    """Encode batches of equal-size integer chunks on the device.
+
+    Produces containers byte-identical to the host AnsCodec (the device
+    coder is bit-exact against the normative spec). Mirrors the decode
+    pipeline: one transform+histogram pass, host-side table
+    quantization and mode decisions, then the grouped encode scan.
+    """
+
+    def __init__(self, writer):
+        self.writer = writer
+        self.codec = writer.codec
+        self.dtype = np.dtype(writer.dtype)
+        self.order = writer.chunk_order
+
+    def supported(self, n_samples):
+        return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
+                and n_samples > 1
+                and self.writer.n_channels < 65536)
+
+    def encode_batch(self, chunks):
+        """chunks: (B, T, C) ndarray -> list of container payload bytes."""
+        import struct
+        jax, jnp = _jax()
+        from ..codec import ans as ans_mod
+        from ..models import rans
+        from ..ops.device_rans import encode_groups, compact_words
+
+        B, T, C = chunks.shape
+        P = self.dtype.itemsize
+        seg = self.codec.seg
+        w = self.writer
+        transform = _build_transform_fn(
+            B, T, C, str(self.dtype), self.order, bool(w.do_time_diff),
+            bool(w.do_spatial_diff), True)
+        planes_d, hists_d, head_d = transform(jnp.asarray(chunks))
+        hists = np.asarray(hists_d)
+        heads = np.asarray(head_d)
+        n_coded = (T - 1) * C
+
+        # Host: tables + per-plane modes (must be uniform across the
+        # batch for one device call; callers fall back otherwise).
+        modes = np.empty((B, P), dtype=np.int64)
+        tables = {}
+        for b in range(B):
+            for p in range(P):
+                freqs = rans.quantize_freqs(hists[b, p]) \
+                    if hists[b, p].max() < hists[b, p].sum() else None
+                if freqs is None:
+                    modes[b, p] = ans_mod.MODE_CONST
+                elif ans_mod._estimated_rans_bytes(
+                        hists[b, p], freqs, n_coded, seg) >= n_coded:
+                    modes[b, p] = ans_mod.MODE_RAW
+                else:
+                    modes[b, p] = ans_mod.MODE_RANS
+                    tables[(b, p)] = freqs
+        if not (modes == modes[0]).all():
+            return None  # mixed modes: host path handles it
+        mode_row = [int(m) for m in modes[0]]
+        rans_planes = [p for p, m in enumerate(mode_row)
+                       if m == ans_mod.MODE_RANS]
+        raw_planes = [p for p, m in enumerate(mode_row)
+                      if m == ans_mod.MODE_RAW]
+
+        group_words, group_states, group_counts = [], [], []
+        if rans_planes:
+            n_seg = -(-n_coded // seg)
+            segments = ans_mod.segment_counts(n_coded, seg, mode_row)
+            G = -(-len(segments) // rans.GROUP_ROWS)
+            R = rans.GROUP_ROWS
+            S = -(-min(seg, n_coded) // rans.LANES)
+            seg_eff = S * rans.LANES
+            # Device: assemble (B*G, R, S*128) symbols from the planes.
+            Pr = len(rans_planes)
+            pad_rows = G * R - Pr * n_seg
+            pad_tail = n_seg * seg_eff - n_coded
+
+            @jax.jit
+            def gather_symbols(planes):
+                sel = planes[:, jnp.asarray(rans_planes), :]
+                sel = jnp.pad(sel, ((0, 0), (0, 0), (0, pad_tail)))
+                rows = sel.reshape(B, Pr * n_seg, seg_eff)
+                rows = jnp.pad(rows, ((0, 0), (0, pad_rows), (0, 0)))
+                return rows.reshape(B * G, R, seg_eff)
+
+            symbols = gather_symbols(planes_d)
+            freq_arr = np.zeros((B * G, R, 256), dtype=np.int32)
+            counts_arr = np.zeros((B * G, R), dtype=np.int32)
+            fallback = rans.quantize_freqs(
+                np.array([1, 1] + [0] * 254, dtype=np.int64))
+            for b in range(B):
+                for gi in range(G):
+                    i = b * G + gi
+                    segs = segments[gi * R:(gi + 1) * R]
+                    for r in range(R):
+                        if r < len(segs):
+                            p, _, n = segs[r]
+                            freq_arr[i, r] = tables[(b, p)]
+                            counts_arr[i, r] = n
+                        else:
+                            freq_arr[i, r] = fallback
+            states_d, words_dense, emit = encode_groups(
+                symbols, jnp.asarray(freq_arr), jnp.asarray(counts_arr),
+                n_steps=S)
+            n_words_d = jnp.sum(emit, axis=(0, 2), dtype=jnp.int32)
+            w_bound = int(np.asarray(jnp.max(n_words_d)))
+            w_bound = max(w_bound, 1)
+            streams_d, nw_d = compact_words(words_dense, emit, w_bound)
+            states = np.asarray(states_d)
+            streams = np.asarray(streams_d)
+            n_words = np.asarray(nw_d)
+            for b in range(B):
+                gw, gs, gc = [], [], []
+                for gi in range(G):
+                    i = b * G + gi
+                    segs = segments[gi * R:(gi + 1) * R]
+                    gw.append(streams[i, :n_words[i]])
+                    gs.append(states[i, :len(segs)])
+                    gc.append(int(n_words[i]))
+                group_words.append(gw)
+                group_states.append(gs)
+                group_counts.append(gc)
+
+        planes_np = None
+        if raw_planes:
+            planes_np = np.asarray(planes_d)
+
+        # Host: assemble containers (identical layout to AnsCodec.encode).
+        payloads = []
+        for b in range(B):
+            parts = [ans_mod._HEADER.pack(
+                ans_mod.MAGIC, ans_mod.CONTAINER_VERSION, P, 1 | 2,
+                rans.SCALE_BITS, T * C, self.codec.seg_log2,
+                rans.MIN_FREQ, rans.GROUP_ROWS, 0, C, 0)]
+            parts.append(np.ascontiguousarray(heads[b]).tobytes())
+            for p in range(P):
+                m = mode_row[p]
+                if m == ans_mod.MODE_CONST:
+                    # The constant byte: derive from the histogram.
+                    v = int(np.argmax(hists[b, p]))
+                    parts.append(struct.pack('<BB', m, v))
+                elif m == ans_mod.MODE_RAW:
+                    parts.append(struct.pack('<B', m)
+                                 + planes_np[b, p].tobytes())
+                else:
+                    parts.append(struct.pack('<B', m)
+                                 + tables[(b, p)].astype('<u2').tobytes())
+            if rans_planes:
+                parts.append(struct.pack('<I', len(group_words[b])))
+                parts.append(np.asarray(group_counts[b], '<u4').tobytes())
+                for st, wd in zip(group_states[b], group_words[b]):
+                    parts.append(st.astype('<u4').tobytes())
+                    parts.append(wd.astype('<u2').tobytes())
+            payloads.append(b''.join(parts))
+        return payloads
+
+
 def decompress_to_array(reader, first_chunk=0, last_chunk=None):
     """Bulk-decode chunks [first, last] to one array via the device path.
 

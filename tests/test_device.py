@@ -143,3 +143,105 @@ def test_pipeline_sharded_mesh(tmp_path_):
         assert np.array_equal(out.reshape(-1, 16), arr)
     finally:
         r.close()
+
+
+def test_benchmark_harness_smoke(tmp_path_):
+    from mtscomp_tpu.benchmarks import mtscomp_perf, format_report
+    from mtscomp_tpu.benchmarks.harness import make_dataset
+    arr, sr = make_dataset('small_64', duration=0.3)
+    rows = []
+    for algorithm in ('zlib', 'ans'):
+        row = mtscomp_perf(arr, sr, algorithm=algorithm, device=False,
+                           read_windows=3)
+        assert row['ratio'] > 1.5
+        rows.append(row)
+    report = format_report(rows)
+    assert 'ratio' in report and 'zlib' in report
+
+
+def _cover_table(syms):
+    """Frequency table guaranteed to cover ``syms`` (>=2 present)."""
+    counts = np.bincount(syms, minlength=256)
+    f = rans.quantize_freqs(counts)
+    if f is None:
+        counts[(int(syms[0]) + 1) % 256] += 1
+        f = rans.quantize_freqs(counts)
+    return f
+
+
+def test_device_encode_bit_identical():
+    from mtscomp_tpu.ops.device_rans import encode_groups, compact_words
+    rng = np.random.default_rng(0)
+    R = rans.GROUP_ROWS
+    S = 16
+    N = 3
+    symbols = np.zeros((N, R, S * 128), np.uint8)
+    freqs = np.zeros((N, R, 256), np.int32)
+    counts = np.zeros((N, R), np.int32)
+    refs = []
+    for g in range(N):
+        rows, tables = [], []
+        r_use = [R, R, 5][g]
+        for r in range(r_use):
+            n = int(rng.integers(1, S * 128 + 1)) if r % 3 else S * 128
+            p = rng.dirichlet(np.full(256, float(rng.choice([0.05, 1.0]))))
+            syms = rng.choice(256, size=n, p=p).astype(np.uint8)
+            f = _cover_table(syms)
+            rows.append(syms)
+            tables.append(f)
+            symbols[g, r, :n] = syms
+            freqs[g, r] = f
+            counts[g, r] = n
+        for r in range(r_use, R):
+            freqs[g, r] = rans.quantize_freqs(
+                np.array([1, 1] + [0] * 254, dtype=np.int64))
+        st, wd = rans.rans_encode_group(rows, np.stack(tables))
+        refs.append((st, wd, r_use))
+
+    states, words_dense, emit = encode_groups(
+        jnp.asarray(symbols), jnp.asarray(freqs), jnp.asarray(counts),
+        n_steps=S)
+    wmax = max(1, int(np.asarray(emit).sum(axis=(0, 2)).max()))
+    streams, n_words = compact_words(words_dense, emit, wmax)
+    states, streams = np.asarray(states), np.asarray(streams)
+    n_words = np.asarray(n_words)
+    for g, (st_ref, wd_ref, r_use) in enumerate(refs):
+        assert np.array_equal(states[g, :r_use], st_ref[:r_use])
+        assert n_words[g] == wd_ref.size
+        assert np.array_equal(streams[g, :wd_ref.size], wd_ref)
+
+
+def test_device_encode_batch_byte_identical(tmp_path_):
+    """Device-encoded containers match the host codec byte for byte."""
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    arr = to_int16(make_signal('colored', ns=4 * 3000, nc=24))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12)
+    w.open(path, sample_rate=3000.0, n_channels=24, dtype='int16')
+    chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
+    enc = DeviceBatchEncoder(w)
+    assert enc.supported(chunks[0].shape[0])
+    payloads = enc.encode_batch(np.stack(chunks))
+    assert payloads is not None
+    for chunk, payload in zip(chunks, payloads):
+        host = w.codec.encode(w._transform_chunk(chunk),
+                              order=w.chunk_order)
+        assert payload == host
+    w.close()
+
+
+def test_device_encode_end_to_end(tmp_path_):
+    """compress() with the device encoder forced; verify + cross-decode."""
+    from mtscomp_tpu import compress, decompress
+    arr = to_int16(make_signal('white_sine', ns=6 * 2500, nc=16))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=2500.0, n_channels=16, dtype='int16',
+             algorithm='ans', quiet=True, device='cpu', ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
+    try:
+        assert np.array_equal(r[:], arr)          # host decode
+        assert np.array_equal(decompress_to_array(r), arr)  # device decode
+    finally:
+        r.close()
