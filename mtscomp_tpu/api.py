@@ -145,18 +145,14 @@ class Writer:
         return chunk_idx, (chunk, payload)
 
     def _use_device(self):
-        """Whether batches should encode through the device pipeline."""
-        if self.algorithm != 'ans' or self.config.device == 'none':
-            return False
-        if self.config.device in ('tpu', 'cpu'):
-            return True
-        try:
-            import jax
-        except ImportError:  # pragma: no cover
-            return False
-        if jax.default_backend() != 'cpu':
-            return True
-        return self.n_samples * self.n_channels >= (1 << 22)
+        """Whether batches should encode through the device pipeline.
+
+        Opt-in (device='tpu'/'cpu') for now: the device encode scan is
+        bit-identical but its histogram stage has not had the kernel
+        treatment yet, so the native C++ encoder usually wins.
+        """
+        return (self.algorithm == 'ans'
+                and self.config.device in ('tpu', 'cpu'))
 
     def compress_batch(self, first_chunk, last_chunk):
         """Compress chunks ``[first_chunk, last_chunk)``; returns idx->result."""
