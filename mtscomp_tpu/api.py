@@ -295,6 +295,7 @@ class Reader:
         self.ndim = 2
         self.batch_size = max(1, int(self.config.n_threads))
         self.n_batches = math.ceil(self.n_chunks / self.batch_size)
+        self._dev_cache = None
         self._owns_fd = isinstance(cdata, (str, Path))
         if self._owns_fd:
             if Path(cdata).suffix in ('.bin', '.dat'):  # pragma: no cover
@@ -436,6 +437,18 @@ class Reader:
             return True
         return self.n_samples * self.n_channels >= (1 << 22)
 
+    def _device_window(self, i0, i1):
+        """Random-access window via the device chunk cache (None = host)."""
+        if not self._use_device():
+            return None
+        try:
+            if self._dev_cache is None:
+                from .parallel.pipeline import DeviceChunkCache
+                self._dev_cache = DeviceChunkCache(self)
+            return self._dev_cache.read_window(i0, i1)
+        except NotImplementedError:  # pragma: no cover
+            return None
+
     def to_array(self, first_chunk=0, last_chunk=None):
         """Bulk-decode chunks [first, last] into one ndarray.
 
@@ -533,6 +546,11 @@ class Reader:
             i1 = self._validate_index(item.stop, self.n_samples)
             if i1 <= i0:
                 return fallback
+            win = self._device_window(i0, i1)
+            if win is not None:
+                out = win[::item.step or 1, :]
+                assert out.shape[0] == len(range(i0, i1, item.step or 1))
+                return out
             first_chunk, last_chunk = self._chunks_for_interval(i0, i1)
             chunks = [self.read_chunk(idx, start, length)
                       for idx, start, length

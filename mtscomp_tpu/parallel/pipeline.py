@@ -448,6 +448,58 @@ class DeviceBatchEncoder:
         return payloads
 
 
+class DeviceChunkCache:
+    """Random-access acceleration: decoded chunks cached on the device.
+
+    ``read_window`` decodes the covering chunk(s) on the device (one
+    chunk per call signature, so compiles are reused), keeps the decoded
+    arrays device-resident in a small LRU, slices on device and only
+    downloads the requested window — the analogue of the reference's
+    host-side LRU chunk cache (mtscomp.py:582-588) with the decode and
+    the slicing moved on-chip.
+    """
+
+    def __init__(self, reader, capacity=None):
+        self.reader = reader
+        self.capacity = capacity or reader.cache_size
+        self._cache = {}          # chunk_idx -> device array (ns, C)
+        self._order = []
+
+    def _chunk(self, idx):
+        if idx in self._cache:
+            self._order.remove(idx)
+            self._order.append(idx)
+            return self._cache[idx]
+        r = self.reader
+        ns = r.chunk_bounds[idx + 1] - r.chunk_bounds[idx]
+        parsed = [r.codec.parse(_read_payload(r, idx))]
+        dec = DeviceBatchDecoder(r)
+        if not dec.supported(parsed, ns):  # pragma: no cover
+            raise NotImplementedError("unsupported chunk for device cache")
+        fn, args = dec.pack(parsed, ns)
+        out = fn(*args)[0]        # (ns, C), stays on device
+        self._cache[idx] = out
+        self._order.append(idx)
+        while len(self._order) > self.capacity:
+            evict = self._order.pop(0)
+            del self._cache[evict]
+        return out
+
+    def read_window(self, i0, i1):
+        """Decoded samples [i0, i1) as a host ndarray."""
+        import jax.numpy as jnp
+        r = self.reader
+        first, last = r._chunks_for_interval(i0, max(i0, i1 - 1))
+        parts = []
+        for idx in range(first, last + 1):
+            c0, c1 = r.chunk_bounds[idx], r.chunk_bounds[idx + 1]
+            a = max(i0, c0) - c0
+            b = min(i1, c1) - c0
+            parts.append(self._chunk(idx)[a:b])
+        dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return np.asarray(dev)
+
+
 def decompress_to_array(reader, first_chunk=0, last_chunk=None):
     """Bulk-decode chunks [first, last] to one array via the device path.
 

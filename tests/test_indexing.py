@@ -14,16 +14,19 @@ from conftest import SAMPLE_RATE, N_CHANNELS, N_SAMPLES, write_arr, to_int16, \
     make_signal
 
 
-@pytest.fixture(scope='module', params=['zlib', 'ans'])
+@pytest.fixture(scope='module', params=['zlib', 'ans', 'ans-device'])
 def reader_and_arr(request, tmp_path_factory):
+    algorithm = request.param.split('-')[0]
+    device = 'cpu' if request.param.endswith('device') else None
     tmp = tmp_path_factory.mktemp('idx_%s' % request.param)
     arr = to_int16(make_signal('colored'))
     path = write_arr(tmp / 'data.bin', arr)
     compress(path, tmp / 'data.cbin', tmp / 'data.ch',
              sample_rate=SAMPLE_RATE, n_channels=arr.shape[1],
-             dtype=arr.dtype, algorithm=request.param, quiet=True,
+             dtype=arr.dtype, algorithm=algorithm, quiet=True,
              cache_size=2)
-    r = decompress(tmp / 'data.cbin', tmp / 'data.ch')
+    r = decompress(tmp / 'data.cbin', tmp / 'data.ch', device=device,
+                   ans_seg_log2=12)
     yield r, arr
     r.close()
 
@@ -139,6 +142,11 @@ def test_chunks_for_interval(reader_and_arr):
 
 def test_lru_cache(reader_and_arr):
     r, arr = reader_and_arr
+    if r._use_device():
+        # Device variant: decoded chunks live in the device LRU instead.
+        _ = r[0:10]
+        assert r._dev_cache is not None and len(r._dev_cache._cache) >= 1
+        return
     r.read_chunk.cache_clear()
     _ = r[0:10]
     _ = r[0:10]
