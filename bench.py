@@ -83,7 +83,10 @@ def main():
 
         def run_once():
             o = fn(*dev_args)
-            return float(jnp.sum(o.astype(jnp.float32)))
+            # Slice checksum: o is fully materialized in HBM by fn (the
+            # slice is a separate dispatch on the result); summing the
+            # whole array would add a full extra HBM pass to the timing.
+            return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
 
         run_once()
         reps = int(os.environ.get('BENCH_REPS', '5'))

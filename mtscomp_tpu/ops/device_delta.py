@@ -71,6 +71,11 @@ def _cumsum_kernel(x_ref, out_ref, carry_ref):
     Grid is (B, C_tiles, T_tiles) with the time dimension innermost, so
     ``carry_ref`` (the running per-channel sum, wrapped to int16) is
     reset whenever a new (batch, channel-tile) stripe starts.
+
+    The in-tile scan is a Hillis-Steele ladder of sublane rolls in int32
+    (exact; wrapping to int16 at the end gives np.cumsum(dtype=int16)
+    semantics). log2(Tt) vector ops beat a triangular MXU matmul, which
+    would need HIGHEST precision to be exact.
     """
     t = pl.program_id(2)
 
@@ -78,29 +83,22 @@ def _cumsum_kernel(x_ref, out_ref, carry_ref):
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    x = x_ref[0].astype(jnp.float32)                      # (Tt, Ct), exact
+    x = x_ref[0].astype(jnp.int32)                        # (Tt, Ct)
     tt = x.shape[0]
-    # Lower-triangular ones (incl. diagonal): prefix[i] = sum_{j<=i} x[j].
+    # MXU prefix: split into unsigned bytes so bf16 inputs stay exact
+    # (values <= 255; MXU accumulates in f32, exact below 2^24) —
+    # avoids the 3x cost of HIGHEST-precision f32 emulation.
+    lo = (x & 255).astype(jnp.float32)
+    hi = ((x >> 8) & 255).astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 1)
     tri = (col <= row).astype(jnp.float32)
-    # MXU matmul; partial sums bounded by Tt * 2^15 < 2^24 so f32 is exact,
-    # but ONLY at HIGHEST precision (default MXU f32 is bf16-pass emulated
-    # and loses low bits — verified on v5e).
-    prefix = jax.lax.dot(tri, x, precision=jax.lax.Precision.HIGHEST)
-    # Wrap each prefix to int16 (mod 2^16), then add the carried offset in
-    # int16 so the running total wraps exactly like np.cumsum(dtype=int16).
-    wrapped = _wrap_i16(prefix)
-    out = wrapped + carry_ref[...]                        # int16 add, wraps
+    p_lo = jax.lax.dot(tri, lo, preferred_element_type=jnp.float32)
+    p_hi = jax.lax.dot(tri, hi, preferred_element_type=jnp.float32)
+    prefix = p_lo.astype(jnp.int32) + (p_hi.astype(jnp.int32) << 8)
+    out = prefix.astype(jnp.int16) + carry_ref[...]       # int16 add, wraps
     out_ref[0] = out
     carry_ref[...] = out[-1:, :]
-
-
-def _wrap_i16(f):
-    """f32 (integer-valued) -> int16 with mod-2^16 wrapping semantics."""
-    m = jnp.mod(f, 65536.0)                               # [0, 65536)
-    m = jnp.where(m >= 32768.0, m - 65536.0, m)           # [-32768, 32768)
-    return m.astype(jnp.int16)
 
 
 @functools.partial(jax.jit, static_argnames=('t_tile', 'interpret'))
@@ -148,17 +146,10 @@ def cumsum_time(d, use_pallas=None, interpret=False):
     if not use_pallas:
         return cumsum_time_jnp(d)
     B, T, C = d.shape
-    t_tile = 256 if T % 256 == 0 else None
-    if t_tile is None:
-        for cand in (512, 256, 128, 64, 32, 16, 8):
-            if T % cand == 0:
-                t_tile = cand
-                break
-    if t_tile is None:
-        dp = pad_to(d, 256, axis=1)     # zero rows add nothing to the scan
-        dp = pad_to(dp, 128, axis=2)
-        out = cumsum_time_pallas(dp, t_tile=256, interpret=interpret)
-        return out[:, :T, :C]
-    dp = pad_to(d, 128, axis=2)
+    # 128-row tiles: the O(Tt^2) triangular matmul stays cheap and the
+    # grid stays modest; zero-pad tails (they contribute nothing).
+    t_tile = 128
+    dp = pad_to(d, t_tile, axis=1)
+    dp = pad_to(dp, 128, axis=2)
     out = cumsum_time_pallas(dp, t_tile=t_tile, interpret=interpret)
-    return out[:, :, :C] if dp.shape[2] != C else out
+    return out[:, :T, :C]

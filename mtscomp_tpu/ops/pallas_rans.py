@@ -40,7 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.rans import SCALE_BITS, LANES, GROUP_ROWS
 
 R = GROUP_ROWS
-WINDOW_ROWS = R + 2                   # word rows one step can span
+
+
+def window_rows(r):
+    # Word rows one step of an r-row group can span.
+    return r + 2
+
+
+WINDOW_ROWS = window_rows(R)
 
 
 def _srl(x, n):
@@ -51,6 +58,8 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
             out_ref, *, n_steps4, small_alpha):
     x0 = states_ref[0].astype(jnp.int32)                    # (R,128)
     counts = counts_ref[0]                                  # (R,128) i32
+    R = x0.shape[0]
+    WROWS = window_rows(R)
 
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -59,7 +68,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
     triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
             ).astype(jnp.float32)
-    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WINDOW_ROWS), 1)
+    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WROWS), 1)
 
     def lookup_coarse(idx):
         # 256-entry table as two 128-lane rows (re-read from VMEM at each
@@ -103,9 +112,11 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
                           ).astype(jnp.int32)
         row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
         run = row_tot
-        for k in (1, 2, 4, 8, 16):
+        k = 1
+        while k < R:
             rolled = pltpu.roll(run, shift=k, axis=0)
             run = run + jnp.where(row_id >= k, rolled, 0)
+            k *= 2
         row_off = run - row_tot
         rank = (inc - m) + row_off                  # exclusive, row-major
         # Word fetch, two phases: (1) each target row's words span at
@@ -115,7 +126,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
         widx = (pos & 127) + rank
         first = (pos & 127) + row_off               # row's first word idx
         brow = _srl(first, 7)                       # 0 .. WINDOW_ROWS-2
-        window = words_ref[0, pl.ds(_srl(pos, 7), WINDOW_ROWS), :]
+        window = words_ref[0, pl.ds(_srl(pos, 7), WROWS), :]
         brow_c = brow[:, 0:1]                       # row-constant
         onehot0 = (wrow_iota == brow_c).astype(jnp.float32)
         onehot1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
@@ -137,7 +148,9 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
     def body(s, carry):
         x, pos = carry
         x, pos, val = substep(s, x, pos)
-        out_ref[0, pl.ds(s, 1)] = val.astype(jnp.uint8)[None]
+        # Row-linear output: step s's lane j of row r is row r's symbol
+        # s*128 + j, so segments come out contiguous (no transpose pass).
+        out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
         return x, pos
 
     jax.lax.fori_loop(0, n_steps4 * 4, body, (x0, jnp.int32(0)))
@@ -147,7 +160,10 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
                                              'small_alpha'))
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                          *, n_steps, interpret=False, small_alpha=False):
-    """Decode N groups on TPU; returns (N, 4*ceil(S/4), R, 128) i32 symbols.
+    """Decode N groups on TPU; returns (N, R, 4*ceil(S/4)*128) u8 symbols.
+
+    Output is row-linear: ``out[n, r]`` is segment row r's symbol stream
+    (no reassembly transpose needed downstream).
 
     states    (N, R, 128) uint32
     words_u16 (N, WR, 128) uint16 — merged streams, row-padded, with
@@ -158,7 +174,7 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
     small_alpha: all tables have <= 128 present symbols (single-row
               dense lookups; caller asserts)
     """
-    N = states.shape[0]
+    N, R_in, _ = states.shape
     WR = words_u16.shape[1]
     S4 = -(-max(n_steps, 1) // 4)
     words_i32 = words_u16.astype(jnp.int32)
@@ -166,24 +182,25 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
         functools.partial(_kernel, n_steps4=S4, small_alpha=small_alpha),
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, R, LANES), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, R_in, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, LANES), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, R_in, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 2, LANES), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 2, LANES), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WR, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S4 * 4, R, LANES),
-                               lambda n: (n, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, R_in, S4 * 4 * LANES),
+                               lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, S4 * 4, R, LANES), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((N, R_in, S4 * 4 * LANES),
+                                       jnp.uint8),
         interpret=interpret,
     )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, words_i32)
-    return out.astype(jnp.int32)
+    return out
 
 
 def pack_device_tables(freqs):

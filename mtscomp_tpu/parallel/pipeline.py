@@ -22,6 +22,7 @@ import numpy as np
 from ..codec.ans import MODE_RAW, MODE_RANS, MODE_CONST
 from ..models.rans import LANES, GROUP_ROWS, RANS_L
 from ..utils.misc import logger
+from ..utils.trace import phase
 
 
 def _jax():
@@ -64,18 +65,19 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
         if rans_planes:
             if use_pallas:
+                # Kernel output is already row-linear (N, R, steps*128).
                 syms = decode_groups_pallas(states, words, coarse_pk,
                                             dense_pk, counts_b, n_steps=S,
                                             small_alpha=small_alpha)
-                syms = syms[:, :S].astype(jnp.uint8)
+                rows = syms.reshape(B, G * GROUP_ROWS, -1)
             else:
                 syms = decode_groups(
                     states, words.reshape(words.shape[0], -1),
                     freqs, counts, n_steps=S)
-            # (B*G, S, 8, 128) -> (B, G*8 rows, S*128) -> per-plane bytes
-            rows = syms.reshape(B, G, S, GROUP_ROWS, LANES)
-            rows = jnp.transpose(rows, (0, 1, 3, 2, 4))
-            rows = rows.reshape(B, G * GROUP_ROWS, S * LANES)
+                # (B*G, S, R, 128) -> (B, G*R rows, S*128)
+                rows = syms.reshape(B, G, S, GROUP_ROWS, LANES)
+                rows = jnp.transpose(rows, (0, 1, 3, 2, 4))
+                rows = rows.reshape(B, G * GROUP_ROWS, S * LANES)
             rows = rows[:, :n_rows, :seg_eff]
             planes = rows.reshape(B, len(rans_planes), n_seg * seg_eff)
             planes = planes[:, :, :n_elems]
@@ -139,8 +141,12 @@ class DeviceBatchDecoder:
 
     def decode_batch(self, parsed_list, n_samples, mesh=None):
         """Returns (B, n_samples, n_channels) decoded ndarray."""
-        fn, args = self.pack(parsed_list, n_samples, mesh=mesh)
-        return np.asarray(fn(*args))
+        with phase('decode.pack'):
+            fn, args = self.pack(parsed_list, n_samples, mesh=mesh)
+        with phase('decode.device'):
+            out = fn(*args)
+        with phase('decode.fetch'):
+            return np.asarray(out)
 
     def pack(self, parsed_list, n_samples, mesh=None):
         """Stage a batch: build device arrays + the compiled decode fn.
@@ -326,7 +332,8 @@ class DeviceBatchEncoder:
         transform = _build_transform_fn(
             B, T, C, str(self.dtype), self.order, bool(w.do_time_diff),
             bool(w.do_spatial_diff), True)
-        planes_d, hists_d, head_d = transform(jnp.asarray(chunks))
+        with phase('encode.transform'):
+            planes_d, hists_d, head_d = transform(jnp.asarray(chunks))
         hists = np.asarray(hists_d)
         heads = np.asarray(head_d)
         n_coded = (T - 1) * C

@@ -121,3 +121,17 @@ def test_chunk_bounds():
     assert compute_chunk_bounds(6997, 1234.0, 1.0) == \
         [0, 1234, 2468, 3702, 4936, 6170, 6997]
     assert compute_chunk_bounds(5, 10.0, 1.0) == [0, 5]
+
+
+def test_phase_tracing():
+    from mtscomp_tpu.utils import trace
+    trace.enable_tracing(True)
+    trace.reset_stats()
+    with trace.phase('unit-test'):
+        pass
+    stats = trace.phase_stats()
+    trace.enable_tracing(False)
+    assert stats['unit-test'][0] == 1
+    with trace.phase('off'):
+        pass
+    assert 'off' not in trace.phase_stats()
