@@ -127,6 +127,59 @@ def cumsum_time_pallas(d, t_tile=256, interpret=False):
     )(d)
 
 
+def _cumsum_t_kernel(x_ref, out_ref, carry_ref):
+    """Fused transpose + time scan: (128 ch, 128 t) tile -> (128 t, 128 ch).
+
+    Input is channel-major (chunk elements in F order, one row per
+    channel); the scan runs along lanes (time) via byte-split MXU
+    matmuls, then the tile is transposed on write — merging what would
+    otherwise be separate transpose and scan passes over HBM.
+    """
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    x = x_ref[0].astype(jnp.int32)                        # (128c, 128t)
+    lo = (x & 255).astype(jnp.float32)
+    hi = ((x >> 8) & 255).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    triu = (row <= col).astype(jnp.float32)               # prefix over t
+    p_lo = jax.lax.dot(lo, triu, preferred_element_type=jnp.float32)
+    p_hi = jax.lax.dot(hi, triu, preferred_element_type=jnp.float32)
+    prefix = p_lo.astype(jnp.int32) + (p_hi.astype(jnp.int32) << 8)
+    out = prefix.astype(jnp.int16) + carry_ref[...]       # wraps mod 2^16
+    carry_ref[...] = out[:, -1:]
+    out_ref[0] = out.T
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def cumsum_time_transposed(elems, interpret=False):
+    """(B, C, T) channel-major int16 -> (B, T, C) integrated samples.
+
+    Computes the in-dtype time cumsum AND the layout transpose in one
+    pass. Requires T % 128 == 0 and C % 128 == 0 (callers pad; padded
+    channels produce garbage columns to trim, padded time extends the
+    last value).
+    """
+    B, C, T = elems.shape
+    assert elems.dtype == jnp.int16
+    assert T % 128 == 0 and C % 128 == 0
+    return pl.pallas_call(
+        _cumsum_t_kernel,
+        grid=(B, C // 128, T // 128),
+        in_specs=[pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, t),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, t, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((128, 1), jnp.int16)],
+        interpret=interpret,
+    )(elems)
+
+
 def pad_to(x, multiple, axis):
     """Zero-pad ``axis`` up to the next multiple (no-op when aligned)."""
     size = x.shape[axis]

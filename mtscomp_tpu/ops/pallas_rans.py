@@ -54,8 +54,8 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
-            out_ref, *, n_steps4, small_alpha):
+def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
+            words_ref, out_ref, *, n_steps4, small_alpha, fuse16):
     x0 = states_ref[0].astype(jnp.int32)                    # (R,128)
     counts = counts_ref[0]                                  # (R,128) i32
     R = x0.shape[0]
@@ -87,6 +87,17 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
         hi = jnp.take_along_axis(dense_ref[0, :, 1, :], col, axis=1)
         return jnp.where(idx < 128, lo, hi)
 
+    def lookup_elem(idx):
+        # Dense id -> final 16-bit element (plane-combined + un-zigzagged
+        # on the host when building the table).
+        if small_alpha:
+            return jnp.take_along_axis(elem_ref[0, :, 0, :], idx & 127,
+                                       axis=1)
+        col = idx & 127
+        lo = jnp.take_along_axis(elem_ref[0, :, 0, :], col, axis=1)
+        hi = jnp.take_along_axis(elem_ref[0, :, 1, :], col, axis=1)
+        return jnp.where(idx < 128, lo, hi)
+
     def substep(s, x, pos):
         active = (s * LANES + lane_col) < counts
         slot = x & 4095
@@ -101,7 +112,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
         pk = lookup_dense(did)
         cum = pk & 4095
         f = _srl(pk, 12) & 4095
-        val = _srl(pk, 24)
+        val = lookup_elem(did) if fuse16 else _srl(pk, 24)
         # rANS inverse update (mod 2^32 in int32).
         x = jnp.where(active, f * _srl(x, SCALE_BITS) + slot - cum, x)
         # Renorm ranks: MXU prefix along lanes + sublane scan of totals.
@@ -150,7 +161,10 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, words_ref,
         x, pos, val = substep(s, x, pos)
         # Row-linear output: step s's lane j of row r is row r's symbol
         # s*128 + j, so segments come out contiguous (no transpose pass).
-        out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
+        if fuse16:
+            out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.int16)
+        else:
+            out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
         return x, pos
 
     jax.lax.fori_loop(0, n_steps4 * 4, body, (x0, jnp.int32(0)))
@@ -174,17 +188,50 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
     small_alpha: all tables have <= 128 present symbols (single-row
               dense lookups; caller asserts)
     """
+    return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
+                               None, counts_b, n_steps=n_steps,
+                               interpret=interpret,
+                               small_alpha=small_alpha)
+
+
+@functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
+                                             'small_alpha'))
+def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
+                           counts_b, *, n_steps, interpret=False,
+                           small_alpha=False):
+    """Fused variant: emits final int16 elements, (N, R, steps*128).
+
+    ``elem_pk`` maps each dense symbol id to the fully decoded 16-bit
+    element (plane combination and inverse zigzag folded into the table
+    on the host), skipping the separate combine/zigzag HBM pass. Only
+    valid when exactly one plane is entropy-coded and the others are
+    constant per chunk.
+    """
+    return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
+                               elem_pk, counts_b, n_steps=n_steps,
+                               interpret=interpret,
+                               small_alpha=small_alpha)
+
+
+def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
+                        counts_b, *, n_steps, interpret, small_alpha):
+    fuse16 = elem_pk is not None
     N, R_in, _ = states.shape
     WR = words_u16.shape[1]
     S4 = -(-max(n_steps, 1) // 4)
     words_i32 = words_u16.astype(jnp.int32)
+    if not fuse16:
+        elem_pk = dense_pk     # unused placeholder with matching shape
     out = pl.pallas_call(
-        functools.partial(_kernel, n_steps4=S4, small_alpha=small_alpha),
+        functools.partial(_kernel, n_steps4=S4, small_alpha=small_alpha,
+                          fuse16=fuse16),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R_in, LANES), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R_in, 2, LANES), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -196,11 +243,31 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
         out_specs=pl.BlockSpec((1, R_in, S4 * 4 * LANES),
                                lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, R_in, S4 * 4 * LANES),
-                                       jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, R_in, S4 * 4 * LANES),
+            jnp.int16 if fuse16 else jnp.uint8),
         interpret=interpret,
-    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, words_i32)
+    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, elem_pk,
+      words_i32)
     return out
+
+
+def pack_elem_table(freqs, hi_const=0, dtype=np.int16):
+    """Dense-id -> final int16 element table for the fused (16-bit) decode.
+
+    Combines the entropy-coded low byte with the chunk's constant high
+    byte and inverts zigzag, so the kernel emits finished elements.
+    Returns a (2, 128) int32 table of raw u16 bit patterns.
+    """
+    from ..models.rans import zigzag_decode
+    freqs = np.asarray(freqs, dtype=np.int64)
+    present = np.flatnonzero(freqs)
+    z = (present.astype(np.uint16)
+         | np.uint16(int(hi_const) << 8)).astype(np.uint16)
+    elems = zigzag_decode(z, np.dtype(dtype)).view(np.uint16)
+    table = np.zeros(256, dtype=np.int64)
+    table[:present.size] = elems
+    return table.astype(np.uint32).view(np.int32).reshape(2, 128)
 
 
 def pack_device_tables(freqs):

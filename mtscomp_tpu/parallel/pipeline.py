@@ -45,7 +45,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     from ..ops.device_rans import decode_groups
     from ..ops.pallas_rans import decode_groups_pallas
     from ..ops.device_delta import (cumsum_time, cumsum_time_jnp,
-                                    cumsum_space_jnp, zigzag_decode_jnp)
+                                    cumsum_space_jnp, cumsum_time_transposed,
+                                    pad_to, zigzag_decode_jnp)
 
     dtype = np.dtype(dtype_str)
     Tc = T - 1 if has_head else T       # rows covered by the coded planes
@@ -91,6 +92,18 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             elems = zigzag_decode_jnp(acc, dtype)
         else:
             elems = acc.astype(dtype)
+        if (use_pallas and order == 'F' and do_time_diff
+                and not do_spatial_diff and dtype == np.int16):
+            # Fused finalize: channel-major elements (with the verbatim
+            # head as column 0, so the scan emits it as sample 0) go
+            # through one transpose+scan kernel — one HBM pass instead
+            # of separate transpose and cumsum passes.
+            ct = elems.reshape(B, C, Tc)
+            if has_head:
+                ct = jnp.concatenate([heads[:, :, None], ct], axis=2)
+            T_out = ct.shape[2]
+            ct = pad_to(pad_to(ct, 128, axis=2), 128, axis=1)
+            return cumsum_time_transposed(ct)[:, :T_out, :C]
         if order == 'F':
             chunks = jnp.transpose(elems.reshape(B, C, Tc), (0, 2, 1))
         else:

@@ -245,3 +245,32 @@ def test_device_encode_end_to_end(tmp_path_):
         assert np.array_equal(decompress_to_array(r), arr)  # device decode
     finally:
         r.close()
+
+
+def test_fused16_kernel_interpret():
+    """decode_groups_pallas16 emits finished int16 elements (interpret)."""
+    from mtscomp_tpu.ops.pallas_rans import (decode_groups_pallas16,
+                                             pack_device_tables,
+                                             pack_elem_table, window_rows)
+    rng = np.random.default_rng(0)
+    R = rans.GROUP_ROWS
+    SEG = 512
+    d = np.round(rng.normal(0, 6, size=R * SEG)).astype(np.int16)
+    z = rans.zigzag_encode(d)
+    lo = (z & 255).astype(np.uint8)
+    assert (z >> 8).max() == 0
+    f = rans.quantize_freqs(np.bincount(lo, minlength=256))
+    rows = [lo[r * SEG:(r + 1) * SEG] for r in range(R)]
+    st, wd = rans.rans_encode_group(rows, np.tile(f, (R, 1)))
+    WR = -(-wd.size // 128) + window_rows(R)
+    words = np.zeros((1, WR, 128), np.uint16)
+    words.reshape(-1)[:wd.size] = wd
+    cp, dp = pack_device_tables(f)
+    ep = pack_elem_table(f, hi_const=0, dtype=np.int16)
+    tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
+    out = decode_groups_pallas16(
+        jnp.asarray(st[None].astype(np.uint32)), jnp.asarray(words),
+        tile(cp), tile(dp), tile(ep),
+        jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
+        n_steps=SEG // 128, interpret=True)
+    assert np.array_equal(np.asarray(out)[0].reshape(-1), d)
