@@ -43,8 +43,10 @@ R = GROUP_ROWS
 
 
 def window_rows(r):
-    # Word rows one step of an r-row group can span.
-    return r + 2
+    # Word rows one step of an r-row group can span: up to 8 alignment
+    # rows (u16 sublane slices must start at a multiple of 8) + 1 row of
+    # in-row offset + r rows of ranks + 1 boundary row.
+    return r + 10
 
 
 WINDOW_ROWS = window_rows(R)
@@ -134,16 +136,22 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         # most two consecutive stream rows; bring those to the row with
         # one-hot MXU row-selects (u16 word values are f32-exact);
         # (2) per-lane shuffle within the two rows.
-        widx = (pos & 127) + rank
-        first = (pos & 127) + row_off               # row's first word idx
-        brow = _srl(first, 7)                       # 0 .. WINDOW_ROWS-2
-        window = words_ref[0, pl.ds(_srl(pos, 7), WROWS), :]
+        # Window base aligned to 8 rows (u16 sublane slice constraint).
+        base = pl.multiple_of(_srl(pos, 10) * 8, 8)
+        pos_off = pos - (base << 7)                 # [0, 1024+?): in-window
+        widx = pos_off + rank
+        first = pos_off + row_off                   # row's first word idx
+        brow = _srl(first, 7)                       # 0 .. WROWS-2
+        # The stream stays u16 in VMEM (half the block DMA); only the
+        # active window is widened in-register.
+        window = words_ref[0, pl.ds(base, WROWS), :]
         brow_c = brow[:, 0:1]                       # row-constant
         onehot0 = (wrow_iota == brow_c).astype(jnp.float32)
         onehot1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
         # HIGHEST precision: u16 word values exceed bf16's mantissa, and
-        # the default MXU f32 path is bf16-emulated.
-        wf = window.astype(jnp.float32)
+        # the default MXU f32 path is bf16-emulated. (Mosaic has no
+        # direct u16->f32 cast; widen to i32 first.)
+        wf = window.astype(jnp.int32).astype(jnp.float32)
         w0 = jax.lax.dot(onehot0, wf,
                          precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
         w1 = jax.lax.dot(onehot1, wf,
@@ -219,7 +227,6 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
     N, R_in, _ = states.shape
     WR = words_u16.shape[1]
     S4 = -(-max(n_steps, 1) // 4)
-    words_i32 = words_u16.astype(jnp.int32)
     if not fuse16:
         elem_pk = dense_pk     # unused placeholder with matching shape
     out = pl.pallas_call(
@@ -248,7 +255,7 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
             jnp.int16 if fuse16 else jnp.uint8),
         interpret=interpret,
     )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, elem_pk,
-      words_i32)
+      words_u16)
     return out
 
 

@@ -186,3 +186,27 @@ def test_sample_rate_required(tmp_path_):
 def test_unsupported_algorithm(tmp_path_):
     with pytest.raises(ValueError):
         Writer(algorithm='lz4')
+
+
+def test_decompress_pool_concurrent(tmp_path_, algorithm):
+    """Overlapping chunk sets through a shared thread pool (reference
+    tests.py:413-430): results stay correctly keyed and the LRU holds."""
+    np.random.seed(17)
+    arr = to_int16(np.random.normal(size=(6000, 7)))
+    path = write_arr(tmp_path_ / 'data.bin', arr)
+    compress(path, tmp_path_ / 'data.cbin', tmp_path_ / 'data.ch',
+             sample_rate=1000.0, n_channels=7, dtype=arr.dtype,
+             algorithm=algorithm, quiet=True)
+    r = decompress(tmp_path_ / 'data.cbin', tmp_path_ / 'data.ch',
+                   cache_size=2, n_threads=4)
+    try:
+        pool = r.start_thread_pool()
+        for ids in (range(0, 4), range(2, 6), range(0, 6), range(5, 6)):
+            out = r.decompress_chunks(list(ids), pool)
+            assert set(out) == set(ids)
+            for idx in ids:
+                i0, i1 = r.chunk_bounds[idx], r.chunk_bounds[idx + 1]
+                assert np.array_equal(out[idx], arr[i0:i1])
+        r.stop_thread_pool()
+    finally:
+        r.close()
