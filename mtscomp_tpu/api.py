@@ -475,12 +475,18 @@ class Reader:
                     "specify another output path." % out)
             out.unlink()
         use_device = self._use_device()
+        # The device pipeline amortizes per-batch overhead over bigger
+        # chunk batches than the CPU thread pool would use.
+        batch_size = self.batch_size
+        if use_device:
+            batch_size = max(batch_size, int(self.config.batch_chunks) or 8)
+        n_batches = math.ceil(self.n_chunks / batch_size)
         self.start_thread_pool()
         with open(out, 'wb') as fb:
-            for batch in progress(range(self.n_batches), desc='Decompressing',
+            for batch in progress(range(n_batches), desc='Decompressing',
                                   disable=self.quiet):
-                first = self.batch_size * batch
-                last = min(self.batch_size * (batch + 1), self.n_chunks)
+                first = batch_size * batch
+                last = min(batch_size * (batch + 1), self.n_chunks)
                 if use_device:
                     fb.write(np.ascontiguousarray(
                         self.to_array(first, last - 1)))
