@@ -37,7 +37,12 @@ def main():
     from mtscomp_tpu import compress, decompress
     from mtscomp_tpu.parallel.pipeline import decompress_to_array
 
-    seconds = int(os.environ.get('BENCH_SECONDS', '8'))
+    try:
+        import jax
+        on_accel = jax.default_backend() != 'cpu'
+    except Exception:  # pragma: no cover
+        on_accel = False
+    seconds = int(os.environ.get('BENCH_SECONDS', '8' if on_accel else '2'))
     T, C, SR = 30000, 385, 30000.0
     rng = np.random.default_rng(0)
     arr = np.cumsum(rng.normal(0.0, 6.0, size=(T * seconds, C)),
@@ -89,7 +94,7 @@ def main():
             return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
 
         run_once()
-        reps = int(os.environ.get('BENCH_REPS', '5'))
+        reps = int(os.environ.get('BENCH_REPS', '5' if on_accel else '1'))
         times = []
         for _ in range(reps):
             t1 = time.time()

@@ -554,3 +554,41 @@ def _read_payload(reader, idx):
     start = reader.chunk_offsets[idx]
     length = reader.chunk_offsets[idx + 1] - start
     return pread_exact(reader.cdata, length, start)
+
+
+def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
+    """Decode the same chunk range of several recordings (multi-probe).
+
+    The probes' chunk batches are concatenated and decoded in one device
+    call — optionally sharded across a mesh (BASELINE config 4: N probes
+    chunk-parallel across chips). All probes must share geometry
+    (channels, chunk sizes, dtype, plane modes). Returns a list of
+    ``(n_samples, n_channels)`` arrays, one per reader.
+
+    Falls back to per-reader :func:`decompress_to_array` when the
+    batches cannot be merged.
+    """
+    assert readers
+    last = readers[0].n_chunks - 1 if last_chunk is None else last_chunk
+    n_chunks = last - first_chunk + 1
+    parsed_all, ns = [], None
+    mergeable = all(r.algorithm == 'ans' for r in readers)
+    if mergeable:
+        for r in readers:
+            bounds = r.chunk_bounds
+            sizes = {bounds[i + 1] - bounds[i]
+                     for i in range(first_chunk, last + 1)}
+            if len(sizes) != 1 or (ns is not None and sizes != {ns}):
+                mergeable = False
+                break
+            ns = sizes.pop()
+            parsed_all.extend(r.codec.parse(_read_payload(r, i))
+                              for i in range(first_chunk, last + 1))
+    if mergeable:
+        dec = DeviceBatchDecoder(readers[0])
+        if dec.supported(parsed_all, ns):
+            out = dec.decode_batch(parsed_all, ns, mesh=mesh)
+            per = out.reshape(len(readers), n_chunks * ns, -1)
+            return [per[i] for i in range(len(readers))]
+    return [decompress_to_array(r, first_chunk, last)  # pragma: no cover
+            for r in readers]

@@ -274,3 +274,29 @@ def test_fused16_kernel_interpret():
         jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
         n_steps=SEG // 128, interpret=True)
     assert np.array_equal(np.asarray(out)[0].reshape(-1), d)
+
+
+def test_multi_probe_mesh(tmp_path_):
+    """BASELINE config 4: multiple probes decoded chunk-parallel on the
+    virtual mesh in one sharded device call."""
+    from mtscomp_tpu.parallel.mesh import chunk_mesh
+    from mtscomp_tpu.parallel.pipeline import decompress_multi
+    readers, truths = [], []
+    for probe in range(4):
+        arr = to_int16(make_signal('colored', ns=2 * 2000, nc=16)) + probe
+        path = write_arr(tmp_path_ / f'p{probe}.bin', arr)
+        compress(path, tmp_path_ / f'p{probe}.cbin',
+                 tmp_path_ / f'p{probe}.ch', sample_rate=2000.0,
+                 n_channels=16, dtype='int16', algorithm='ans',
+                 quiet=True, ans_seg_log2=12)
+        readers.append(decompress(tmp_path_ / f'p{probe}.cbin',
+                                  tmp_path_ / f'p{probe}.ch'))
+        truths.append(arr)
+    try:
+        mesh = chunk_mesh(jax.devices('cpu')[:8])
+        outs = decompress_multi(readers, mesh=mesh)
+        for got, want in zip(outs, truths):
+            assert np.array_equal(got, want)
+    finally:
+        for r in readers:
+            r.close()
