@@ -60,8 +60,9 @@ class Writer:
         self.n_threads = max(1, int(config.n_threads))
         self.check_after_compress = config.check_after_compress
         self.before_check = before_check or (lambda w: None)
-        self.codec = get_codec(self.algorithm,
-                               seg_log2=config.get('ans_seg_log2', 17))
+        self.codec = get_codec(
+            self.algorithm, seg_log2=config.get('ans_seg_log2', 16),
+            channel_aligned=config.get('ans_channel_segments', True))
         self.data = None
         self._pool = None
 
@@ -288,7 +289,7 @@ class Reader:
         self.chunk_order = self.cmeta.get('chunk_order', 'F')
         self.algorithm = self.cmeta.get('algorithm', 'zlib')
         self.codec = get_codec(self.algorithm,
-                               seg_log2=self.cmeta.get('ans_seg_log2', 17))
+                               seg_log2=self.cmeta.get('ans_seg_log2', 16))
         self.n_samples = self.chunk_bounds[-1]
         self.n_chunks = len(self.chunk_bounds) - 1
         self.shape = (self.n_samples, self.n_channels)

@@ -21,10 +21,12 @@ Chunk container layout (all little-endian)::
       u8   container version (2)
       u8   n_planes (= dtype itemsize)
       u8   flags   (bit0: zigzag applied to elements,
-                    bit1: first row stored verbatim)
+                    bit1: first row stored verbatim,
+                    bit2: channel-aligned segments — requires bit1)
       u8   scale_bits (12)
       u32  n_elems (elements in the chunk)
-      u8   seg_log2 (symbols per segment = 1 << seg_log2, >= 7)
+      u8   seg_log2 (bit2 clear: symbols per segment = 1 << seg_log2;
+                     bit2 set: k = channels per segment)
       u8   min_freq (8)
       u8   group_rows (segments per group, 32)
       u8   reserved
@@ -46,7 +48,17 @@ Chunk container layout (all little-endian)::
         u16 word[n_words[g]]
 
 Segments are derived, not stored: RANS planes in index order contribute
-``ceil(n_elems / seg)`` segments each; the flat list is grouped by 8.
+``ceil(n_coded / seg)`` segments each; the flat list is grouped by
+``group_rows``.
+
+Channel-aligned mode (flags bit2, the TPU fast layout): with
+``C = n_head`` channels and ``Tcs = n_coded / C`` diffed samples per
+channel, each channel's plane stream is padded with zero symbols to
+``Tp = ceil(Tcs / 128) * 128`` and segments hold ``k`` whole channels
+(``seg = k * Tp``). Decoded rows then ARE the (channel, time) layout —
+the device pipeline reshapes instead of re-gathering. Pads cost a few
+hundredths of a bit per symbol; decoders drop them by slicing
+``(C, Tp)[:, :Tcs]``.
 """
 
 import struct
@@ -112,10 +124,12 @@ class AnsCodec:
     name = 'ans'
     format_version = '2.0'
 
-    def __init__(self, seg_log2=DEFAULT_SEG_LOG2, **kwargs):
+    def __init__(self, seg_log2=DEFAULT_SEG_LOG2, channel_aligned=True,
+                 **kwargs):
         self.seg_log2 = int(seg_log2)
         assert 7 <= self.seg_log2 <= 24
         self.seg = 1 << self.seg_log2
+        self.channel_aligned = bool(channel_aligned)
 
     # --- encode -----------------------------------------------------------
 
@@ -139,32 +153,59 @@ class AnsCodec:
             elements = chunkd.ravel(order=order)
             n_head = 0
         planes = split_planes(elements, zigzag)
-
-        modes, plane_meta, tables = [], [], {}
         n_coded = elements.size
+
+        # Channel-aligned segments (flag bit2): pad each channel's plane
+        # stream to a 128-multiple so decoded rows ARE the (C, T) layout.
+        aligned = (self.channel_aligned and split_head and zigzag
+                   and order == 'F' and n_coded > 0
+                   and n_coded % n_head == 0)
+        if aligned:
+            C = n_head
+            tcs = n_coded // C
+            tp = -(-tcs // rans.LANES) * rans.LANES
+            k = max(1, min(255, C, -(-self.seg // tp)))
+            seg = k * tp
+            n_stream = C * tp
+        else:
+            seg = self.seg
+            n_stream = n_coded
+
+        modes, plane_meta, tables, streams = [], [], {}, {}
         for p in range(itemsize):
             plane = planes[:, p]
             counts = np.bincount(plane, minlength=256)
-            freqs = rans.quantize_freqs(counts)
-            if freqs is None:
+            if counts.max() == counts.sum():
                 modes.append(MODE_CONST)
                 plane_meta.append(struct.pack('<BB', MODE_CONST,
                                               int(plane[0])))
-            elif _estimated_rans_bytes(counts, freqs, n_coded,
-                                       self.seg) >= n_coded:
+                continue
+            if aligned:
+                # Coded stream includes the per-channel zero pads.
+                stream = np.zeros(n_stream, dtype=np.uint8)
+                stream.reshape(C, tp)[:, :tcs] = plane.reshape(C, tcs)
+                scounts = counts.copy()
+                scounts[0] += n_stream - n_coded
+            else:
+                stream, scounts = plane, counts
+            freqs = rans.quantize_freqs(scounts)
+            if _estimated_rans_bytes(scounts, freqs,
+                                     n_stream, seg) >= n_coded:
                 modes.append(MODE_RAW)
                 plane_meta.append(struct.pack('<B', MODE_RAW)
                                   + plane.tobytes())
             else:
                 modes.append(MODE_RANS)
                 tables[p] = freqs
+                streams[p] = np.ascontiguousarray(stream)
                 plane_meta.append(struct.pack('<B', MODE_RANS)
                                   + freqs.astype('<u2').tobytes())
 
-        flags = int(zigzag) | (2 if split_head else 0)
+        flags = int(zigzag) | (2 if split_head else 0) | (4 if aligned else 0)
+        seg_field = k if aligned else self.seg_log2
         parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
                               flags, rans.SCALE_BITS, n_elems,
-                              self.seg_log2, rans.MIN_FREQ,
+                              seg_field, rans.MIN_FREQ,
                               rans.GROUP_ROWS, 0, n_head, 0)]
         if split_head:
             h = head
@@ -173,10 +214,9 @@ class AnsCodec:
             parts.append(h.tobytes())
         parts.extend(plane_meta)
 
-        segments = segment_counts(n_coded, self.seg, modes)
+        segments = segment_counts(n_stream, seg, modes)
         if segments:
-            plane_bytes = {p: np.ascontiguousarray(planes[:, p])
-                           for p in tables}
+            plane_bytes = streams
             group_inputs = []
             for g0 in range(0, len(segments), rans.GROUP_ROWS):
                 group = segments[g0:g0 + rans.GROUP_ROWS]
@@ -220,12 +260,16 @@ class AnsCodec:
                           % (parsed['itemsize'], dtype))
         n_head = parsed['n_head']
         n_coded = n_elems - n_head
+        n_stream = parsed['n_stream']
         planes = np.empty((n_coded, parsed['itemsize']), dtype=np.uint8)
+        bufs = {}
         for p, plane in enumerate(parsed['planes']):
             if plane['mode'] == MODE_CONST:
                 planes[:, p] = plane['value']
             elif plane['mode'] == MODE_RAW:
                 planes[:, p] = plane['raw']
+            else:
+                bufs[p] = np.empty(n_stream, dtype=np.uint8)
         for group in parsed['groups']:
             freq_rows = np.stack([parsed['planes'][p]['freqs']
                                   for p, _, _ in group['segments']])
@@ -236,7 +280,14 @@ class AnsCodec:
                 raise IOError("ANS group consumed %d of %d payload words."
                               % (used, group['words'].size))
             for (p, start, n), row in zip(group['segments'], rows):
-                planes[start:start + n, p] = row
+                bufs[p][start:start + n] = row
+        for p, buf in bufs.items():
+            if parsed['aligned']:
+                # Drop the per-channel zero pads.
+                planes[:, p] = buf.reshape(
+                    n_head, parsed['tp'])[:, :parsed['tcs']].reshape(-1)
+            else:
+                planes[:, p] = buf
         flat = join_planes(planes, dtype, parsed['zigzag'])
         if n_head:
             if n_head != n_channels:
@@ -290,8 +341,20 @@ class AnsCodec:
             else:
                 raise IOError("Unknown ANS plane mode %d." % mode)
 
-        seg = 1 << seg_log2
-        segments = segment_counts(n_coded, seg, modes)
+        aligned = bool(flags & 4)
+        if aligned:
+            if not n_head or n_coded % n_head:
+                raise IOError("Channel-aligned ANS chunk without a valid "
+                              "head geometry.")
+            tcs = n_coded // n_head
+            tp = -(-tcs // rans.LANES) * rans.LANES
+            seg = seg_log2 * tp            # field holds k when aligned
+            n_stream = n_head * tp
+        else:
+            tcs = tp = 0
+            seg = 1 << seg_log2
+            n_stream = n_coded
+        segments = segment_counts(n_stream, seg, modes)
         groups = []
         if segments:
             (n_groups,) = struct.unpack_from('<I', mv, off); off += 4
@@ -318,4 +381,6 @@ class AnsCodec:
         return {'itemsize': itemsize, 'n_elems': n_elems,
                 'n_head': n_head, 'head': head,
                 'zigzag': bool(flags & 1), 'seg_log2': seg_log2,
+                'seg': seg, 'aligned': aligned, 'tcs': tcs, 'tp': tp,
+                'n_stream': n_stream,
                 'modes': modes, 'planes': planes, 'groups': groups}

@@ -35,6 +35,7 @@ DEFAULT_CONFIG = (
     # --- TPU-native extensions ---
     ('device', 'auto'),             # 'auto' | 'tpu' | 'cpu' | 'none' (host only)
     ('ans_seg_log2', 16),           # log2 symbols per rANS segment (128 lanes each)
+    ('ans_channel_segments', True),  # channel-aligned segments (TPU fast layout)
     ('batch_chunks', 0),            # 0 = auto batch size for the device pipeline
 )
 

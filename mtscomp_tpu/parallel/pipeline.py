@@ -34,12 +34,14 @@ def _jax():
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                      do_time_diff, do_spatial_diff, zigzag, has_head,
-                     use_pallas, small_alpha=False):
+                     use_pallas, small_alpha=False, aligned=False):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
     ``n_seg`` segments of ``seg`` symbols; G groups per chunk; scan
     length S; word buffers padded to W words ( = WR rows of 128).
+    ``aligned``: the container uses channel-aligned segments (RANS
+    plane streams are per-channel padded to tp = ceil((T-1)/128)*128).
     """
     jax, jnp = _jax()
     from ..ops.device_rans import decode_groups
@@ -51,6 +53,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     dtype = np.dtype(dtype_str)
     Tc = T - 1 if has_head else T       # rows covered by the coded planes
     n_elems = Tc * C
+    tp = -(-Tc // LANES) * LANES if aligned else 0
+    n_stream = C * tp if aligned else n_elems
     rans_planes = [p for p, m in enumerate(modes) if m == MODE_RANS]
     const_planes = [p for p, m in enumerate(modes) if m == MODE_CONST]
     raw_planes = [p for p, m in enumerate(modes) if m == MODE_RAW]
@@ -81,7 +85,12 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                 rows = rows.reshape(B, G * GROUP_ROWS, S * LANES)
             rows = rows[:, :n_rows, :seg_eff]
             planes = rows.reshape(B, len(rans_planes), n_seg * seg_eff)
-            planes = planes[:, :, :n_elems]
+            planes = planes[:, :, :n_stream]
+            if aligned:
+                # Drop the per-channel zero pads of the coded streams.
+                planes = planes.reshape(
+                    B, len(rans_planes), C, tp)[:, :, :, :Tc]
+                planes = planes.reshape(B, len(rans_planes), n_elems)
             for j, p in enumerate(rans_planes):
                 acc = acc | (planes[:, j, :].astype(ubits) << (8 * p))
         for j, p in enumerate(const_planes):
@@ -144,7 +153,9 @@ class DeviceBatchDecoder:
         for parsed in parsed_list:
             if parsed['modes'] != first['modes']:
                 return False
-            if parsed['seg_log2'] != first['seg_log2']:
+            if parsed['seg'] != first['seg']:
+                return False
+            if parsed['aligned'] != first['aligned']:
                 return False
             if parsed['n_elems'] != n_samples * self.reader.n_channels:
                 return False
@@ -179,15 +190,17 @@ class DeviceBatchDecoder:
         n_elems = T * C
         first = parsed_list[0]
         modes = tuple(first['modes'])
-        seg = 1 << first['seg_log2']
+        seg = first['seg']
         has_head = first['n_head'] > 0
         n_coded = n_elems - first['n_head']
+        n_stream = first['n_stream']
+        aligned = first['aligned']
         rans_planes = [p for p, m in enumerate(modes) if m == MODE_RANS]
         const_planes = [p for p, m in enumerate(modes) if m == MODE_CONST]
         raw_planes = [p for p, m in enumerate(modes) if m == MODE_RAW]
-        n_seg = -(-n_coded // seg) if rans_planes else 0
+        n_seg = -(-n_stream // seg) if rans_planes else 0
         G = len(first['groups'])
-        S = -(-min(seg, n_coded) // LANES) if rans_planes else 0
+        S = -(-min(seg, n_stream) // LANES) if rans_planes else 0
 
         jax_mod = _jax()[0]
         use_pallas = jax_mod.default_backend() == 'tpu' and bool(rans_planes)
@@ -254,7 +267,8 @@ class DeviceBatchDecoder:
             fn = _build_decode_fn(
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
                 self.order, self.do_time_diff, self.do_spatial_diff,
-                first['zigzag'], has_head, use_pallas, small_alpha)
+                first['zigzag'], has_head, use_pallas, small_alpha,
+                aligned)
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -268,7 +282,7 @@ class DeviceBatchDecoder:
         inner = _build_decode_fn(
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
-            first['zigzag'], has_head, use_pallas, small_alpha)
+            first['zigzag'], has_head, use_pallas, small_alpha, aligned)
         spec = PartitionSpec(axis)
         fn = jax.jit(shard_map(
             lambda *a: inner(*a), mesh=mesh,
@@ -328,7 +342,8 @@ class DeviceBatchEncoder:
     def supported(self, n_samples):
         return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
                 and n_samples > 1
-                and self.writer.n_channels < 65536)
+                and self.writer.n_channels < 65536
+                and not getattr(self.codec, 'channel_aligned', False))
 
     def encode_batch(self, chunks):
         """chunks: (B, T, C) ndarray -> list of container payload bytes."""

@@ -217,7 +217,8 @@ def test_device_encode_batch_byte_identical(tmp_path_):
     from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
     arr = to_int16(make_signal('colored', ns=4 * 3000, nc=24))
     path = write_arr(tmp_path_ / 'd.bin', arr)
-    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12)
+    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
+               ans_channel_segments=False)
     w.open(path, sample_rate=3000.0, n_channels=24, dtype='int16')
     chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
     enc = DeviceBatchEncoder(w)
@@ -238,7 +239,8 @@ def test_device_encode_end_to_end(tmp_path_):
     path = write_arr(tmp_path_ / 'd.bin', arr)
     compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
              sample_rate=2500.0, n_channels=16, dtype='int16',
-             algorithm='ans', quiet=True, device='cpu', ans_seg_log2=12)
+             algorithm='ans', quiet=True, device='cpu', ans_seg_log2=12,
+             ans_channel_segments=False)
     r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
     try:
         assert np.array_equal(r[:], arr)          # host decode

@@ -155,12 +155,35 @@ def test_container_segment_sizes(seg_log2):
     """Multiple segments and partially-filled groups all round-trip."""
     rng = np.random.default_rng(5)
     chunkd = rng.integers(-40, 40, size=(5000, 9)).astype(np.int16)
-    codec = AnsCodec(seg_log2=seg_log2)
+    codec = AnsCodec(seg_log2=seg_log2, channel_aligned=False)
     payload = codec.encode(chunkd, order='F')
     parsed = AnsCodec().parse(payload)
     assert parsed['seg_log2'] == seg_log2
+    assert not parsed['aligned']
     back = AnsCodec().decode(payload, 5000, 9, np.int16, order='F')
     assert np.array_equal(back, chunkd)
+
+
+@pytest.mark.parametrize('shape', [(5000, 9), (129, 3), (30000, 385),
+                                   (257, 128)])
+def test_container_channel_aligned(shape):
+    """Channel-aligned segments (flag bit2) round-trip byte-exactly."""
+    rng = np.random.default_rng(9)
+    chunkd = rng.integers(-40, 40, size=shape).astype(np.int16)
+    codec = AnsCodec(channel_aligned=True)
+    payload = codec.encode(chunkd, order='F')
+    parsed = codec.parse(payload)
+    assert parsed['aligned']
+    C, tcs = shape[1], shape[0] - 1
+    tp = -(-tcs // 128) * 128
+    assert parsed['tp'] == tp and parsed['tcs'] == tcs
+    assert parsed['n_stream'] == C * tp
+    back = codec.decode(payload, shape[0], shape[1], np.int16, order='F')
+    assert np.array_equal(back, chunkd)
+    # Aligned and plain containers must stay mutually decodable.
+    plain = AnsCodec(channel_aligned=False).encode(chunkd, order='F')
+    back2 = codec.decode(plain, shape[0], shape[1], np.int16, order='F')
+    assert np.array_equal(back2, chunkd)
 
 
 def test_container_modes():
