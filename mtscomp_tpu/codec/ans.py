@@ -164,7 +164,11 @@ class AnsCodec:
             C = n_head
             tcs = n_coded // C
             tp = -(-tcs // rans.LANES) * rans.LANES
-            k = max(1, min(255, C, -(-self.seg // tp)))
+            # k multiples of 4 keep G*32*k a multiple of 128 so the
+            # decoded rows view directly as 128-aligned channel blocks;
+            # capped near C so tiny chunks don't carry empty lanes.
+            k = min(252, max(4, 4 * (-(-self.seg // (4 * tp)))))
+            k = min(k, max(4, -(-C // 4) * 4))
             seg = k * tp
             n_stream = C * tp
         else:

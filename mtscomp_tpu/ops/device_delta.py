@@ -127,19 +127,25 @@ def cumsum_time_pallas(d, t_tile=256, interpret=False):
     )(d)
 
 
-def _cumsum_t_kernel(x_ref, out_ref, carry_ref):
+def _cumsum_t_kernel(x_ref, head_ref, out_ref, carry_ref, *, exclusive):
     """Fused transpose + time scan: (128 ch, 128 t) tile -> (128 t, 128 ch).
 
     Input is channel-major (chunk elements in F order, one row per
     channel); the scan runs along lanes (time) via byte-split MXU
     matmuls, then the tile is transposed on write — merging what would
     otherwise be separate transpose and scan passes over HBM.
+
+    ``exclusive`` mode seeds the carry with the per-channel verbatim
+    head values and emits the EXCLUSIVE prefix: output sample t is
+    ``head + sum(diffs[:t])``, so the head row lands at t=0 with no
+    concatenation pass.
     """
     t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
-        carry_ref[...] = jnp.zeros_like(carry_ref)
+        carry_ref[...] = head_ref[0, :, 0:1] if exclusive \
+            else jnp.zeros_like(carry_ref)
 
     x = x_ref[0].astype(jnp.int32)                        # (128c, 128t)
     lo = (x & 255).astype(jnp.float32)
@@ -150,34 +156,55 @@ def _cumsum_t_kernel(x_ref, out_ref, carry_ref):
     p_lo = jax.lax.dot(lo, triu, preferred_element_type=jnp.float32)
     p_hi = jax.lax.dot(hi, triu, preferred_element_type=jnp.float32)
     prefix = p_lo.astype(jnp.int32) + (p_hi.astype(jnp.int32) << 8)
-    out = prefix.astype(jnp.int16) + carry_ref[...]       # wraps mod 2^16
-    carry_ref[...] = out[:, -1:]
+    if exclusive:
+        # Subtract in int32 (v5e has no s16 vector subtract), wrap, then
+        # int16 adds only.
+        excl = (prefix - x).astype(jnp.int16)
+        out = excl + carry_ref[...]                         # wraps
+        carry_ref[...] = carry_ref[...] + prefix[:, -1:].astype(jnp.int16)
+    else:
+        out = prefix.astype(jnp.int16) + carry_ref[...]     # wraps
+        carry_ref[...] = out[:, -1:]
     out_ref[0] = out.T
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def cumsum_time_transposed(elems, interpret=False):
+def cumsum_time_transposed(elems, head=None, interpret=False):
     """(B, C, T) channel-major int16 -> (B, T, C) integrated samples.
 
     Computes the in-dtype time cumsum AND the layout transpose in one
     pass. Requires T % 128 == 0 and C % 128 == 0 (callers pad; padded
     channels produce garbage columns to trim, padded time extends the
     last value).
+
+    With ``head`` (B, C) int16, the scan is exclusive seeded by the
+    head: out[:, t] = head + sum(elems[:, :, :t]) — i.e. ``elems`` hold
+    the diffs and ``head`` the verbatim first sample per channel.
     """
+    from .pallas_rans import force_interpret
+    interpret = interpret or force_interpret()
     B, C, T = elems.shape
     assert elems.dtype == jnp.int16
     assert T % 128 == 0 and C % 128 == 0
+    exclusive = head is not None
+    if head is None:
+        head3 = jnp.zeros((B, C, 128), jnp.int16)
+    else:
+        # Lane-broadcast: 1-lane blocks are off Mosaic's fast path.
+        head3 = jnp.broadcast_to(head.reshape(B, C, 1), (B, C, 128))
     return pl.pallas_call(
-        _cumsum_t_kernel,
+        functools.partial(_cumsum_t_kernel, exclusive=exclusive),
         grid=(B, C // 128, T // 128),
         in_specs=[pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int16),
         scratch_shapes=[pltpu.VMEM((128, 1), jnp.int16)],
         interpret=interpret,
-    )(elems)
+    )(elems, head3)
 
 
 def pad_to(x, multiple, axis):
@@ -196,6 +223,9 @@ def cumsum_time(d, use_pallas=None, interpret=False):
     if use_pallas is None:
         use_pallas = (d.dtype == jnp.int16
                       and jax.default_backend() == 'tpu')
+    from .pallas_rans import force_interpret
+    if use_pallas and jax.default_backend() != 'tpu':
+        interpret = True if force_interpret() else interpret
     if not use_pallas:
         return cumsum_time_jnp(d)
     B, T, C = d.shape

@@ -42,6 +42,13 @@ from ..models.rans import SCALE_BITS, LANES, GROUP_ROWS
 R = GROUP_ROWS
 
 
+def force_interpret():
+    """Env escape hatch: run the Pallas paths in interpreter mode (lets
+    CPU test runs exercise the TPU pipeline branches)."""
+    import os
+    return os.environ.get('MTSCOMP_PALLAS_INTERPRET', '') not in ('', '0')
+
+
 def window_rows(r):
     # Word rows one step of an r-row group can span: up to 8 alignment
     # rows (u16 sublane slices must start at a multiple of 8) + 1 row of
@@ -57,8 +64,20 @@ def _srl(x, n):
 
 
 def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
-            words_ref, out_ref, *, n_steps4, small_alpha, fuse16):
-    x0 = states_ref[0].astype(jnp.int32)                    # (R,128)
+            words_ref, out_ref, x_scr, pos_scr, *, steps_per_block,
+            small_alpha, fuse16):
+    # Grid is (N groups, column blocks): the rANS states and stream
+    # position persist in scratch across a group's column blocks, so the
+    # output block stays small regardless of segment length.
+    cb = pl.program_id(1)
+
+    @pl.when(cb == 0)
+    def _():
+        x_scr[...] = states_ref[0].astype(jnp.int32)
+        pos_scr[0] = 0
+
+    x0 = x_scr[...]                                         # (R,128) i32
+    pos0 = pos_scr[0]
     counts = counts_ref[0]                                  # (R,128) i32
     R = x0.shape[0]
     WROWS = window_rows(R)
@@ -166,7 +185,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
 
     def body(s, carry):
         x, pos = carry
-        x, pos, val = substep(s, x, pos)
+        x, pos, val = substep(cb * steps_per_block + s, x, pos)
         # Row-linear output: step s's lane j of row r is row r's symbol
         # s*128 + j, so segments come out contiguous (no transpose pass).
         if fuse16:
@@ -175,13 +194,17 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
             out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
         return x, pos
 
-    jax.lax.fori_loop(0, n_steps4 * 4, body, (x0, jnp.int32(0)))
+    x, pos = jax.lax.fori_loop(0, steps_per_block, body, (x0, pos0))
+    x_scr[...] = x
+    pos_scr[0] = pos
 
 
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
-                                             'small_alpha'))
+                                             'small_alpha',
+                                             'steps_per_block'))
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
-                         *, n_steps, interpret=False, small_alpha=False):
+                         *, n_steps, interpret=False, small_alpha=False,
+                         steps_per_block=None):
     """Decode N groups on TPU; returns (N, R, 4*ceil(S/4)*128) u8 symbols.
 
     Output is row-linear: ``out[n, r]`` is segment row r's symbol stream
@@ -199,14 +222,16 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
     return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                                None, counts_b, n_steps=n_steps,
                                interpret=interpret,
-                               small_alpha=small_alpha)
+                               small_alpha=small_alpha,
+                               steps_per_block=steps_per_block)
 
 
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
-                                             'small_alpha'))
+                                             'small_alpha',
+                                             'steps_per_block'))
 def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
                            counts_b, *, n_steps, interpret=False,
-                           small_alpha=False):
+                           small_alpha=False, steps_per_block=None):
     """Fused variant: emits final int16 elements, (N, R, steps*128).
 
     ``elem_pk`` maps each dense symbol id to the fully decoded 16-bit
@@ -218,41 +243,51 @@ def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
     return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                                elem_pk, counts_b, n_steps=n_steps,
                                interpret=interpret,
-                               small_alpha=small_alpha)
+                               small_alpha=small_alpha,
+                               steps_per_block=steps_per_block)
+
+
+STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
 
 
 def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
-                        counts_b, *, n_steps, interpret, small_alpha):
+                        counts_b, *, n_steps, interpret, small_alpha,
+                        steps_per_block=None):
     fuse16 = elem_pk is not None
+    interpret = interpret or force_interpret()
     N, R_in, _ = states.shape
     WR = words_u16.shape[1]
-    S4 = -(-max(n_steps, 1) // 4)
+    spb = steps_per_block or min(STEPS_PER_BLOCK,
+                                 max(4, -(-n_steps // 4) * 4))
+    CB = -(-max(n_steps, 1) // spb)
     if not fuse16:
         elem_pk = dense_pk     # unused placeholder with matching shape
     out = pl.pallas_call(
-        functools.partial(_kernel, n_steps4=S4, small_alpha=small_alpha,
-                          fuse16=fuse16),
-        grid=(N,),
+        functools.partial(_kernel, steps_per_block=spb,
+                          small_alpha=small_alpha, fuse16=fuse16),
+        grid=(N, CB),
         in_specs=[
-            pl.BlockSpec((1, R_in, LANES), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, LANES), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, 2, LANES), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, 2, LANES), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, 2, LANES), lambda n: (n, 0, 0, 0),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WR, LANES), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, WR, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R_in, S4 * 4 * LANES),
-                               lambda n: (n, 0, 0),
+        out_specs=pl.BlockSpec((1, R_in, spb * LANES),
+                               lambda n, c: (n, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (N, R_in, S4 * 4 * LANES),
+            (N, R_in, CB * spb * LANES),
             jnp.int16 if fuse16 else jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((R_in, LANES), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, elem_pk,
       words_u16)

@@ -45,7 +45,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     """
     jax, jnp = _jax()
     from ..ops.device_rans import decode_groups
-    from ..ops.pallas_rans import decode_groups_pallas
+    from ..ops.pallas_rans import (decode_groups_pallas,
+                                   decode_groups_pallas16)
     from ..ops.device_delta import (cumsum_time, cumsum_time_jnp,
                                     cumsum_space_jnp, cumsum_time_transposed,
                                     pad_to, zigzag_decode_jnp)
@@ -63,9 +64,38 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     # when the chunk is smaller than one segment, rows only span S*128.
     seg_eff = min(seg, S * LANES) if rans_planes else 0
 
+    # Fully fused fast path: the kernel emits finished int16 elements in
+    # the channel-aligned layout; one transpose+scan kernel finishes.
+    # Requires: one coded plane (the low byte), constant high plane(s),
+    # k*GROUP_ROWS channel rows viewing as 128-aligned blocks, a block
+    # size dividing the scan, and the head fitting in the padded time.
+    # Currently opt-in (MTSCOMP_FULL_FUSE=1): measured slightly slower
+    # than the generic path on v5e — the 16-bit kernel stores outweigh
+    # the combine pass XLA already fuses — kept for wider-HBM parts.
+    import os
+    k = (seg // tp) if aligned and tp else 0
+    spb_f = max((d for d in range(1, 65) if S % d == 0), default=1) \
+        if S else 1
+    full_fuse = (use_pallas and aligned and has_head
+                 and os.environ.get('MTSCOMP_FULL_FUSE', '') not in ('', '0')
+                 and rans_planes == [0] and not raw_planes
+                 and dtype == np.int16 and zigzag
+                 and order == 'F' and do_time_diff and not do_spatial_diff
+                 and (GROUP_ROWS * k) % 128 == 0
+                 and spb_f >= 16 and tp >= T)
+    c_cap = G * GROUP_ROWS * k if full_fuse else 0
+
     @jax.jit
     def decode(states, words, freqs, counts, coarse_pk, dense_pk, counts_b,
-               const_vals, raw_vals, heads):
+               const_vals, raw_vals, heads, elem_pk):
+        if full_fuse:
+            syms16 = decode_groups_pallas16(
+                states, words, coarse_pk, dense_pk, elem_pk, counts_b,
+                n_steps=S, small_alpha=small_alpha, steps_per_block=spb_f)
+            chan = syms16.reshape(B, c_cap, tp)
+            heads_p = jnp.pad(heads, ((0, 0), (0, c_cap - C)))
+            out = cumsum_time_transposed(chan, head=heads_p)
+            return out[:, :T, :C]
         ubits = 'uint%d' % (dtype.itemsize * 8)
         acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
         if rans_planes:
@@ -203,7 +233,9 @@ class DeviceBatchDecoder:
         S = -(-min(seg, n_stream) // LANES) if rans_planes else 0
 
         jax_mod = _jax()[0]
-        use_pallas = jax_mod.default_backend() == 'tpu' and bool(rans_planes)
+        from ..ops.pallas_rans import force_interpret
+        use_pallas = bool(rans_planes) and (
+            jax_mod.default_backend() == 'tpu' or force_interpret())
 
         from ..ops.pallas_rans import pack_device_tables, WINDOW_ROWS
         w_max = 1
@@ -215,10 +247,10 @@ class DeviceBatchDecoder:
         wr = -(-w_max // LANES) + WINDOW_ROWS
         WR = -(-wr // 512) * 512
         W = WR * LANES
-        if use_pallas and WR > 8192:
+        if use_pallas and WR > 16384:
             # Word stream too large for the VMEM-resident kernel window
-            # (~4 MB/block double-buffered; high-entropy planes only);
-            # fall back to the XLA scan.
+            # (u16 blocks: 16384 rows = 4 MB, double-buffered; only
+            # near-incompressible planes get here); use the XLA scan.
             use_pallas = False
 
         NG = max(B * G, 1)
@@ -229,6 +261,11 @@ class DeviceBatchDecoder:
         counts_b = np.zeros((NG, GROUP_ROWS, LANES), dtype=np.int32)
         coarse_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
         dense_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
+        elem_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
+        # Element tables for the fully fused path: valid when exactly the
+        # low plane is coded and the others are constant per chunk.
+        build_elems = (aligned and rans_planes == [0] and not raw_planes
+                       and self.dtype == np.int16 and first['zigzag'])
         const_vals = np.zeros((B, max(len(const_planes), 1)), dtype=np.uint8)
         raw_vals = np.zeros((B, max(len(raw_planes), 1),
                              n_coded if raw_planes else 1), dtype=np.uint8)
@@ -250,10 +287,20 @@ class DeviceBatchDecoder:
                     counts_b[i, r] = n
                     key = (b, p)
                     if key not in table_cache:
+                        if build_elems:
+                            from ..ops.pallas_rans import pack_elem_table
+                            hi = parsed['planes'][1]['value'] \
+                                if len(modes) > 1 else 0
+                            et = pack_elem_table(table, hi, np.int16)
+                        else:
+                            et = None
                         table_cache[key] = (
-                            pack_device_tables(table),
+                            pack_device_tables(table), et,
                             int(np.count_nonzero(table)))
-                    (coarse_pk[i, r], dense_pk[i, r]), a = table_cache[key]
+                    (coarse_pk[i, r], dense_pk[i, r]), et, a = \
+                        table_cache[key]
+                    if et is not None:
+                        elem_pk[i, r] = et
                     alpha_max = max(alpha_max, a)
             for j, p in enumerate(const_planes):
                 const_vals[b, j] = parsed['planes'][p]['value']
@@ -261,7 +308,7 @@ class DeviceBatchDecoder:
                 raw_vals[b, j] = parsed['planes'][p]['raw']
 
         raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
-                    counts_b, const_vals, raw_vals, heads)
+                    counts_b, const_vals, raw_vals, heads, elem_pk)
         small_alpha = alpha_max <= 128
         if mesh is None:
             fn = _build_decode_fn(
