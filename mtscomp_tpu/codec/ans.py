@@ -109,6 +109,27 @@ def segment_counts(n_elems, seg, modes):
     return segments
 
 
+def aligned_geometry(n_coded, n_head, seg0):
+    """Channel-aligned segment geometry (flags bit2).
+
+    ``n_coded`` coded elements over ``C = n_head`` channels, with a
+    nominal segment size ``seg0``. Returns ``(k, seg, tp, tcs,
+    n_stream)``: channels per segment, symbols per segment, padded and
+    true per-channel lengths, and the padded stream length. Shared by
+    the host codec and the device batch encoder so the two stay
+    byte-identical.
+    """
+    C = n_head
+    tcs = n_coded // C
+    tp = -(-tcs // rans.LANES) * rans.LANES
+    # k multiples of 4 keep G*32*k a multiple of 128 so the decoded
+    # rows view directly as 128-aligned channel blocks; capped near C
+    # so tiny chunks don't carry empty lanes.
+    k = min(252, max(4, 4 * (-(-seg0 // (4 * tp)))))
+    k = min(k, max(4, -(-C // 4) * 4))
+    return k, k * tp, tp, tcs, C * tp
+
+
 def _estimated_rans_bytes(counts, freqs, n_elems, seg):
     """Container-cost estimate for the RAW-vs-RANS decision: table +
     per-segment states + Shannon payload under the quantized model."""
@@ -162,15 +183,8 @@ class AnsCodec:
                    and n_coded % n_head == 0)
         if aligned:
             C = n_head
-            tcs = n_coded // C
-            tp = -(-tcs // rans.LANES) * rans.LANES
-            # k multiples of 4 keep G*32*k a multiple of 128 so the
-            # decoded rows view directly as 128-aligned channel blocks;
-            # capped near C so tiny chunks don't carry empty lanes.
-            k = min(252, max(4, 4 * (-(-self.seg // (4 * tp)))))
-            k = min(k, max(4, -(-C // 4) * 4))
-            seg = k * tp
-            n_stream = C * tp
+            k, seg, tp, tcs, n_stream = aligned_geometry(
+                n_coded, n_head, self.seg)
         else:
             seg = self.seg
             n_stream = n_coded

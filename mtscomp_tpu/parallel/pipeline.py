@@ -321,7 +321,10 @@ class DeviceBatchDecoder:
         # Shard the chunk batch over the mesh: every array's leading dim
         # is chunk-major (B or B*G), so a leading-axis shard keeps whole
         # chunks per device.
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec, NamedSharding
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         assert B % n_dev == 0, "chunk batch must divide the mesh"
@@ -389,8 +392,7 @@ class DeviceBatchEncoder:
     def supported(self, n_samples):
         return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
                 and n_samples > 1
-                and self.writer.n_channels < 65536
-                and not getattr(self.codec, 'channel_aligned', False))
+                and self.writer.n_channels < 65536)
 
     def encode_batch(self, chunks):
         """chunks: (B, T, C) ndarray -> list of container payload bytes."""
@@ -413,18 +415,35 @@ class DeviceBatchEncoder:
         heads = np.asarray(head_d)
         n_coded = (T - 1) * C
 
+        # Channel-aligned segments (flags bit2): same eligibility rule
+        # and geometry as the host codec (AnsCodec.encode).
+        aligned = (getattr(self.codec, 'channel_aligned', False)
+                   and self.order == 'F' and n_coded > 0)
+        if aligned:
+            k, seg, tp, tcs, n_stream = ans_mod.aligned_geometry(
+                n_coded, C, seg)
+        else:
+            k = tp = tcs = 0
+            n_stream = n_coded
+        n_pad = n_stream - n_coded
+
         # Host: tables + per-plane modes (must be uniform across the
         # batch for one device call; callers fall back otherwise).
         modes = np.empty((B, P), dtype=np.int64)
         tables = {}
         for b in range(B):
             for p in range(P):
-                freqs = rans.quantize_freqs(hists[b, p]) \
-                    if hists[b, p].max() < hists[b, p].sum() else None
-                if freqs is None:
+                counts = hists[b, p]
+                if counts.max() == counts.sum():
                     modes[b, p] = ans_mod.MODE_CONST
-                elif ans_mod._estimated_rans_bytes(
-                        hists[b, p], freqs, n_coded, seg) >= n_coded:
+                    continue
+                if aligned:
+                    # Coded stream includes the per-channel zero pads.
+                    counts = counts.copy()
+                    counts[0] += n_pad
+                freqs = rans.quantize_freqs(counts)
+                if ans_mod._estimated_rans_bytes(
+                        counts, freqs, n_stream, seg) >= n_coded:
                     modes[b, p] = ans_mod.MODE_RAW
                 else:
                     modes[b, p] = ans_mod.MODE_RANS
@@ -439,20 +458,27 @@ class DeviceBatchEncoder:
 
         group_words, group_states, group_counts = [], [], []
         if rans_planes:
-            n_seg = -(-n_coded // seg)
-            segments = ans_mod.segment_counts(n_coded, seg, mode_row)
+            n_seg = -(-n_stream // seg)
+            segments = ans_mod.segment_counts(n_stream, seg, mode_row)
             G = -(-len(segments) // rans.GROUP_ROWS)
             R = rans.GROUP_ROWS
-            S = -(-min(seg, n_coded) // rans.LANES)
+            S = -(-min(seg, n_stream) // rans.LANES)
             seg_eff = S * rans.LANES
             # Device: assemble (B*G, R, S*128) symbols from the planes.
             Pr = len(rans_planes)
             pad_rows = G * R - Pr * n_seg
-            pad_tail = n_seg * seg_eff - n_coded
+            pad_tail = n_seg * seg_eff - n_stream
 
             @jax.jit
             def gather_symbols(planes):
                 sel = planes[:, jnp.asarray(rans_planes), :]
+                if aligned:
+                    # Pad each channel's stream to tp symbols so the
+                    # segment rows are the (C, tp) layout.
+                    sel = sel.reshape(B, Pr, C, tcs)
+                    sel = jnp.pad(sel, ((0, 0), (0, 0), (0, 0),
+                                        (0, tp - tcs)))
+                    sel = sel.reshape(B, Pr, n_stream)
                 sel = jnp.pad(sel, ((0, 0), (0, 0), (0, pad_tail)))
                 rows = sel.reshape(B, Pr * n_seg, seg_eff)
                 rows = jnp.pad(rows, ((0, 0), (0, pad_rows), (0, 0)))
@@ -504,8 +530,10 @@ class DeviceBatchEncoder:
         payloads = []
         for b in range(B):
             parts = [ans_mod._HEADER.pack(
-                ans_mod.MAGIC, ans_mod.CONTAINER_VERSION, P, 1 | 2,
-                rans.SCALE_BITS, T * C, self.codec.seg_log2,
+                ans_mod.MAGIC, ans_mod.CONTAINER_VERSION, P,
+                1 | 2 | (4 if aligned else 0),
+                rans.SCALE_BITS, T * C,
+                k if aligned else self.codec.seg_log2,
                 rans.MIN_FREQ, rans.GROUP_ROWS, 0, C, 0)]
             parts.append(np.ascontiguousarray(heads[b]).tobytes())
             for p in range(P):

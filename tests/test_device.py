@@ -211,14 +211,15 @@ def test_device_encode_bit_identical():
         assert np.array_equal(streams[g, :wd_ref.size], wd_ref)
 
 
-def test_device_encode_batch_byte_identical(tmp_path_):
+@pytest.mark.parametrize('aligned', [False, True])
+def test_device_encode_batch_byte_identical(tmp_path_, aligned):
     """Device-encoded containers match the host codec byte for byte."""
     from mtscomp_tpu import Writer
     from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
     arr = to_int16(make_signal('colored', ns=4 * 3000, nc=24))
     path = write_arr(tmp_path_ / 'd.bin', arr)
     w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
-               ans_channel_segments=False)
+               ans_channel_segments=aligned)
     w.open(path, sample_rate=3000.0, n_channels=24, dtype='int16')
     chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
     enc = DeviceBatchEncoder(w)
@@ -232,7 +233,8 @@ def test_device_encode_batch_byte_identical(tmp_path_):
     w.close()
 
 
-def test_device_encode_end_to_end(tmp_path_):
+@pytest.mark.parametrize('aligned', [False, True])
+def test_device_encode_end_to_end(tmp_path_, aligned):
     """compress() with the device encoder forced; verify + cross-decode."""
     from mtscomp_tpu import compress, decompress
     arr = to_int16(make_signal('white_sine', ns=6 * 2500, nc=16))
@@ -240,7 +242,7 @@ def test_device_encode_end_to_end(tmp_path_):
     compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
              sample_rate=2500.0, n_channels=16, dtype='int16',
              algorithm='ans', quiet=True, device='cpu', ans_seg_log2=12,
-             ans_channel_segments=False)
+             ans_channel_segments=aligned)
     r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
     try:
         assert np.array_equal(r[:], arr)          # host decode
