@@ -144,6 +144,50 @@ def coarse_table(freqs):
     return slot_to_symbol_table(np.asarray(freqs, np.int64))[::16].copy()
 
 
+def encoder_tables(freqs):
+    """Division-free per-symbol encoder tables (reciprocal scheme).
+
+    The encoder update needs ``x // f`` and ``x % f`` with a per-lane
+    divisor — TPUs lower vector integer division very poorly, so the
+    device encoder divides via the Granlund-Montgomery round-up
+    reciprocal (the unknown-divisor scheme compilers/libdivide use),
+    exact for ALL 32-bit x::
+
+        m   = ceil(2**(32+shift) / f), shift = ceil(log2(f))  # 33 bits
+        rcp = m - 2**32                                        # low 32
+        t   = mulhi32(x, rcp)
+        q   = (((x - t) >> 1) + t) >> (shift - 1)   == x // f
+
+    and the update becomes ``x + cum + q * (SCALE - f)`` (no modulo:
+    ``x - q*f + q*SCALE + cum``).
+
+    freqs: (..., 256) quantized tables (uint16/ints). Returns
+    ``(pk, rcp)`` uint32 arrays of the same shape with
+    ``pk = (rcp_shift << 25) | (cmpl << 12) | cum``, ``cmpl = SCALE -
+    f`` (13 bits), ``rcp_shift = shift - 1``. Entries for ``f < 2``
+    are placeholders (the format's MIN_FREQ is 8; absent symbols are
+    never encoded by active lanes).
+    """
+    f = np.asarray(freqs, dtype=np.int64)
+    assert f.shape[-1] == 256
+    cum = cumulative_freqs(f).astype(np.int64)
+    cmpl = SCALE - f
+    shift = np.zeros_like(f)
+    rcp = np.zeros_like(f, dtype=np.uint64)
+    ge2 = f >= 2
+    # ceil(log2(f)): exact for f <= 4096 (log2 of powers of two is
+    # exact; non-powers cannot round across an integer).
+    shift[ge2] = np.ceil(np.log2(f[ge2])).astype(np.int64)
+    num = np.uint64(1) << (shift[ge2] + 32).astype(np.uint64)
+    fu = f[ge2].astype(np.uint64)
+    m = (num + fu - np.uint64(1)) // fu          # 33 bits, >= 2^32
+    assert np.all(m >= (1 << 32)) and np.all(m < (1 << 33))
+    rcp[ge2] = m - np.uint64(1 << 32)
+    rcp_shift = np.maximum(shift - 1, 0)
+    pk = (rcp_shift << 25) | (cmpl << 12) | cum
+    return pk.astype(np.uint32), rcp.astype(np.uint32)
+
+
 def _lane_counts(row_counts):
     """Per-(row, lane) symbol counts given per-row symbol counts."""
     n = np.asarray(row_counts, dtype=np.int64)[:, None]

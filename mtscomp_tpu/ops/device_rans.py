@@ -75,13 +75,30 @@ def decode_groups(states, words, freqs, counts, *, n_steps):
     return jnp.transpose(syms, (1, 0, 2, 3))           # (N, S, R, K)
 
 
+def _mulhi32(a, b):
+    """High 32 bits of the u32 x u32 product (16-bit limb emulation)."""
+    mask = jnp.uint32(0xFFFF)
+    al, ah = a & mask, a >> 16
+    bl, bh = b & mask, b >> 16
+    p0 = al * bl
+    mid = al * bh + (p0 >> 16)              # no overflow: < 2^32
+    mid2 = mid + ah * bl                    # may wrap; detect carry
+    carry = (mid2 < mid).astype(jnp.uint32)
+    return ah * bh + (mid2 >> 16) + (carry << 16)
+
+
 @functools.partial(jax.jit, static_argnames=('n_steps',))
-def encode_groups(symbols, freqs, counts, *, n_steps):
+def encode_groups(symbols, enc_pk, enc_rcp, counts, *, n_steps):
     """Encode N groups on device; the mirror of :func:`decode_groups`.
 
     symbols (N, R, S*128) uint8 — segment rows, zero-padded
-    freqs   (N, R, 256)   int32 — per-row tables
+    enc_pk  (N, R, 256)  uint32 — packed (rcp_shift, cmpl, cum) tables
+    enc_rcp (N, R, 256)  uint32 — per-symbol reciprocals
     counts  (N, R)        int32 — symbols per row
+
+    Tables come from :func:`mtscomp_tpu.models.rans.encoder_tables`;
+    the state update is division-free (reciprocal mulhi — TPUs lower
+    vector integer division catastrophically).
 
     Returns ``(states, words_dense, emit)`` where ``states`` are the
     (N, R, 128) uint32 decoder start states and ``words_dense`` /
@@ -94,8 +111,8 @@ def encode_groups(symbols, freqs, counts, *, n_steps):
     K = LANES
     S = n_steps
     assert SK == S * K
-    freqs = freqs.astype(jnp.uint32)
-    cum = (jnp.cumsum(freqs, axis=-1) - freqs).astype(jnp.uint32)
+    enc_pk = enc_pk.astype(jnp.uint32)
+    enc_rcp = enc_rcp.astype(jnp.uint32)
     lane_j = jnp.arange(K, dtype=jnp.int32)
     syms_steps = jnp.transpose(
         symbols.reshape(N, R, S, K), (2, 0, 1, 3))         # (S, N, R, K)
@@ -104,16 +121,22 @@ def encode_groups(symbols, freqs, counts, *, n_steps):
         s, sy = inp                                        # scalar, (N,R,K)
         sy = sy.astype(jnp.int32)
         active = (s * K + lane_j)[None, None, :] < counts[:, :, None]
-        f = jnp.take_along_axis(freqs, sy, axis=2)
-        f = jnp.where(active, f, jnp.uint32(1))
-        c = jnp.take_along_axis(cum, sy, axis=2)
+        pk = jnp.take_along_axis(enc_pk, sy, axis=2)
+        rcp = jnp.take_along_axis(enc_rcp, sy, axis=2)
+        c = pk & jnp.uint32(4095)
+        cmpl = (pk >> 12) & jnp.uint32(8191)
+        rshift = pk >> 25
+        f = jnp.uint32(SCALE) - cmpl
         # Renormalize before the update: emit low 16 bits wherever the
         # update would overflow 32 bits.
         emit = active & (x >= (f << 20))
         word = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x = jnp.where(emit, x >> 16, x)
-        upd = (x // f) * jnp.uint32(SCALE) + (x % f) + c
-        x = jnp.where(active, upd, x)
+        # q = x // f via the round-up reciprocal (exact for all u32 x);
+        # update = x - q*f + q*SCALE + cum.
+        t = _mulhi32(x, rcp)
+        q = (((x - t) >> 1) + t) >> rshift
+        x = jnp.where(active, x + c + q * cmpl, x)
         return x, (word.reshape(N, R * K), emit.reshape(N, R * K))
 
     x0 = jnp.full((N, R, K), RANS_L, jnp.uint32)

@@ -348,6 +348,7 @@ def _build_transform_fn(B, T, C, dtype_str, order, do_time_diff,
     jax, jnp = _jax()
     from ..ops.device_delta import (diff_time_jnp, diff_space_jnp,
                                     zigzag_encode_jnp)
+    from ..ops.device_hist import histogram256
     dtype = np.dtype(dtype_str)
     P = dtype.itemsize
 
@@ -366,8 +367,8 @@ def _build_transform_fn(B, T, C, dtype_str, order, do_time_diff,
             flat = z.reshape(B, -1)
         planes = jnp.stack(
             [(flat >> (8 * p)).astype(jnp.uint8) for p in range(P)], axis=1)
-        hists = jax.vmap(jax.vmap(
-            lambda v: jnp.bincount(v, length=256)))(planes)
+        n = planes.shape[-1]
+        hists = histogram256(planes.reshape(B * P, n)).reshape(B, P, 256)
         head = d[:, 0, :] if split_head else None
         return planes, hists, head
 
@@ -500,9 +501,10 @@ class DeviceBatchEncoder:
                             counts_arr[i, r] = n
                         else:
                             freq_arr[i, r] = fallback
+            enc_pk, enc_rcp = rans.encoder_tables(freq_arr)
             states_d, words_dense, emit = encode_groups(
-                symbols, jnp.asarray(freq_arr), jnp.asarray(counts_arr),
-                n_steps=S)
+                symbols, jnp.asarray(enc_pk), jnp.asarray(enc_rcp),
+                jnp.asarray(counts_arr), n_steps=S)
             n_words_d = jnp.sum(emit, axis=(0, 2), dtype=jnp.int32)
             w_bound = int(np.asarray(jnp.max(n_words_d)))
             w_bound = max(w_bound, 1)

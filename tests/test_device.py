@@ -169,6 +169,23 @@ def _cover_table(syms):
     return f
 
 
+def test_device_histogram_exact():
+    """MXU nibble histogram matches np.bincount exactly."""
+    from mtscomp_tpu.ops.device_hist import histogram256, BLOCK
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 256, size=(3, 1000), dtype=np.uint8),
+        rng.integers(0, 256, size=(2, BLOCK + 777), dtype=np.uint8),
+        np.zeros((1, 513), dtype=np.uint8),            # all in bin 0
+        np.full((1, 64), 255, dtype=np.uint8),         # all in bin 255
+        (rng.integers(0, 3, size=(4, 4096)) * 17).astype(np.uint8),
+    ]
+    for v in cases:
+        got = np.asarray(histogram256(jnp.asarray(v)))
+        ref = np.stack([np.bincount(row, minlength=256) for row in v])
+        assert np.array_equal(got, ref), v.shape
+
+
 def test_device_encode_bit_identical():
     from mtscomp_tpu.ops.device_rans import encode_groups, compact_words
     rng = np.random.default_rng(0)
@@ -198,9 +215,10 @@ def test_device_encode_bit_identical():
         st, wd = rans.rans_encode_group(rows, np.stack(tables))
         refs.append((st, wd, r_use))
 
+    enc_pk, enc_rcp = rans.encoder_tables(freqs)
     states, words_dense, emit = encode_groups(
-        jnp.asarray(symbols), jnp.asarray(freqs), jnp.asarray(counts),
-        n_steps=S)
+        jnp.asarray(symbols), jnp.asarray(enc_pk), jnp.asarray(enc_rcp),
+        jnp.asarray(counts), n_steps=S)
     wmax = max(1, int(np.asarray(emit).sum(axis=(0, 2)).max()))
     streams, n_words = compact_words(words_dense, emit, wmax)
     states, streams = np.asarray(states), np.asarray(streams)

@@ -59,6 +59,37 @@ def test_rans_near_optimal():
     assert 16.0 * words.size < model_bits * 1.02 + 128 * 32
 
 
+def test_encoder_reciprocals_exact():
+    """q = mulhi32(x, rcp) >> shift equals x // f over the encoder range.
+
+    Every divisor the format can produce (f in [2, SCALE-MIN_FREQ]),
+    probed at the quotient boundaries k*f-1 / k*f (where reciprocal
+    schemes fail if they fail) plus random points, over the encoder's
+    post-renorm range x < f << 20.
+    """
+    rng = np.random.default_rng(0)
+    freqs = np.zeros((1, 256), dtype=np.int64)
+    all_f = np.arange(2, rans.SCALE - rans.MIN_FREQ + 1, dtype=np.uint64)
+    for f0 in range(0, all_f.size, 256):
+        fs = all_f[f0:f0 + 256]
+        freqs = np.zeros(256, dtype=np.int64)
+        freqs[:fs.size] = fs
+        pk, rcp = rans.encoder_tables(freqs)
+        shift = (pk >> 25).astype(np.uint64)
+        for i, f in enumerate(fs):
+            hi = 1 << 32                  # exact over ALL 32-bit x
+            ks = rng.integers(1, hi // int(f) + 1, size=32, dtype=np.uint64)
+            xs = np.unique(np.concatenate([
+                ks * f, ks * f - 1,
+                rng.integers(0, hi, size=32, dtype=np.uint64),
+                np.array([0, 1, int(f) - 1, int(f), hi - 1,
+                          (int(f) << 20) - 1], dtype=np.uint64)]))
+            xs = xs[xs < hi]
+            t = (xs * np.uint64(rcp[i])) >> np.uint64(32)
+            q = (((xs - t) >> np.uint64(1)) + t) >> shift[i]
+            assert np.array_equal(q, xs // f), int(f)
+
+
 def test_quantize_freqs_properties():
     rng = np.random.default_rng(1)
     for _ in range(50):
