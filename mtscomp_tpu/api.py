@@ -148,9 +148,14 @@ class Writer:
     def _use_device(self):
         """Whether batches should encode through the device pipeline.
 
-        Opt-in (device='tpu'/'cpu') for now: the device encode scan is
-        bit-identical but its histogram stage has not had the kernel
-        treatment yet, so the native C++ encoder usually wins.
+        The device encoder is fully kernelized (MXU histograms + the
+        Pallas encode kernel, ~1.8 GB/s of symbols on v5e) and
+        byte-identical to the host codec. It stays opt-in
+        (device='tpu'/'cpu') because compress() reads from host disk:
+        end-to-end it is host-link bound, and on hosts with slow
+        accelerator links (e.g. dev relays) the native C++ encoder
+        wins. Deployments with fast PCIe/device-resident data should
+        pass device='tpu'.
         """
         return (self.algorithm == 'ans'
                 and self.config.device in ('tpu', 'cpu'))

@@ -1,0 +1,281 @@
+"""Pallas TPU kernel: grouped rANS ENCODE at vector-unit speed.
+
+The mirror of ``ops/pallas_rans.py``: one grid cell encodes one group
+(GROUP_ROWS x 128 lanes) by running the normative backward scan
+(models/rans.py rans_encode_group) with every data-dependent operation
+mapped onto TPU-friendly primitives:
+
+- **symbol -> (cum, cmpl, rcp_shift, rcp)**: per-row 256-entry packed
+  tables as two (R, 128) rows; a lookup is two lane shuffles + select
+  (same scheme as the decode kernel's tables).
+- **division**: the rANS update needs ``x // f`` with a per-lane
+  divisor; we use the Granlund-Montgomery round-up reciprocal
+  (models/rans.py ``encoder_tables``) with a 16-bit-limb ``mulhi32``
+  emulation — exact for all 32-bit states, no integer division.
+- **stream compaction (the hard part)**: the encoder walks steps
+  backward while the decoder reads the merged word stream forward, so
+  word positions are only known from the stream's END. The kernel
+  therefore writes the stream RIGHT-TO-LEFT into a VMEM-resident
+  buffer: step ``s``'s words occupy ``[CAPW - epos_after, CAPW -
+  epos_before)`` (``epos`` = words emitted so far in the backward
+  pass), which lands every word at its final decoder-order position.
+  Within a step: lane ranks come from the same MXU prefix + sublane
+  ladder as the decode kernel; each row's emitted words are compacted
+  left via a branchless 7-step binary search over the inclusive rank
+  (per-lane shuffles), rotated to the row-start offset, and scattered
+  to the right stream rows with one-hot MXU matmuls (reverse of the
+  decode kernel's two-phase window fetch). A select against the
+  ``[wstart, wstart + k_s)`` range merges the step's words into the
+  buffer without a zero-init pass.
+
+The emitted stream is bit-identical to the normative encoder (tested);
+the capacity ``cap_rows`` must be provisioned by the caller from an
+entropy estimate — on overflow the kernel clamps (output garbage) and
+the returned word count exceeds the stream region, which callers must
+detect and fall back on (deterministic, and the codec's automatic
+verify double-covers it).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.rans import SCALE, LANES, GROUP_ROWS, RANS_L
+from .pallas_rans import force_interpret, window_rows
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+_SIGN = np.int32(np.uint32(0x80000000))
+
+
+def _ge_u(a, b):
+    """Unsigned >= on int32 bit patterns (sign-bias flip)."""
+    return (a ^ _SIGN) >= (b ^ _SIGN)
+
+
+def _lt_u(a, b):
+    return (a ^ _SIGN) < (b ^ _SIGN)
+
+
+def _mulhi32_i32(a, b):
+    """High 32 bits of the u32 product, on int32 bit patterns."""
+    mask = jnp.int32(0xFFFF)
+    al, ah = a & mask, _srl(a, 16)
+    bl, bh = b & mask, _srl(b, 16)
+    p0 = al * bl
+    mid = al * bh + _srl(p0, 16)            # no overflow: < 2^32
+    mid2 = mid + ah * bl                    # may wrap; detect carry
+    carry = _lt_u(mid2, mid).astype(jnp.int32)
+    return ah * bh + _srl(mid2, 16) + (carry << 16)
+
+
+def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
+                states_ref, nw_ref, x_scr, epos_scr, *, steps_per_block,
+                cb_total, cap_rows):
+    cb = pl.program_id(1)
+    R = x_scr.shape[0]
+    WROWS = window_rows(R)
+    CAPW = cap_rows * LANES
+
+    @pl.when(cb == 0)
+    def _():
+        x_scr[...] = jnp.full((R, LANES), RANS_L, jnp.int32)
+        epos_scr[0] = 0
+
+    x0 = x_scr[...]
+    epos0 = epos_scr[0]
+    counts = counts_ref[0]
+    blk = cb_total - 1 - cb                 # symbol block (backward)
+
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    # Lower-triangular ones: inclusive lane prefix via dot(m, tril^T)
+    # == dot(m, triu) with triu[k, j] = k <= j.
+    triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            ).astype(jnp.float32)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WROWS), 1)
+    win_row = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 0)
+    win_col = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 1)
+
+    def lookup2(tbl_ref, idx):
+        col = idx & 127
+        lo = jnp.take_along_axis(tbl_ref[0, :, 0, :], col, axis=1)
+        hi = jnp.take_along_axis(tbl_ref[0, :, 1, :], col, axis=1)
+        return jnp.where(idx < 128, lo, hi)
+
+    def substep(s_local, x, epos):
+        sg = blk * steps_per_block + s_local
+        active = (sg * LANES + lane_col) < counts
+        sy = syms_ref[0, :, pl.ds(s_local * LANES, LANES)].astype(jnp.int32)
+        pk = lookup2(pk_ref, sy)
+        rcp = lookup2(rcp_ref, sy)
+        cum = pk & 4095
+        cmpl = _srl(pk, 12) & 8191
+        rshift = _srl(pk, 25)
+        f = SCALE - cmpl
+        # Renorm BEFORE the update (normative order): emit the low 16
+        # bits wherever the update would overflow 32 bits.
+        emit = active & _ge_u(x, f << 20)
+        word = x & jnp.int32(0xFFFF)
+        x = jnp.where(emit, _srl(x, 16), x)
+        # Ranks in decoder (row-major) order: MXU lane prefix
+        # (inclusive) + sublane ladder of row totals.
+        m = emit.astype(jnp.int32)
+        inc = jax.lax.dot(m.astype(jnp.float32), triu,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+        row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
+        run = row_tot
+        k = 1
+        while k < R:
+            rolled = pltpu.roll(run, shift=k, axis=0)
+            run = run + jnp.where(row_id >= k, rolled, 0)
+            k *= 2
+        row_off = run - row_tot                     # exclusive row offset
+        ks = jnp.sum(m)                             # words this step
+        # Per-row left-compaction: target index c takes the word of the
+        # first lane whose inclusive rank reaches c+1 (branchless binary
+        # search over the sorted per-row prefix).
+        lo = jnp.zeros((R, LANES), jnp.int32)
+        step = 64
+        while step >= 1:
+            cand = lo + step
+            probe = jnp.take_along_axis(inc, cand - 1, axis=1)
+            lo = jnp.where(probe < lane_col + 1, cand, lo)
+            step //= 2
+        inv = jnp.minimum(lo, 127)
+        cw = jnp.take_along_axis(word, inv, axis=1)
+        valid = lane_col < row_tot
+        cw = jnp.where(valid, cw, 0)
+        # Place each row's compacted block at its stream range
+        # [wstart + row_off, wstart + row_off + k_r): rotate to the
+        # in-row offset, split across the (at most two) stream rows,
+        # scatter rows with one-hot MXU matmuls, select-merge.
+        wstart = jnp.maximum(CAPW - epos - ks, 0)
+        # 8-row alignment hint: u16 sublane slices must start at x8 rows.
+        base_row = pl.multiple_of(_srl(wstart, 10) * 8, 8)
+        first = (wstart - base_row * LANES) + row_off   # row-constant
+        brow = _srl(first, 7)
+        off = first & 127
+        rot_idx = (lane_col - off) & 127
+        rotated = jnp.take_along_axis(cw, rot_idx, axis=1)
+        c0 = lane_col - off
+        c1 = lane_col + LANES - off
+        part0 = jnp.where((lane_col >= off) & (c0 < row_tot), rotated, 0)
+        part1 = jnp.where((lane_col < off) & (c1 < row_tot), rotated, 0)
+        brow_c = brow[:, 0:1]
+        oh0 = (wrow_iota == brow_c).astype(jnp.float32)
+        oh1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
+        # (R, WROWS)^T @ (R, 128): contract the R axis. HIGHEST: u16
+        # word values exceed bf16's mantissa.
+        dn = (((0,), (0,)), ((), ()))
+        w0 = jax.lax.dot_general(oh0, part0.astype(jnp.float32), dn,
+                                 precision=jax.lax.Precision.HIGHEST)
+        w1 = jax.lax.dot_general(oh1, part1.astype(jnp.float32), dn,
+                                 precision=jax.lax.Precision.HIGHEST)
+        window = (w0 + w1).astype(jnp.int32)
+        flatg = (base_row + win_row) * LANES + win_col
+        touched = (flatg >= wstart) & (flatg < wstart + ks)
+        cur = words_ref[0, pl.ds(base_row, WROWS), :]
+        words_ref[0, pl.ds(base_row, WROWS), :] = jnp.where(
+            touched, window.astype(jnp.uint16), cur)
+        # Division-free rANS update: q = x // f via the round-up
+        # reciprocal; x' = x + cum + q * (SCALE - f).
+        t = _mulhi32_i32(x, rcp)
+        q = _srl(_srl(x - t, 1) + t, rshift)
+        x = jnp.where(active, x + cum + q * cmpl, x)
+        return x, epos + ks
+
+    def body(i, carry):
+        x, epos = carry
+        return substep(steps_per_block - 1 - i, x, epos)
+
+    x, epos = jax.lax.fori_loop(0, steps_per_block, body, (x0, epos0))
+    x_scr[...] = x
+    epos_scr[0] = epos
+    states_ref[0] = x
+    nw_ref[0] = jnp.broadcast_to(epos, nw_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=('n_steps', 'cap_rows',
+                                             'interpret',
+                                             'steps_per_block'))
+def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
+                         cap_rows, interpret=False, steps_per_block=None):
+    """Encode N groups on TPU; bit-identical to the normative encoder.
+
+    symbols  (N, R, S*128) uint8 — row-linear segment rows (S*128
+             column-padded so that steps_per_block divides S)
+    enc_pk   (N, R, 2, 128) int32 — packed (rcp_shift, cmpl, cum)
+    enc_rcp  (N, R, 2, 128) int32 — reciprocals (encoder_tables)
+    counts_b (N, R, 128) int32 — per-row symbol counts, lane-broadcast
+    cap_rows — stream-region rows per group; the merged stream of group
+             n lands at ``words[n].reshape(-1)[cap_rows*128 - nw[n] :
+             cap_rows*128]``. Callers must provision from an entropy
+             estimate and fall back when ``nw > cap_rows*128``.
+
+    Returns ``(states (N, R, 128) int32, words (N, cap_rows + slack,
+    128) uint16, n_words (N, 8, 128) int32 broadcast)``.
+    """
+    interpret = interpret or force_interpret()
+    N, R_in, SK = symbols.shape
+    WROWS = window_rows(R_in)
+    spb = steps_per_block or min(64, max(4, -(-n_steps // 4) * 4))
+    CB = -(-max(n_steps, 1) // spb)
+    pad_cols = CB * spb * LANES - SK
+    if pad_cols:
+        symbols = jnp.pad(symbols, ((0, 0), (0, 0), (0, pad_cols)))
+    # Slack above the stream region: windows anchored near CAPW read
+    # and (select-preserving) write up to WROWS - 1 rows past it.
+    buf_rows = -(-(cap_rows + WROWS) // 8) * 8
+    out = pl.pallas_call(
+        functools.partial(_enc_kernel, steps_per_block=spb, cb_total=CB,
+                          cap_rows=cap_rows),
+        grid=(N, CB),
+        in_specs=[
+            pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_in, spb * LANES),
+                         lambda n, c: (n, 0, CB - 1 - c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, buf_rows, LANES), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, buf_rows, LANES), jnp.uint16),
+            jax.ShapeDtypeStruct((N, R_in, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((N, 8, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((R_in, LANES), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(counts_b, enc_pk, enc_rcp, symbols)
+    words, states, nw = out
+    return states, words, nw
+
+
+def pack_enc_device_tables(freqs):
+    """(256,) freq table -> packed (pk, rcp) (2, 128) int32 pairs."""
+    from ..models.rans import encoder_tables
+    pk, rcp = encoder_tables(np.asarray(freqs, dtype=np.int64))
+    return (pk.view(np.int32).reshape(2, 128),
+            rcp.view(np.int32).reshape(2, 128))

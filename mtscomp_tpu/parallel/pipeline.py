@@ -395,6 +395,78 @@ class DeviceBatchEncoder:
                 and n_samples > 1
                 and self.writer.n_channels < 65536)
 
+    def _encode_pallas(self, symbols, tables, segments, counts_arr,
+                       fallback, hists, B, G, R, S, aligned, n_pad):
+        """Run the Pallas encode kernel; None on capacity overflow.
+
+        The kernel writes each group's merged stream right-to-left into
+        a fixed VMEM region provisioned from the Shannon estimate of
+        the tables (x1.25 + slack). If any group's stream exceeds the
+        region (pathological rows), the caller falls back to the XLA
+        scan — deterministic either way.
+        """
+        jax, jnp = _jax()
+        from ..models import rans
+        from ..ops.pallas_rans_enc import (encode_groups_pallas,
+                                           pack_enc_device_tables)
+        # Bits/symbol under each quantized table, for capacity.
+        bps = {}
+        for (b, p), fq in tables.items():
+            cnt = hists[b, p].astype(np.float64).copy()
+            if aligned:
+                cnt[0] += n_pad
+            nz = fq > 0
+            bits = float(np.sum(cnt[nz] * (rans.SCALE_BITS
+                                           - np.log2(fq[nz]))))
+            bps[(b, p)] = bits / max(cnt.sum(), 1.0)
+        est = np.zeros(B * G)
+        pk_arr = np.zeros((B * G, R, 2, rans.LANES), np.int32)
+        rcp_arr = np.zeros_like(pk_arr)
+        enc_cache = {}
+        fb_tbls = pack_enc_device_tables(fallback)
+        for b in range(B):
+            for gi in range(G):
+                i = b * G + gi
+                segs = segments[gi * R:(gi + 1) * R]
+                for r in range(R):
+                    if r < len(segs):
+                        p, _, n = segs[r]
+                        key = (b, p)
+                        if key not in enc_cache:
+                            enc_cache[key] = pack_enc_device_tables(
+                                tables[key])
+                        pk_arr[i, r], rcp_arr[i, r] = enc_cache[key]
+                        est[i] += n * bps[key] / 16.0
+                    else:
+                        pk_arr[i, r], rcp_arr[i, r] = fb_tbls
+        cap_words = int(est.max(initial=0.0) * 1.25) + 4096
+        cap_rows = -(-cap_words // (128 * 512)) * 512
+        if cap_rows > 24576:   # > 6 MB u16: near-incompressible planes
+            return None
+        counts_b = np.ascontiguousarray(np.broadcast_to(
+            counts_arr[:, :, None], (B * G, R, rans.LANES)))
+        with phase('encode.kernel'):
+            states_d, words_d, nw_d = encode_groups_pallas(
+                symbols, jnp.asarray(pk_arr), jnp.asarray(rcp_arr),
+                jnp.asarray(counts_b), n_steps=S, cap_rows=cap_rows)
+            n_words = np.asarray(nw_d)[:, 0, 0]
+        capw = cap_rows * rans.LANES
+        if n_words.max(initial=0) > capw:  # pragma: no cover - rare
+            logger.debug("Pallas encode overflowed %d-word region; "
+                         "falling back to the XLA scan.", capw)
+            return None
+        with phase('encode.align'):
+            # Left-align the right-anchored streams on device, then one
+            # bucketed download (avoids per-size transfer compiles).
+            wflat = words_d.reshape(B * G, -1)[:, :capw]
+            shifts = jnp.asarray((capw - n_words).astype(np.int32))
+            aligned_w = jax.vmap(jnp.roll)(wflat, -shifts)
+            wmax = min(capw, -(-int(n_words.max(initial=1)) // 65536)
+                       * 65536)
+            streams = np.asarray(aligned_w[:, :wmax])
+        states = np.asarray(states_d).view(np.uint32)
+        return states, streams, n_words
+
     def encode_batch(self, chunks):
         """chunks: (B, T, C) ndarray -> list of container payload bytes."""
         import struct
@@ -501,17 +573,26 @@ class DeviceBatchEncoder:
                             counts_arr[i, r] = n
                         else:
                             freq_arr[i, r] = fallback
-            enc_pk, enc_rcp = rans.encoder_tables(freq_arr)
-            states_d, words_dense, emit = encode_groups(
-                symbols, jnp.asarray(enc_pk), jnp.asarray(enc_rcp),
-                jnp.asarray(counts_arr), n_steps=S)
-            n_words_d = jnp.sum(emit, axis=(0, 2), dtype=jnp.int32)
-            w_bound = int(np.asarray(jnp.max(n_words_d)))
-            w_bound = max(w_bound, 1)
-            streams_d, nw_d = compact_words(words_dense, emit, w_bound)
-            states = np.asarray(states_d)
-            streams = np.asarray(streams_d)
-            n_words = np.asarray(nw_d)
+            from ..ops.pallas_rans import force_interpret
+            streams = states = n_words = None
+            if jax.default_backend() == 'tpu' or force_interpret():
+                out = self._encode_pallas(
+                    symbols, tables, segments, counts_arr, fallback,
+                    hists, B, G, R, S, aligned, n_pad)
+                if out is not None:
+                    states, streams, n_words = out
+            if streams is None:
+                enc_pk, enc_rcp = rans.encoder_tables(freq_arr)
+                states_d, words_dense, emit = encode_groups(
+                    symbols, jnp.asarray(enc_pk), jnp.asarray(enc_rcp),
+                    jnp.asarray(counts_arr), n_steps=S)
+                n_words_d = jnp.sum(emit, axis=(0, 2), dtype=jnp.int32)
+                w_bound = int(np.asarray(jnp.max(n_words_d)))
+                w_bound = max(w_bound, 1)
+                streams_d, nw_d = compact_words(words_dense, emit, w_bound)
+                states = np.asarray(states_d)
+                streams = np.asarray(streams_d)
+                n_words = np.asarray(nw_d)
             for b in range(B):
                 gw, gs, gc = [], [], []
                 for gi in range(G):

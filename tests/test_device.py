@@ -324,6 +324,28 @@ def test_multi_probe_mesh(tmp_path_):
             r.close()
 
 
+@pytest.mark.parametrize('aligned', [False, True])
+def test_device_encode_pallas_interpret(tmp_path_, monkeypatch, aligned):
+    """The Pallas encode kernel path is byte-identical (interpret mode)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    arr = to_int16(make_signal('colored', ns=3 * 2000, nc=24))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
+               ans_channel_segments=aligned)
+    w.open(path, sample_rate=2000.0, n_channels=24, dtype='int16')
+    chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
+    enc = DeviceBatchEncoder(w)
+    payloads = enc.encode_batch(np.stack(chunks))
+    assert payloads is not None
+    for chunk, payload in zip(chunks, payloads):
+        host = w.codec.encode(w._transform_chunk(chunk),
+                              order=w.chunk_order)
+        assert payload == host
+    w.close()
+
+
 def test_full_fused_pipeline_interpret(tmp_path_, monkeypatch):
     """The fully fused TPU decode path (Pallas interpret mode on CPU)."""
     monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
