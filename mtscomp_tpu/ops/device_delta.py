@@ -207,6 +207,76 @@ def cumsum_time_transposed(elems, head=None, interpret=False):
     )(elems, head3)
 
 
+def _cumsum_t8_kernel(x_ref, head_ref, hi_ref, out_ref, carry_ref):
+    """Fused combine + transpose + exclusive time scan from u8 planes.
+
+    Input tile: (128 ch, 128 t) uint8 low-byte plane codes. The chunk's
+    constant high byte and the inverse zigzag run in-register, so the
+    decode pipeline never materializes the combined int16 diff stream —
+    one u8 read and one i16 write per element instead of the separate
+    combine pass (u8 read + i16 write + i16 read) the generic path
+    pays. Scan + transpose semantics match ``_cumsum_t_kernel``'s
+    exclusive mode (head-seeded; head lands at t=0).
+    """
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = head_ref[0, :, 0:1]
+
+    hi_c = jnp.broadcast_to(hi_ref[0, 0:1, :], (128, 128))
+    z = x_ref[0].astype(jnp.int32) | (hi_c << 8)          # 16-bit code
+    # Inverse zigzag on the 16-bit code: i32 result equals the int16
+    # diff sign-extended ((z>>1) ^ -(z&1)).
+    x = (z >> 1) ^ -(z & 1)
+    lo = (x & 255).astype(jnp.float32)
+    hi = ((x >> 8) & 255).astype(jnp.float32)             # mod-2^16 bytes
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    triu = (row <= col).astype(jnp.float32)               # prefix over t
+    p_lo = jax.lax.dot(lo, triu, preferred_element_type=jnp.float32)
+    p_hi = jax.lax.dot(hi, triu, preferred_element_type=jnp.float32)
+    prefix = p_lo.astype(jnp.int32) + (p_hi.astype(jnp.int32) << 8)
+    excl = (prefix - x).astype(jnp.int16)
+    out = excl + carry_ref[...]                           # wraps
+    carry_ref[...] = carry_ref[...] + prefix[:, -1:].astype(jnp.int16)
+    out_ref[0] = out.T
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def cumsum_time_transposed_u8(planes, head, hi, interpret=False):
+    """(B, C, T) u8 low-byte codes -> (B, T, C) decoded int16 samples.
+
+    Fuses the plane combine (constant high byte ``hi``, (B,) int32),
+    inverse zigzag, in-dtype time cumsum and the F->C transpose into
+    one pass. ``head`` (B, C) int16 seeds the exclusive scan (verbatim
+    first samples). Requires T % 128 == 0 and C % 128 == 0.
+    """
+    from .pallas_rans import force_interpret
+    interpret = interpret or force_interpret()
+    B, C, T = planes.shape
+    assert planes.dtype == jnp.uint8
+    assert T % 128 == 0 and C % 128 == 0
+    head3 = jnp.broadcast_to(head.reshape(B, C, 1), (B, C, 128))
+    hi2 = jnp.broadcast_to(hi.reshape(B, 1, 1).astype(jnp.int32),
+                           (B, 8, 128))
+    return pl.pallas_call(
+        _cumsum_t8_kernel,
+        grid=(B, C // 128, T // 128),
+        in_specs=[pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, 128), lambda b, c, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, t, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((128, 1), jnp.int16)],
+        interpret=interpret,
+    )(planes, head3, hi2)
+
+
 def pad_to(x, multiple, axis):
     """Zero-pad ``axis`` up to the next multiple (no-op when aligned)."""
     size = x.shape[axis]

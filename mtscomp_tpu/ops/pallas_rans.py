@@ -143,6 +143,10 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
                           preferred_element_type=jnp.float32
                           ).astype(jnp.int32)
         row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
+        # Sublane ladder for the row offsets (measured faster here than
+        # an extra MXU prefix matmul — the matmul ports are busy with
+        # the rank + fetch dots; the encode kernel, with more VPU work
+        # per step, uses the matmul form instead).
         run = row_tot
         k = 1
         while k < R:
@@ -167,14 +171,26 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         brow_c = brow[:, 0:1]                       # row-constant
         onehot0 = (wrow_iota == brow_c).astype(jnp.float32)
         onehot1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
-        # HIGHEST precision: u16 word values exceed bf16's mantissa, and
-        # the default MXU f32 path is bf16-emulated. (Mosaic has no
-        # direct u16->f32 cast; widen to i32 first.)
-        wf = window.astype(jnp.int32).astype(jnp.float32)
-        w0 = jax.lax.dot(onehot0, wf,
-                         precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-        w1 = jax.lax.dot(onehot1, wf,
-                         precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        # Byte-split matmuls: u16 word values exceed bf16's mantissa,
+        # but each byte half is bf16-exact, so two single-pass (default
+        # precision) matmuls per select replace one HIGHEST (~6-pass
+        # emulated) matmul. (Mosaic has no direct u16->f32 cast; widen
+        # to i32 first.)
+        wi = window.astype(jnp.int32)
+        wlo = (wi & 255).astype(jnp.float32)
+        whi = _srl(wi, 8).astype(jnp.float32)
+        w0 = (jax.lax.dot(onehot0, wlo,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+              + (jax.lax.dot(onehot0, whi,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32) << 8))
+        w1 = (jax.lax.dot(onehot1, wlo,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+              + (jax.lax.dot(onehot1, whi,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32) << 8))
         off = widx - (brow << 7)                    # [0, 256)
         g0 = jnp.take_along_axis(w0, off & 127, axis=1)
         g1 = jnp.take_along_axis(w1, off & 127, axis=1)

@@ -101,7 +101,11 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
             ).astype(jnp.float32)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    # Strict lower-triangular ones: MXU row-offset prefix (replaces a
+    # log2(R)-step sublane ladder; exact — inputs <= 128, f32 acc).
+    tril_x = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+              > jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+              ).astype(jnp.float32)
     wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WROWS), 1)
     win_row = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 0)
     win_col = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 1)
@@ -134,13 +138,9 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                           preferred_element_type=jnp.float32
                           ).astype(jnp.int32)
         row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
-        run = row_tot
-        k = 1
-        while k < R:
-            rolled = pltpu.roll(run, shift=k, axis=0)
-            run = run + jnp.where(row_id >= k, rolled, 0)
-            k *= 2
-        row_off = run - row_tot                     # exclusive row offset
+        row_off = jax.lax.dot(tril_x, row_tot.astype(jnp.float32),
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.int32)   # exclusive row offset
         ks = jnp.sum(m)                             # words this step
         # Per-row left-compaction: target index c takes the word of the
         # first lane whose inclusive rank reaches c+1 (branchless binary
@@ -175,14 +175,23 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         brow_c = brow[:, 0:1]
         oh0 = (wrow_iota == brow_c).astype(jnp.float32)
         oh1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
-        # (R, WROWS)^T @ (R, 128): contract the R axis. HIGHEST: u16
-        # word values exceed bf16's mantissa.
+        # (R, WROWS)^T @ (R, 128): contract the R axis. Byte-split
+        # matmuls: u16 words exceed bf16's mantissa, but each byte half
+        # is bf16-exact — two single-pass matmuls beat one HIGHEST
+        # (~6-pass emulated) matmul.
         dn = (((0,), (0,)), ((), ()))
-        w0 = jax.lax.dot_general(oh0, part0.astype(jnp.float32), dn,
-                                 precision=jax.lax.Precision.HIGHEST)
-        w1 = jax.lax.dot_general(oh1, part1.astype(jnp.float32), dn,
-                                 precision=jax.lax.Precision.HIGHEST)
-        window = (w0 + w1).astype(jnp.int32)
+
+        def scat(oh, part):
+            lo = (part & 255).astype(jnp.float32)
+            hi = _srl(part, 8).astype(jnp.float32)
+            return (jax.lax.dot_general(
+                        oh, lo, dn, preferred_element_type=jnp.float32
+                    ).astype(jnp.int32)
+                    + (jax.lax.dot_general(
+                        oh, hi, dn, preferred_element_type=jnp.float32
+                    ).astype(jnp.int32) << 8))
+
+        window = scat(oh0, part0) + scat(oh1, part1)
         flatg = (base_row + win_row) * LANES + win_col
         touched = (flatg >= wstart) & (flatg < wstart + ks)
         cur = words_ref[0, pl.ds(base_row, WROWS), :]

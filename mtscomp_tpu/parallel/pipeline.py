@@ -83,11 +83,35 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                  and order == 'F' and do_time_diff and not do_spatial_diff
                  and (GROUP_ROWS * k) % 128 == 0
                  and spb_f >= 16 and tp >= T)
-    c_cap = G * GROUP_ROWS * k if full_fuse else 0
+    # Default fast path: u8 kernel output feeds a combine+zigzag+
+    # transpose+scan kernel directly (zero-copy reshape, since the
+    # row-linear rows ARE k channels of tp symbols each) — the decode
+    # never materializes a combined int16 diff stream. Needs full
+    # segments (seg_eff == seg) so the reshape is clean, and spb
+    # dividing S so the kernel emits exactly seg_eff columns.
+    fuse8 = (use_pallas and aligned and has_head and not full_fuse
+             and os.environ.get('MTSCOMP_NO_FUSE8', '') in ('', '0')
+             and rans_planes == [0] and not raw_planes
+             and len(const_planes) == 1
+             and dtype == np.int16 and zigzag
+             and order == 'F' and do_time_diff and not do_spatial_diff
+             and (GROUP_ROWS * k) % 128 == 0
+             and seg_eff == seg and spb_f >= 8 and tp >= T)
+    c_cap = G * GROUP_ROWS * k if (full_fuse or fuse8) else 0
 
     @jax.jit
     def decode(states, words, freqs, counts, coarse_pk, dense_pk, counts_b,
                const_vals, raw_vals, heads, elem_pk):
+        if fuse8:
+            from ..ops.device_delta import cumsum_time_transposed_u8
+            syms = decode_groups_pallas(
+                states, words, coarse_pk, dense_pk, counts_b, n_steps=S,
+                small_alpha=small_alpha, steps_per_block=spb_f)
+            chan = syms.reshape(B, c_cap, tp)
+            heads_p = jnp.pad(heads, ((0, 0), (0, c_cap - C)))
+            out = cumsum_time_transposed_u8(chan, heads_p,
+                                            const_vals[:, 0])
+            return out[:, :T, :C]
         if full_fuse:
             syms16 = decode_groups_pallas16(
                 states, words, coarse_pk, dense_pk, elem_pk, counts_b,

@@ -346,6 +346,30 @@ def test_device_encode_pallas_interpret(tmp_path_, monkeypatch, aligned):
     w.close()
 
 
+def test_fuse8_decode_interpret(tmp_path_, monkeypatch):
+    """The default fused u8-combine decode path (interpret mode)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    arr = to_int16(make_signal('colored', ns=4 * 300, nc=40))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=300.0, n_channels=40, dtype='int16',
+             algorithm='ans', quiet=True, check_after_compress=False)
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
+    try:
+        from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                                   _read_payload,
+                                                   _build_decode_fn)
+        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(4)]
+        assert parsed[0]['aligned']
+        dec = DeviceBatchDecoder(r)
+        assert dec.supported(parsed, 300)
+        _build_decode_fn.cache_clear()
+        out = dec.decode_batch(parsed, 300)
+        assert np.array_equal(out.reshape(-1, 40), arr)
+    finally:
+        r.close()
+
+
 def test_full_fused_pipeline_interpret(tmp_path_, monkeypatch):
     """The fully fused TPU decode path (Pallas interpret mode on CPU)."""
     monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
