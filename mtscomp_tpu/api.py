@@ -202,22 +202,42 @@ class Writer:
                       if self.n_threads > 1 else None)
         logger.info("Starting compression with %d thread(s), algorithm=%s.",
                     self.n_threads, self.algorithm)
-        with open(out, 'wb') as fb:
-            for batch in progress(range(self.n_batches), desc='Compressing',
-                                  disable=self.quiet):
-                first = self.batch_size * batch
-                last = min(self.batch_size * (batch + 1), self.n_chunks)
-                compressed = self.compress_batch(first, last)
-                assert set(compressed) == set(range(first, last))
-                # Ordered write-back: payload order defines the offset table.
-                for idx in sorted(compressed):
-                    chunk, payload = compressed[idx]
-                    fb.write(payload)
-                    offset += len(payload)
-                    self.chunk_offsets.append(offset)
-                    self.sha1_uncompressed.update(np.ascontiguousarray(chunk))
-                    self.sha1_compressed.update(payload)
-            csize = fb.tell()
+
+        def bounds(batch):
+            return (self.batch_size * batch,
+                    min(self.batch_size * (batch + 1), self.n_chunks))
+
+        # Double-buffered pipeline: batch b+1 compresses (C++ workers /
+        # device) while batch b's ordered write-back (file IO + SHA1,
+        # both GIL-releasing) runs — the reference is strictly
+        # batch-synchronous here (mtscomp.py:461-483).
+        prefetch = ThreadPoolExecutor(1)
+        try:
+            with open(out, 'wb') as fb:
+                fut = (prefetch.submit(self.compress_batch, *bounds(0))
+                       if self.n_batches else None)
+                for batch in progress(range(self.n_batches),
+                                      desc='Compressing',
+                                      disable=self.quiet):
+                    compressed = fut.result()
+                    if batch + 1 < self.n_batches:
+                        fut = prefetch.submit(self.compress_batch,
+                                              *bounds(batch + 1))
+                    first, last = bounds(batch)
+                    assert set(compressed) == set(range(first, last))
+                    # Ordered write-back: payload order defines the
+                    # offset table.
+                    for idx in sorted(compressed):
+                        chunk, payload = compressed[idx]
+                        fb.write(payload)
+                        offset += len(payload)
+                        self.chunk_offsets.append(offset)
+                        self.sha1_uncompressed.update(
+                            np.ascontiguousarray(chunk))
+                        self.sha1_compressed.update(payload)
+                csize = fb.tell()
+        finally:
+            prefetch.shutdown()
         assert self.chunk_offsets[-1] == csize
         if self._pool is not None:
             self._pool.shutdown()
@@ -488,23 +508,37 @@ class Reader:
             batch_size = max(batch_size, int(self.config.batch_chunks) or 8)
         n_batches = math.ceil(self.n_chunks / batch_size)
         self.start_thread_pool()
-        with open(out, 'wb') as fb:
-            for batch in progress(range(n_batches), desc='Decompressing',
-                                  disable=self.quiet):
-                first = batch_size * batch
-                last = min(batch_size * (batch + 1), self.n_chunks)
-                if use_device:
-                    fb.write(np.ascontiguousarray(
-                        self.to_array(first, last - 1)))
-                    continue
-                if hasattr(self.codec, 'decode_batch'):
-                    decoded = self._decompress_chunks_batch(range(first, last))
-                else:
-                    decoded = self.decompress_chunks(range(first, last),
-                                                     self.pool)
-                for idx in sorted(decoded):
-                    fb.write(decoded[idx])
-            dsize = fb.tell()
+
+        def produce(batch):
+            first = batch_size * batch
+            last = min(batch_size * (batch + 1), self.n_chunks)
+            if use_device:
+                return self.to_array(first, last - 1)
+            if hasattr(self.codec, 'decode_batch'):
+                decoded = self._decompress_chunks_batch(range(first, last))
+            else:
+                decoded = self.decompress_chunks(range(first, last),
+                                                 self.pool)
+            return np.concatenate([decoded[i] for i in sorted(decoded)],
+                                  axis=0)
+
+        # Double-buffered pipeline: batch b+1 reads + decodes while
+        # batch b's file write runs (the reference is strictly
+        # batch-synchronous, mtscomp.py:720-734).
+        prefetch = ThreadPoolExecutor(1)
+        try:
+            with open(out, 'wb') as fb:
+                fut = prefetch.submit(produce, 0) if n_batches else None
+                for batch in progress(range(n_batches),
+                                      desc='Decompressing',
+                                      disable=self.quiet):
+                    arr = fut.result()
+                    if batch + 1 < n_batches:
+                        fut = prefetch.submit(produce, batch + 1)
+                    fb.write(np.ascontiguousarray(arr))
+                dsize = fb.tell()
+        finally:
+            prefetch.shutdown()
         assert dsize == self.n_samples * self.n_channels * self.dtype.itemsize
         self.stop_thread_pool()
         logger.info("Wrote %s (%.1f GB).", out, dsize / 1024 ** 3)

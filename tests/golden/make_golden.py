@@ -1,0 +1,52 @@
+"""Regenerate the golden-file corpus (run from the repo root).
+
+The corpus pins the on-disk formats across framework versions:
+
+- ``np_*.bin``      deterministic raw input (seeded RNG)
+- ``zlib_*.cbin/.ch``  legacy v1 output — must stay byte-identical to
+  what the reference implementation produces for the same input
+- ``ans_*.cbin/.ch``   format v2 output at the time the corpus was
+  frozen — future readers must keep decoding it byte-exactly (writers
+  may diverge: v2 containers are versioned by the `algorithm` field
+  and header, and the reader never assumes writer details)
+
+Only regenerate when the format intentionally changes; the tests in
+``test_golden.py`` otherwise guarantee old files stay readable.
+"""
+
+from pathlib import Path
+
+import numpy as np
+
+HERE = Path(__file__).parent
+
+
+def signal(ns, nc, seed, dtype):
+    rng = np.random.default_rng(seed)
+    walk = np.cumsum(rng.normal(0, 4, size=(ns, nc)), axis=0)
+    return np.clip(walk, -30000, 30000).astype(dtype)
+
+
+CASES = [
+    ('int16_19ch', dict(ns=3000, nc=19, seed=0, dtype=np.int16), 1234.0),
+    ('uint8_7ch', dict(ns=2000, nc=7, seed=1, dtype=np.uint8), 500.0),
+]
+
+
+def main():
+    from mtscomp_tpu import compress
+    for name, kw, rate in CASES:
+        arr = signal(**kw)
+        raw = HERE / ('np_%s.bin' % name)
+        arr.tofile(raw)
+        for algo in ('zlib', 'ans'):
+            compress(raw, HERE / ('%s_%s.cbin' % (algo, name)),
+                     HERE / ('%s_%s.ch' % (algo, name)),
+                     sample_rate=rate, n_channels=kw['nc'],
+                     dtype=np.dtype(kw['dtype']).name, algorithm=algo,
+                     quiet=True)
+    print("golden corpus regenerated under", HERE)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,77 @@
+"""Golden-file corpus: on-disk format stability across versions.
+
+The committed artifacts under ``tests/golden/`` freeze both formats:
+
+- the legacy v1 (zlib) writer must keep producing byte-identical
+  ``.cbin`` output for the frozen inputs (the reference-compatibility
+  contract, independent of having /root/reference mounted);
+- both frozen ``.cbin`` files (v1 zlib and v2 ans) must keep decoding
+  byte-exactly — i.e. files written by ANY past version of this
+  framework stay readable forever.
+
+Regenerate only on intentional format changes: tests/golden/make_golden.py.
+"""
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mtscomp_tpu import Writer, decompress
+
+from conftest import tmp_path_  # noqa: F401
+
+GOLDEN = Path(__file__).parent / 'golden'
+
+CASES = [
+    ('int16_19ch', np.int16, 19, 1234.0),
+    ('uint8_7ch', np.uint8, 7, 500.0),
+]
+
+
+def _raw(name, dtype, nc):
+    return np.fromfile(GOLDEN / ('np_%s.bin' % name), dtype).reshape(-1, nc)
+
+
+@pytest.mark.parametrize('name,dtype,nc,rate', CASES)
+@pytest.mark.parametrize('algo', ['zlib', 'ans'])
+def test_golden_decode(tmp_path_, name, dtype, nc, rate, algo):
+    """Frozen compressed files keep decoding byte-exactly."""
+    arr = _raw(name, dtype, nc)
+    r = decompress(GOLDEN / ('%s_%s.cbin' % (algo, name)),
+                   GOLDEN / ('%s_%s.ch' % (algo, name)), quiet=True)
+    try:
+        assert r.dtype == np.dtype(dtype)
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+@pytest.mark.parametrize('name,dtype,nc,rate', CASES)
+def test_golden_zlib_writer_stable(tmp_path_, name, dtype, nc, rate):
+    """The v1 writer still produces the frozen bytes (legacy contract)."""
+    w = Writer(algorithm='zlib', quiet=True, check_after_compress=False)
+    w.open(GOLDEN / ('np_%s.bin' % name), sample_rate=rate, n_channels=nc,
+           dtype=np.dtype(dtype).name)
+    out = tmp_path_ / 'g.cbin'
+    w.write(out, tmp_path_ / 'g.ch')
+    w.close()
+    got = hashlib.sha1(out.read_bytes()).hexdigest()
+    want = hashlib.sha1(
+        (GOLDEN / ('zlib_%s.cbin' % name)).read_bytes()).hexdigest()
+    assert got == want
+
+
+@pytest.mark.parametrize('name,dtype,nc,rate', CASES)
+def test_golden_sidecar_sha1(tmp_path_, name, dtype, nc, rate):
+    """Frozen .ch SHA1 fields match independently computed hashes."""
+    import json
+    for algo in ('zlib', 'ans'):
+        meta = json.loads((GOLDEN / ('%s_%s.ch' % (algo, name))).read_text())
+        raw_sha = hashlib.sha1(
+            (GOLDEN / ('np_%s.bin' % name)).read_bytes()).hexdigest()
+        comp_sha = hashlib.sha1(
+            (GOLDEN / ('%s_%s.cbin' % (algo, name))).read_bytes()).hexdigest()
+        assert meta['sha1_uncompressed'] == raw_sha
+        assert meta['sha1_compressed'] == comp_sha
