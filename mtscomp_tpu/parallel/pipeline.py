@@ -74,7 +74,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     # the combine pass XLA already fuses — kept for wider-HBM parts.
     import os
     k = (seg // tp) if aligned and tp else 0
-    spb_f = max((d for d in range(1, 65) if S % d == 0), default=1) \
+    spb_f = max((d for d in range(1, 129) if S % d == 0), default=1) \
         if S else 1
     full_fuse = (use_pallas and aligned and has_head
                  and os.environ.get('MTSCOMP_FULL_FUSE', '') not in ('', '0')
@@ -469,10 +469,19 @@ class DeviceBatchEncoder:
             return None
         counts_b = np.ascontiguousarray(np.broadcast_to(
             counts_arr[:, :, None], (B * G, R, rans.LANES)))
+        pk_d = jnp.asarray(pk_arr)
+        rcp_d = jnp.asarray(rcp_arr)
+        cb_d = jnp.asarray(counts_b)
+
+        def run_kernel():
+            return encode_groups_pallas(symbols, pk_d, rcp_d, cb_d,
+                                        n_steps=S, cap_rows=cap_rows)
+
+        # Staged closure (device-resident inputs) kept for benchmarks —
+        # the encode analogue of DeviceBatchDecoder.pack.
+        self.last_kernel_run = run_kernel
         with phase('encode.kernel'):
-            states_d, words_d, nw_d = encode_groups_pallas(
-                symbols, jnp.asarray(pk_arr), jnp.asarray(rcp_arr),
-                jnp.asarray(counts_b), n_steps=S, cap_rows=cap_rows)
+            states_d, words_d, nw_d = run_kernel()
             n_words = np.asarray(nw_d)[:, 0, 0]
         capw = cap_rows * rans.LANES
         if n_words.max(initial=0) > capw:  # pragma: no cover - rare
