@@ -139,7 +139,12 @@ def encode_groups(symbols, enc_pk, enc_rcp, counts, *, n_steps):
         x = jnp.where(active, x + c + q * cmpl, x)
         return x, (word.reshape(N, R * K), emit.reshape(N, R * K))
 
-    x0 = jnp.full((N, R, K), RANS_L, jnp.uint32)
+    # Derive x0 from an input so its sharding/vma matches inside
+    # shard_map (a literal carry trips the varying-axis check; same
+    # trick as decode_groups' pos0).
+    x0 = jnp.broadcast_to(
+        (counts[:, :, None].astype(jnp.uint32) & jnp.uint32(0))
+        + jnp.uint32(RANS_L), (N, R, K))
     steps = jnp.arange(S - 1, -1, -1, dtype=jnp.int32)     # backward
     x, (words, emit) = jax.lax.scan(step, x0,
                                     (steps, syms_steps[::-1]))

@@ -500,8 +500,58 @@ class DeviceBatchEncoder:
         states = np.asarray(states_d).view(np.uint32)
         return states, streams, n_words
 
-    def encode_batch(self, chunks):
-        """chunks: (B, T, C) ndarray -> list of container payload bytes."""
+    def _encode_scan_mesh(self, symbols, freq_arr, counts_arr, S, mesh):
+        """Shard the encode scan's group axis over a device mesh.
+
+        Groups are independent (the codec's chunk-parallel axis under
+        shard_map, like DeviceBatchDecoder.pack(mesh=...)); the
+        compaction runs as plain jit ops over the sharded outputs.
+        Returns ``(states, streams, n_words)`` host arrays.
+        """
+        jax, jnp = _jax()
+        from ..models import rans
+        from ..ops.device_rans import encode_groups, compact_words
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec, NamedSharding
+        N = int(symbols.shape[0])
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad = (-N) % n_dev
+        if pad:
+            # Inactive filler groups (zero counts, placeholder tables).
+            symbols = jnp.pad(symbols, ((0, pad), (0, 0), (0, 0)))
+            freq_arr = np.pad(freq_arr, ((0, pad), (0, 0), (0, 0)))
+            counts_arr = np.pad(counts_arr, ((0, pad), (0, 0)))
+        enc_pk, enc_rcp = rans.encoder_tables(freq_arr)
+        axis = mesh.axis_names[0]
+        spec = PartitionSpec(axis)
+        spec1 = PartitionSpec(None, axis)
+        fn = jax.jit(shard_map(
+            lambda s, pk, rc, c: encode_groups(s, pk, rc, c, n_steps=S),
+            mesh=mesh, in_specs=(spec,) * 4,
+            out_specs=(spec, spec1, spec1)))
+        sh = NamedSharding(mesh, spec)
+        states_d, words_dense, emit = fn(
+            jax.device_put(symbols, sh),
+            jax.device_put(jnp.asarray(enc_pk), sh),
+            jax.device_put(jnp.asarray(enc_rcp), sh),
+            jax.device_put(jnp.asarray(counts_arr), sh))
+        n_words_d = jnp.sum(emit, axis=(0, 2), dtype=jnp.int32)
+        w_bound = max(int(np.asarray(jnp.max(n_words_d))), 1)
+        streams_d, nw_d = compact_words(words_dense, emit, w_bound)
+        sl = slice(None, N)
+        return (np.asarray(states_d)[sl], np.asarray(streams_d)[sl],
+                np.asarray(nw_d)[sl])
+
+    def encode_batch(self, chunks, mesh=None):
+        """chunks: (B, T, C) ndarray -> list of container payload bytes.
+
+        With ``mesh`` (1-D device mesh), the group axis of the encode
+        scan is sharded across devices (chunk-level data parallelism
+        over ICI; no cross-group communication).
+        """
         import struct
         jax, jnp = _jax()
         from ..codec import ans as ans_mod
@@ -608,7 +658,10 @@ class DeviceBatchEncoder:
                             freq_arr[i, r] = fallback
             from ..ops.pallas_rans import force_interpret
             streams = states = n_words = None
-            if jax.default_backend() == 'tpu' or force_interpret():
+            if mesh is not None:
+                states, streams, n_words = self._encode_scan_mesh(
+                    symbols, freq_arr, counts_arr, S, mesh)
+            elif jax.default_backend() == 'tpu' or force_interpret():
                 out = self._encode_pallas(
                     symbols, tables, segments, counts_arr, fallback,
                     hists, B, G, R, S, aligned, n_pad)

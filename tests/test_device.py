@@ -251,6 +251,27 @@ def test_device_encode_batch_byte_identical(tmp_path_, aligned):
     w.close()
 
 
+def test_device_encode_sharded_mesh(tmp_path_):
+    """Encode scan sharded over the 8-device virtual mesh (shard_map)."""
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel.mesh import chunk_mesh
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    arr = to_int16(make_signal('colored', ns=4 * 2000, nc=32))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=11)
+    w.open(path, sample_rate=2000.0, n_channels=32, dtype='int16')
+    chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
+    enc = DeviceBatchEncoder(w)
+    mesh = chunk_mesh(jax.devices('cpu')[:8])
+    payloads = enc.encode_batch(np.stack(chunks), mesh=mesh)
+    assert payloads is not None
+    for chunk, payload in zip(chunks, payloads):
+        host = w.codec.encode(w._transform_chunk(chunk),
+                              order=w.chunk_order)
+        assert payload == host
+    w.close()
+
+
 @pytest.mark.parametrize('aligned', [False, True])
 def test_device_encode_end_to_end(tmp_path_, aligned):
     """compress() with the device encoder forced; verify + cross-decode."""
