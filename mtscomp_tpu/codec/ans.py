@@ -288,17 +288,43 @@ class AnsCodec:
                 planes[:, p] = plane['raw']
             else:
                 bufs[p] = np.empty(n_stream, dtype=np.uint8)
-        for group in parsed['groups']:
-            freq_rows = np.stack([parsed['planes'][p]['freqs']
-                                  for p, _, _ in group['segments']])
-            rows, used = rans.rans_decode_group(
-                group['states'], group['words'], freq_rows,
-                [n for _, _, n in group['segments']])
-            if used != group['words'].size:
-                raise IOError("ANS group consumed %d of %d payload words."
-                              % (used, group['words'].size))
-            for (p, start, n), row in zip(group['segments'], rows):
-                bufs[p][start:start + n] = row
+        groups = parsed['groups']
+        used_list = None
+        if groups:
+            # Native C++ batch decoder: symbols land directly in the
+            # plane buffers (zero-copy row views). Falls back to the
+            # normative NumPy coder when the library is unavailable or
+            # flags a corrupt stream (the fallback re-derives the
+            # precise error).
+            from ..native import rans_decode_groups
+            native_groups = []
+            for group in groups:
+                freq_rows = np.stack([parsed['planes'][p]['freqs']
+                                      for p, _, _ in group['segments']])
+                row_outs = [bufs[p][start:start + n]
+                            for p, start, n in group['segments']]
+                native_groups.append((group['states'], group['words'],
+                                      freq_rows, row_outs))
+            used_list = rans_decode_groups(native_groups)
+        if used_list is not None:
+            for group, used in zip(groups, used_list):
+                if used != group['words'].size:
+                    raise IOError(
+                        "ANS group consumed %d of %d payload words."
+                        % (used, group['words'].size))
+        else:
+            for group in groups:
+                freq_rows = np.stack([parsed['planes'][p]['freqs']
+                                      for p, _, _ in group['segments']])
+                rows, used = rans.rans_decode_group(
+                    group['states'], group['words'], freq_rows,
+                    [n for _, _, n in group['segments']])
+                if used != group['words'].size:
+                    raise IOError(
+                        "ANS group consumed %d of %d payload words."
+                        % (used, group['words'].size))
+                for (p, start, n), row in zip(group['segments'], rows):
+                    bufs[p][start:start + n] = row
         for p, buf in bufs.items():
             if parsed['aligned']:
                 # Drop the per-channel zero pads.

@@ -71,6 +71,13 @@ def _load():
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_size_t), ctypes.c_int]
+    lib.mts_rans_decode_batch.restype = ctypes.c_int
+    lib.mts_rans_decode_batch.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -188,3 +195,54 @@ def rans_encode_groups(groups, n_threads=1):
         return None
     return [(states, words[:words_len[g]])
             for g, (states, words) in enumerate(results)]
+
+
+def rans_decode_groups(groups, n_threads=1):
+    """Decode rANS groups natively; None if the library is unavailable.
+
+    ``groups``: list of ``(states, words, freq_rows, row_outs)`` where
+    ``states`` is (R, 128) uint32, ``words`` a uint16 array,
+    ``freq_rows`` (R, 256) uint16, and ``row_outs`` a list of R
+    contiguous writable uint8 arrays (the decoded symbols land there —
+    callers pass views into the plane buffers for zero-copy scatter).
+    Returns the per-group consumed word counts (the corruption check),
+    or None when the library is missing / a stream is corrupt.
+    """
+    import numpy as np
+    lib = _load()
+    if lib is None or not groups:
+        return None
+    n = len(groups)
+    n_rows_total = sum(len(outs) for _, _, _, outs in groups)
+    offs = (ctypes.c_int * (n + 1))()
+    states_p = (ctypes.c_void_p * n)()
+    words_p = (ctypes.c_void_p * n)()
+    n_words = (ctypes.c_size_t * n)()
+    row_freqs = (ctypes.c_void_p * max(n_rows_total, 1))()
+    row_counts = (ctypes.c_int * max(n_rows_total, 1))()
+    row_out = (ctypes.c_void_p * max(n_rows_total, 1))()
+    words_used = (ctypes.c_size_t * n)()
+    keepalive = []
+    ri = 0
+    for g, (states, words, freq_rows, row_outs) in enumerate(groups):
+        offs[g] = ri
+        states = np.ascontiguousarray(states, dtype=np.uint32)
+        words = np.ascontiguousarray(words, dtype=np.uint16)
+        freq_rows = np.ascontiguousarray(freq_rows, dtype=np.uint16)
+        keepalive += [states, words, freq_rows]
+        states_p[g] = states.ctypes.data
+        words_p[g] = words.ctypes.data
+        n_words[g] = words.size
+        for r, out in enumerate(row_outs):
+            assert out.dtype == np.uint8 and out.flags.c_contiguous
+            row_freqs[ri] = freq_rows[r:r + 1].ctypes.data
+            row_counts[ri] = out.size
+            row_out[ri] = out.ctypes.data
+            ri += 1
+    offs[n] = ri
+    rc = lib.mts_rans_decode_batch(n, offs, states_p, words_p, n_words,
+                                   row_freqs, row_counts, row_out,
+                                   words_used, int(n_threads))
+    if rc != 0:
+        return None
+    return [int(words_used[g]) for g in range(n)]

@@ -105,9 +105,120 @@ void encode_group(GroupTask& t) {
   t.error = 0;
 }
 
+// ---- grouped interleaved rANS decoder (mirror of encode_group) ------------
+
+struct DecodeTask {
+  const uint32_t* states;        // R * 128
+  const uint16_t* words;
+  size_t n_words;
+  const uint16_t* const* freqs;  // R pointers to 256-entry tables
+  const int* counts;             // R
+  int n_rows;
+  uint8_t* const* rows_out;      // R pointers (counts[r] bytes each)
+  size_t words_used;             // result
+  int error;
+};
+
+void decode_group(DecodeTask& t) {
+  const int R = t.n_rows;
+  int S = 0;
+  for (int r = 0; r < R; ++r) {
+    int s = (t.counts[r] + kLanes - 1) / kLanes;
+    if (s > S) S = s;
+  }
+  // Per-row dense slot -> symbol tables (4096 entries) + cumfreqs.
+  std::vector<uint8_t> slot2sym(static_cast<size_t>(R) * 4096);
+  std::vector<uint32_t> cum(static_cast<size_t>(R) * 256);
+  for (int r = 0; r < R; ++r) {
+    uint32_t c = 0;
+    uint8_t* s2s = &slot2sym[static_cast<size_t>(r) * 4096];
+    for (int sym = 0; sym < 256; ++sym) {
+      const uint32_t f = t.freqs[r][sym];
+      cum[r * 256 + sym] = c;
+      if (c + f > (1u << kScaleBits)) { t.error = 3; return; }  // corrupt
+      for (uint32_t k = 0; k < f; ++k) s2s[c + k] = static_cast<uint8_t>(sym);
+      c += f;
+    }
+    if (c != (1u << kScaleBits)) { t.error = 3; return; }
+  }
+  std::vector<uint64_t> x(static_cast<size_t>(R) * kLanes);
+  for (size_t i = 0; i < x.size(); ++i) x[i] = t.states[i];
+  size_t pos = 0;
+  for (int s = 0; s < S; ++s) {
+    const int base = s * kLanes;
+    for (int r = 0; r < R; ++r) {
+      const int hi = t.counts[r] - base;
+      if (hi <= 0) continue;
+      const int jmax = hi < kLanes ? hi : kLanes;
+      const uint8_t* s2s = &slot2sym[static_cast<size_t>(r) * 4096];
+      const uint16_t* freq = t.freqs[r];
+      const uint32_t* cumr = &cum[r * 256];
+      uint64_t* xr = &x[static_cast<size_t>(r) * kLanes];
+      uint8_t* out = t.rows_out[r] + base;
+      for (int j = 0; j < jmax; ++j) {
+        uint64_t xx = xr[j];
+        const uint32_t slot = static_cast<uint32_t>(xx) & 4095u;
+        const uint8_t sym = s2s[slot];
+        out[j] = sym;
+        xx = static_cast<uint64_t>(freq[sym]) * (xx >> kScaleBits) + slot -
+             cumr[sym];
+        if (xx < kRansL) {
+          if (pos >= t.n_words) { t.error = 2; return; }
+          xx = (xx << 16) | t.words[pos++];
+        }
+        xr[j] = xx;
+      }
+    }
+  }
+  t.words_used = pos;
+  t.error = 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode n_groups groups in parallel (mirror of mts_rans_encode_batch).
+// words_used[g] receives the consumed word count (callers verify it
+// equals the group's stream length — the corruption check).
+int mts_rans_decode_batch(
+    int n_groups, const int* group_row_offsets,
+    const uint32_t* const* states, const uint16_t* const* words,
+    const size_t* n_words, const uint16_t* const* row_freqs,
+    const int* row_counts, uint8_t* const* row_out, size_t* words_used,
+    int n_threads) {
+  if (n_groups <= 0) return 0;
+  std::vector<DecodeTask> tasks(n_groups);
+  for (int g = 0; g < n_groups; ++g) {
+    int r0 = group_row_offsets[g], r1 = group_row_offsets[g + 1];
+    tasks[g] = DecodeTask{states[g],      words[g], n_words[g],
+                          row_freqs + r0, row_counts + r0,
+                          r1 - r0,        row_out + r0,
+                          0,              0};
+  }
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  auto worker = [&]() {
+    for (;;) {
+      int g = next.fetch_add(1);
+      if (g >= n_groups || err.load()) return;
+      decode_group(tasks[g]);
+      if (tasks[g].error) err.store(tasks[g].error);
+    }
+  };
+  int t = n_threads < 1 ? 1 : (n_threads < n_groups ? n_threads : n_groups);
+  if (t <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(t);
+    for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  if (err.load()) return err.load();
+  for (int g = 0; g < n_groups; ++g) words_used[g] = tasks[g].words_used;
+  return 0;
+}
 
 // Encode n_groups groups in parallel. Flat row arrays are split per
 // group by group_row_offsets (n_groups + 1 prefix offsets).

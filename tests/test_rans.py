@@ -59,6 +59,53 @@ def test_rans_near_optimal():
     assert 16.0 * words.size < model_bits * 1.02 + 128 * 32
 
 
+def test_native_decoder_matches_normative():
+    """C++ batch decoder output and word counts match the NumPy coder."""
+    from mtscomp_tpu import native
+    if not native.available():  # pragma: no cover
+        pytest.skip('native library unavailable')
+    rng = np.random.default_rng(3)
+    enc_groups, truth = [], []
+    for gi in range(4):
+        R = int(rng.integers(1, rans.GROUP_ROWS + 1))
+        rows, tables = [], []
+        for r in range(R):
+            n = int(rng.integers(1, 3000))
+            p = rng.dirichlet(np.full(256, float(rng.choice([0.05, 1.0]))))
+            syms = rng.choice(256, size=n, p=p).astype(np.uint8)
+            counts = np.bincount(syms, minlength=256)
+            f = rans.quantize_freqs(counts)
+            if f is None:
+                counts[(int(syms[0]) + 1) % 256] += 1
+                f = rans.quantize_freqs(counts)
+            rows.append(syms)
+            tables.append(f)
+        st, wd = rans.rans_encode_group(rows, np.stack(tables))
+        truth.append(rows)
+        outs = [np.empty(len(r), np.uint8) for r in rows]
+        enc_groups.append((st, wd, np.stack(tables), outs))
+    used = native.rans_decode_groups(enc_groups, n_threads=2)
+    assert used is not None
+    for (st, wd, _, outs), rows, u in zip(enc_groups, truth, used):
+        assert u == wd.size
+        for out, row in zip(outs, rows):
+            assert np.array_equal(out, row)
+
+
+def test_native_decoder_rejects_corrupt():
+    """Truncated word streams surface as a native error (None)."""
+    from mtscomp_tpu import native
+    if not native.available():  # pragma: no cover
+        pytest.skip('native library unavailable')
+    rng = np.random.default_rng(4)
+    syms = rng.integers(0, 256, size=4000).astype(np.uint8)
+    f = rans.quantize_freqs(np.bincount(syms, minlength=256))
+    st, wd = rans.rans_encode_group([syms], f[None])
+    out = [np.empty(syms.size, np.uint8)]
+    assert native.rans_decode_groups(
+        [(st, wd[:wd.size // 2], f[None], out)]) is None
+
+
 def test_encoder_reciprocals_exact():
     """q = mulhi32(x, rcp) >> shift equals x // f over the encoder range.
 
