@@ -76,6 +76,10 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     k = (seg // tp) if aligned and tp else 0
     spb_f = max((d for d in range(1, 129) if S % d == 0), default=1) \
         if S else 1
+    # uint16 rides the int16 kernels bit-for-bit: the scans/zigzag are
+    # wrapping mod-2^16 arithmetic, so a bitcast in and out is exact
+    # (the reference's canonical Neuropixels dataset is uint16).
+    i16_kind = dtype in (np.dtype(np.int16), np.dtype(np.uint16))
     full_fuse = (use_pallas and aligned and has_head
                  and os.environ.get('MTSCOMP_FULL_FUSE', '') not in ('', '0')
                  and rans_planes == [0] and not raw_planes
@@ -93,11 +97,19 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
              and os.environ.get('MTSCOMP_NO_FUSE8', '') in ('', '0')
              and rans_planes == [0] and not raw_planes
              and len(const_planes) == 1
-             and dtype == np.int16 and zigzag
+             and i16_kind and zigzag
              and order == 'F' and do_time_diff and not do_spatial_diff
              and (GROUP_ROWS * k) % 128 == 0
              and seg_eff == seg and spb_f >= 8 and tp >= T)
     c_cap = G * GROUP_ROWS * k if (full_fuse or fuse8) else 0
+
+    def as_i16(a):
+        return a if a.dtype == jnp.int16 \
+            else jax.lax.bitcast_convert_type(a, jnp.int16)
+
+    def from_i16(a):
+        return a if dtype == np.int16 \
+            else jax.lax.bitcast_convert_type(a, jnp.dtype(dtype))
 
     @jax.jit
     def decode(states, words, freqs, counts, coarse_pk, dense_pk, counts_b,
@@ -108,10 +120,10 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                 states, words, coarse_pk, dense_pk, counts_b, n_steps=S,
                 small_alpha=small_alpha, steps_per_block=spb_f)
             chan = syms.reshape(B, c_cap, tp)
-            heads_p = jnp.pad(heads, ((0, 0), (0, c_cap - C)))
+            heads_p = jnp.pad(as_i16(heads), ((0, 0), (0, c_cap - C)))
             out = cumsum_time_transposed_u8(chan, heads_p,
                                             const_vals[:, 0])
-            return out[:, :T, :C]
+            return from_i16(out[:, :T, :C])
         if full_fuse:
             syms16 = decode_groups_pallas16(
                 states, words, coarse_pk, dense_pk, elem_pk, counts_b,
@@ -156,17 +168,18 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         else:
             elems = acc.astype(dtype)
         if (use_pallas and order == 'F' and do_time_diff
-                and not do_spatial_diff and dtype == np.int16):
+                and not do_spatial_diff and i16_kind):
             # Fused finalize: channel-major elements (with the verbatim
             # head as column 0, so the scan emits it as sample 0) go
             # through one transpose+scan kernel — one HBM pass instead
             # of separate transpose and cumsum passes.
-            ct = elems.reshape(B, C, Tc)
+            ct = as_i16(elems).reshape(B, C, Tc)
             if has_head:
-                ct = jnp.concatenate([heads[:, :, None], ct], axis=2)
+                ct = jnp.concatenate([as_i16(heads)[:, :, None], ct],
+                                     axis=2)
             T_out = ct.shape[2]
             ct = pad_to(pad_to(ct, 128, axis=2), 128, axis=1)
-            return cumsum_time_transposed(ct)[:, :T_out, :C]
+            return from_i16(cumsum_time_transposed(ct)[:, :T_out, :C])
         if order == 'F':
             chunks = jnp.transpose(elems.reshape(B, C, Tc), (0, 2, 1))
         else:
@@ -178,8 +191,9 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         if do_time_diff:
             # The Pallas carried-scan kernel: XLA's cumsum lowering over
             # tens of thousands of timesteps is unusable on TPU.
-            if use_pallas and chunks.dtype == jnp.int16:
-                chunks = cumsum_time(chunks, use_pallas=True)
+            if use_pallas and i16_kind:
+                chunks = from_i16(cumsum_time(as_i16(chunks),
+                                              use_pallas=True))
             else:
                 chunks = cumsum_time_jnp(chunks)
         return chunks

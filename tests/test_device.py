@@ -367,13 +367,19 @@ def test_device_encode_pallas_interpret(tmp_path_, monkeypatch, aligned):
     w.close()
 
 
-def test_fuse8_decode_interpret(tmp_path_, monkeypatch):
-    """The default fused u8-combine decode path (interpret mode)."""
+@pytest.mark.parametrize('dtype', ['int16', 'uint16'])
+def test_fuse8_decode_interpret(tmp_path_, monkeypatch, dtype):
+    """The default fused u8-combine decode path (interpret mode).
+
+    uint16 covers the bitcast route through the int16 kernels (the
+    reference's canonical Neuropixels dataset is uint16).
+    """
     monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
     arr = to_int16(make_signal('colored', ns=4 * 300, nc=40))
+    arr = arr.astype(np.dtype(dtype))       # bit pattern reinterpretation
     path = write_arr(tmp_path_ / 'd.bin', arr)
     compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
-             sample_rate=300.0, n_channels=40, dtype='int16',
+             sample_rate=300.0, n_channels=40, dtype=dtype,
              algorithm='ans', quiet=True, check_after_compress=False)
     r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
     try:
