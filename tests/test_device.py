@@ -229,16 +229,24 @@ def test_device_encode_bit_identical():
         assert np.array_equal(streams[g, :wd_ref.size], wd_ref)
 
 
-@pytest.mark.parametrize('aligned', [False, True])
-def test_device_encode_batch_byte_identical(tmp_path_, aligned):
+@pytest.mark.parametrize('aligned,extra', [
+    (False, {}), (True, {}),
+    (True, {'do_spatial_diff': True}),
+    (False, {'chunk_order': 'C'}),
+    (True, {'dtype_name': 'uint16'}),
+])
+def test_device_encode_batch_byte_identical(tmp_path_, aligned, extra):
     """Device-encoded containers match the host codec byte for byte."""
     from mtscomp_tpu import Writer
     from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    extra = dict(extra)
+    dtype_name = extra.pop('dtype_name', 'int16')
     arr = to_int16(make_signal('colored', ns=4 * 3000, nc=24))
+    arr = arr.astype(np.dtype(dtype_name))
     path = write_arr(tmp_path_ / 'd.bin', arr)
     w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
-               ans_channel_segments=aligned)
-    w.open(path, sample_rate=3000.0, n_channels=24, dtype='int16')
+               ans_channel_segments=aligned, **extra)
+    w.open(path, sample_rate=3000.0, n_channels=24, dtype=dtype_name)
     chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
     enc = DeviceBatchEncoder(w)
     assert enc.supported(chunks[0].shape[0])
