@@ -161,6 +161,12 @@ def config3_lfp_windows(reps, out):
     for label, ms in lat.items():
         out.append("| window read latency (%s) | %.1f ms |" % (label, ms))
     out.append("")
+    out.append("(The device-cache figure on relay-attached devices is "
+               "dominated by per-call host-link round trips — each cold "
+               "window uploads its chunk payload and downloads the "
+               "window through a ~10-40 MB/s tunnel; on PCIe-attached "
+               "TPU hosts the same path is a few ms.)")
+    out.append("")
 
 
 def config4_multiprobe(seconds, reps, out):
