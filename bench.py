@@ -146,33 +146,36 @@ def _device_encode_rate(arr, T, C, SR, on_accel):
         raw = tmp / 'enc.bin'
         arr[:B * T].tofile(raw)
         w = Writer(algorithm='ans', quiet=True)
-        w.open(raw, sample_rate=SR, n_channels=C, dtype=arr.dtype.name)
-        chunks = np.stack([np.asarray(w.get_chunk(i)) for i in range(B)])
-        enc = DeviceBatchEncoder(w)
-        if not enc.supported(T):
-            return 0.0
-        payloads = enc.encode_batch(chunks)     # warm-up + staging
-        run = getattr(enc, 'last_kernel_run', None)
-        if payloads is None or run is None:
-            return 0.0
-        host = w.codec.encode(w._transform_chunk(chunks[0]),
-                              order=w.chunk_order)
-        if payloads[0] != host:
-            return 0.0
+        try:
+            w.open(raw, sample_rate=SR, n_channels=C, dtype=arr.dtype.name)
+            chunks = np.stack([np.asarray(w.get_chunk(i))
+                               for i in range(B)])
+            enc = DeviceBatchEncoder(w)
+            if not enc.supported(T):
+                return 0.0
+            payloads = enc.encode_batch(chunks)     # warm-up + staging
+            run = getattr(enc, 'last_kernel_run', None)
+            if payloads is None or run is None:
+                return 0.0
+            host = w.codec.encode(w._transform_chunk(chunks[0]),
+                                  order=w.chunk_order)
+            if payloads[0] != host:
+                return 0.0
 
-        def run_once():
-            _, _, nw = run()
-            return float(jnp.sum(nw[:, 0, 0]))
+            def run_once():
+                _, _, nw = run()
+                return float(jnp.sum(nw[:, 0, 0]))
 
-        run_once()
-        times = []
-        for _ in range(5 if on_accel else 1):
-            t2 = time.time()
             run_once()
-            times.append(time.time() - t2)
-        dt = sorted(times)[len(times) // 2]
-        w.close()
-        return chunks.nbytes / 1e9 / max(dt, 1e-9)
+            times = []
+            for _ in range(5 if on_accel else 1):
+                t2 = time.time()
+                run_once()
+                times.append(time.time() - t2)
+            dt = sorted(times)[len(times) // 2]
+            return chunks.nbytes / 1e9 / max(dt, 1e-9)
+        finally:
+            w.close()
     except Exception:  # pragma: no cover - bench must never hard-fail
         return 0.0
 

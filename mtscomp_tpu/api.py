@@ -510,17 +510,17 @@ class Reader:
         self.start_thread_pool()
 
         def produce(batch):
+            """Decoded arrays of one batch, in chunk order."""
             first = batch_size * batch
             last = min(batch_size * (batch + 1), self.n_chunks)
             if use_device:
-                return self.to_array(first, last - 1)
+                return [self.to_array(first, last - 1)]
             if hasattr(self.codec, 'decode_batch'):
                 decoded = self._decompress_chunks_batch(range(first, last))
             else:
                 decoded = self.decompress_chunks(range(first, last),
                                                  self.pool)
-            return np.concatenate([decoded[i] for i in sorted(decoded)],
-                                  axis=0)
+            return [decoded[i] for i in sorted(decoded)]
 
         # Double-buffered pipeline: batch b+1 reads + decodes while
         # batch b's file write runs (the reference is strictly
@@ -532,10 +532,11 @@ class Reader:
                 for batch in progress(range(n_batches),
                                       desc='Decompressing',
                                       disable=self.quiet):
-                    arr = fut.result()
+                    arrays = fut.result()
                     if batch + 1 < n_batches:
                         fut = prefetch.submit(produce, batch + 1)
-                    fb.write(np.ascontiguousarray(arr))
+                    for arr in arrays:
+                        fb.write(np.ascontiguousarray(arr))
                 dsize = fb.tell()
         finally:
             prefetch.shutdown()

@@ -290,22 +290,23 @@ class AnsCodec:
                 bufs[p] = np.empty(n_stream, dtype=np.uint8)
         groups = parsed['groups']
         used_list = None
+        freq_stacks = [np.stack([parsed['planes'][p]['freqs']
+                                 for p, _, _ in g['segments']])
+                       for g in groups]
         if groups:
             # Native C++ batch decoder: symbols land directly in the
             # plane buffers (zero-copy row views). Falls back to the
             # normative NumPy coder when the library is unavailable or
             # flags a corrupt stream (the fallback re-derives the
             # precise error).
-            from ..native import rans_decode_groups
-            native_groups = []
-            for group in groups:
-                freq_rows = np.stack([parsed['planes'][p]['freqs']
-                                      for p, _, _ in group['segments']])
-                row_outs = [bufs[p][start:start + n]
-                            for p, start, n in group['segments']]
-                native_groups.append((group['states'], group['words'],
-                                      freq_rows, row_outs))
-            used_list = rans_decode_groups(native_groups)
+            from .. import native
+            if native.available():
+                native_groups = [
+                    (g['states'], g['words'], fq,
+                     [bufs[p][start:start + n]
+                      for p, start, n in g['segments']])
+                    for g, fq in zip(groups, freq_stacks)]
+                used_list = native.rans_decode_groups(native_groups)
         if used_list is not None:
             for group, used in zip(groups, used_list):
                 if used != group['words'].size:
@@ -313,9 +314,7 @@ class AnsCodec:
                         "ANS group consumed %d of %d payload words."
                         % (used, group['words'].size))
         else:
-            for group in groups:
-                freq_rows = np.stack([parsed['planes'][p]['freqs']
-                                      for p, _, _ in group['segments']])
+            for group, freq_rows in zip(groups, freq_stacks):
                 rows, used = rans.rans_decode_group(
                     group['states'], group['words'], freq_rows,
                     [n for _, _, n in group['segments']])

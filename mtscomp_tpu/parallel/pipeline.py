@@ -491,9 +491,6 @@ class DeviceBatchEncoder:
             return encode_groups_pallas(symbols, pk_d, rcp_d, cb_d,
                                         n_steps=S, cap_rows=cap_rows)
 
-        # Staged closure (device-resident inputs) kept for benchmarks —
-        # the encode analogue of DeviceBatchDecoder.pack.
-        self.last_kernel_run = run_kernel
         with phase('encode.kernel'):
             states_d, words_d, nw_d = run_kernel()
             n_words = np.asarray(nw_d)[:, 0, 0]
@@ -502,6 +499,10 @@ class DeviceBatchEncoder:
             logger.debug("Pallas encode overflowed %d-word region; "
                          "falling back to the XLA scan.", capw)
             return None
+        # Staged closure (device-resident inputs) kept for benchmarks —
+        # the encode analogue of DeviceBatchDecoder.pack. Set only for
+        # validated (non-overflowed) runs.
+        self.last_kernel_run = run_kernel
         with phase('encode.align'):
             # Left-align the right-anchored streams on device, then one
             # bucketed download (avoids per-size transfer compiles).
