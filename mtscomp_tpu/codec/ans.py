@@ -345,7 +345,18 @@ class AnsCodec:
     # --- container parsing (shared with the device decode path) -----------
 
     def parse(self, payload):
-        """Parse a chunk container into numpy views (no entropy decode)."""
+        """Parse a chunk container into numpy views (no entropy decode).
+
+        Raises IOError on any malformed container (bad magic/fields,
+        truncation mid-structure, trailing bytes).
+        """
+        try:
+            return self._parse(payload)
+        except (IndexError, ValueError, struct.error) as e:
+            # Out-of-range reads on truncated/garbage containers.
+            raise IOError("Corrupt ANS chunk container: %s" % e)
+
+    def _parse(self, payload):
         mv = memoryview(payload)
         if len(mv) < _HEADER.size:
             raise IOError("ANS chunk too short (%d bytes)." % len(mv))

@@ -307,3 +307,35 @@ def test_container_corruption_detected():
         codec.decode(bytes(payload), 400, 4, np.int16, order='F')
     with pytest.raises(IOError):
         codec.decode(b'', 400, 4, np.int16, order='F')
+
+
+def test_container_fuzz_never_crashes():
+    """Random mutations of a valid container either round-trip (bit
+    flips in payload words can still consume the right word count for
+    tiny streams) or raise IOError — never crash or hang, including in
+    the native C++ decoder (its table/stream bounds are checked)."""
+    rng = np.random.default_rng(7)
+    codec = AnsCodec(seg_log2=10)
+    chunkd = rng.integers(-30, 30, size=(800, 6)).astype(np.int16)
+    good = codec.encode(chunkd, order='F')
+    for trial in range(200):
+        payload = bytearray(good)
+        mode = trial % 4
+        if mode == 0:      # flip random bytes
+            for _ in range(int(rng.integers(1, 8))):
+                payload[int(rng.integers(0, len(payload)))] ^= \
+                    int(rng.integers(1, 256))
+        elif mode == 1:    # truncate
+            payload = payload[:int(rng.integers(0, len(payload)))]
+        elif mode == 2:    # append garbage
+            payload += bytes(rng.integers(0, 256, size=7, dtype=np.uint8))
+        else:              # pure garbage of plausible size
+            payload = bytearray(
+                rng.integers(0, 256, size=int(rng.integers(1, 400)),
+                             dtype=np.uint8))
+        try:
+            out = codec.decode(bytes(payload), 800, 6, np.int16,
+                               order='F')
+            assert out.shape == (800, 6)
+        except (IOError, ValueError, AssertionError):
+            pass
