@@ -196,7 +196,9 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         g1 = jnp.take_along_axis(w1, off & 127, axis=1)
         w = jnp.where(off < 128, g0, g1)
         x = jnp.where(need, (x << 16) | w, x)
-        pos = pos + jnp.sum(m)
+        # The step's word total is the ladder's last row (saves a full
+        # (R,128) reduction per substep).
+        pos = pos + run[R - 1, 0]
         return x, pos, val
 
     def body(s, carry):
