@@ -101,11 +101,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
             ).astype(jnp.float32)
-    # Strict lower-triangular ones: MXU row-offset prefix (replaces a
-    # log2(R)-step sublane ladder; exact — inputs <= 128, f32 acc).
-    tril_x = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-              > jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-              ).astype(jnp.float32)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WROWS), 1)
     win_row = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 0)
     win_col = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 1)
@@ -138,10 +134,18 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                           preferred_element_type=jnp.float32
                           ).astype(jnp.int32)
         row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
-        row_off = jax.lax.dot(tril_x, row_tot.astype(jnp.float32),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.int32)   # exclusive row offset
-        ks = jnp.sum(m)                             # words this step
+        # Sublane ladder for the row offsets (A/B'd against an MXU
+        # prefix matmul with sync-amortized timing; ladder wins
+        # slightly in both kernels).
+        run = row_tot
+        k = 1
+        while k < R:
+            rolled = pltpu.roll(run, shift=k, axis=0)
+            run = run + jnp.where(row_id >= k, rolled, 0)
+            k *= 2
+        row_off = run - row_tot
+        # Words this step: the prefix's last row (saves a reduction).
+        ks = run[R - 1, 0]
         # Per-row left-compaction: target index c takes the word of the
         # first lane whose inclusive rank reaches c+1 (branchless binary
         # search over the sorted per-row prefix).
