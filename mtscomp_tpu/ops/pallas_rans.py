@@ -122,14 +122,14 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
     def substep(s, x, pos):
         active = (s * LANES + lane_col) < counts
         slot = x & 4095
-        # slot -> dense symbol id (coarse bucket + two fixups).
+        # slot -> dense symbol id: both fixup boundaries ride in the
+        # coarse entry, so one dense lookup finishes the resolution.
         cp = lookup_coarse(_srl(slot, 4))
         did = cp & 255
-        upper = _srl(cp, 8)
-        did = did + jnp.where(slot >= upper, 1, 0)
-        pk = lookup_dense(did)
-        upper2 = (pk & 4095) + (_srl(pk, 12) & 4095)
-        did = did + jnp.where(slot >= upper2, 1, 0)
+        up0m = _srl(cp, 8) & 4095
+        up1m = _srl(cp, 20)
+        did = did + jnp.where(slot > up0m, 1, 0) \
+                  + jnp.where(slot > up1m, 1, 0)
         pk = lookup_dense(did)
         cum = pk & 4095
         f = _srl(pk, 12) & 4095
@@ -333,7 +333,13 @@ def pack_elem_table(freqs, hi_const=0, dtype=np.int16):
 def pack_device_tables(freqs):
     """Host-side packed tables from a (256,) frequency table.
 
-    Returns (coarse_pk (2,128) int32, dense_pk (2,128) int32).
+    Returns (coarse_pk (2,128) int32, dense_pk (2,128) int32). A coarse
+    entry packs the bucket's first dense id and BOTH fixup boundaries —
+    ``((up1-1) << 20) | ((up0-1) << 8) | id0`` with ``upX`` the
+    exclusive uppers of candidates ``id0``/``id0+1`` (4096 encodes as
+    4095 via the -1; the kernel compares ``slot > upX-1``) — so the
+    kernel resolves the symbol with two compare-increments and ONE
+    dense lookup (min_freq 8 bounds each 16-slot bucket to 3 symbols).
     """
     freqs = np.asarray(freqs, dtype=np.int64)
     present = np.flatnonzero(freqs)
@@ -342,9 +348,14 @@ def pack_device_tables(freqs):
     cum_d = upper_d - f_d
     dense = np.zeros(256, dtype=np.int64)
     dense[:present.size] = (present << 24) | (f_d << 12) | cum_d
-    # coarse: dense id of the symbol containing slot 16*b, with its upper.
+    # coarse: dense id of the symbol containing slot 16*b + uppers of
+    # that symbol and the next (next-past-alphabet => 4096: never hit).
     id0 = np.searchsorted(upper_d, np.arange(256) * 16, side='right')
-    coarse = (upper_d[id0] << 8) | id0
+    up0 = upper_d[id0]
+    up1 = np.where(id0 + 1 < present.size,
+                   upper_d[np.minimum(id0 + 1, present.size - 1)],
+                   1 << SCALE_BITS)
+    coarse = ((up1 - 1) << 20) | ((up0 - 1) << 8) | id0
 
     def to_i32(a):
         return a.astype(np.uint32).view(np.int32).reshape(2, 128)

@@ -95,6 +95,30 @@ def test_pipeline_full_roundtrip(tmp_path_, nc):
         r.close()
 
 
+def test_pipeline_large_alphabet_interpret(tmp_path_, monkeypatch):
+    """Alphabet > 128 exercises the two-row dense lookups in the kernel."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    rng = np.random.default_rng(11)
+    # High-entropy diffs: zigzag codes cover far more than 128 symbols
+    # (sigma 30 also makes the HIGH plane RANS-coded: two coded planes).
+    arr = np.cumsum(rng.normal(0, 30, size=(2 * 2000, 24)),
+                    axis=0).astype(np.int16)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=2000.0, n_channels=24, dtype='int16',
+             algorithm='ans', quiet=True, check_after_compress=False)
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
+    try:
+        from mtscomp_tpu.parallel.pipeline import _read_payload
+        parsed = r.codec.parse(_read_payload(r, 0))
+        freqs = parsed['planes'][0]['freqs']
+        assert np.count_nonzero(freqs) > 128
+        out = decompress_to_array(r)
+        assert np.array_equal(out, arr)
+    finally:
+        r.close()
+
+
 def test_pipeline_spatial_diff(tmp_path_):
     arr = to_int16(make_signal('white_sine', ns=5000, nc=16))
     path = write_arr(tmp_path_ / 'd.bin', arr)
