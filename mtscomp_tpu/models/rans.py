@@ -29,7 +29,10 @@ Coder parameters (fixed for the format):
   the 4096-slot table then contains at most 3 symbols, so the decoder's
   slot->symbol lookup is one 256-entry coarse lookup plus at most two
   compare-increments over a dense alphabet — the shape TPU shuffles
-  want (no binary search);
+  want (no binary search). This encoder quantizes frequencies to
+  multiples of 8 (see :func:`quantize_freqs`), tightening the bound to
+  two symbols per bucket so the device decoder needs ONE fixup for
+  tables it wrote itself;
 - per (step, lane) visit at most ONE word is emitted/read, making the
   decode step a single masked vector operation.
 
@@ -84,10 +87,24 @@ def zigzag_decode(codes, dtype):
 def quantize_freqs(counts, scale_bits=SCALE_BITS, min_freq=MIN_FREQ):
     """Quantize symbol counts to frequencies summing to ``2**scale_bits``.
 
-    Every present symbol gets frequency >= ``min_freq`` (so the decoder's
-    coarse slot lookup needs only one fixup); absent symbols get 0.
-    Largest-remainder apportionment, then rebalancing. Returns ``None``
-    when fewer than two symbols are present (use a constant plane).
+    Every present symbol gets frequency >= ``min_freq``; absent symbols
+    get 0. Returns ``None`` when fewer than two symbols are present
+    (use a constant plane).
+
+    Frequencies are quantized at **min_freq granularity** (largest-
+    remainder apportionment of ``scale // min_freq`` units, then
+    one-unit steals from the largest buckets when the minimum bumps
+    overshoot). Every cumulative boundary of the emitted table is then
+    a multiple of ``min_freq``, so with the format's ``min_freq = 8``
+    no 16-slot bucket of the 4096-slot table can intersect more than
+    TWO symbols — the device decoder's single-fixup slot lookup
+    applies to every table this encoder writes. (Decoders still accept
+    arbitrary min-8 tables, where a bucket may hold three symbols —
+    files from other writers use the two-fixup variant.) Measured on
+    Neuropixels-like data the unit granularity also compresses
+    slightly *better* than per-slot apportionment: spreading the
+    rebalancing cuts one unit at a time stops the single most frequent
+    symbol from absorbing the whole min-frequency overshoot.
     """
     counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
@@ -97,23 +114,25 @@ def quantize_freqs(counts, scale_bits=SCALE_BITS, min_freq=MIN_FREQ):
     if n_present <= 1:
         return None
     scale = 1 << scale_bits
+    assert scale % min_freq == 0
     assert n_present * min_freq <= scale
-    ideal = counts * scale / total
+    q = scale // min_freq                       # units of min_freq slots
+    ideal = counts * q / total
     freqs = np.floor(ideal).astype(np.int64)
-    freqs[present] = np.maximum(freqs[present], min_freq)
-    remainder = int(scale - freqs.sum())
+    freqs[present] = np.maximum(freqs[present], 1)
+    remainder = int(q - freqs.sum())
     if remainder > 0:
         frac = np.where(present, ideal - np.floor(ideal), -1.0)
         order = np.argsort(-frac, kind='stable')
         take = order[:remainder]
         freqs[take] += 1
-    while freqs.sum() > scale:
-        # Steal from the largest buckets, never dipping below min_freq.
-        over = int(freqs.sum() - scale)
+    while freqs.sum() > q:
+        # Steal single units from the currently largest bucket; the cut
+        # rotates across the large symbols instead of gutting one.
         k = int(np.argmax(freqs))
-        cut = min(over, int(freqs[k]) - min_freq)
-        assert cut > 0, "cannot rebalance frequency table"
-        freqs[k] -= cut
+        assert freqs[k] > 1, "cannot rebalance frequency table"
+        freqs[k] -= 1
+    freqs *= min_freq
     assert freqs.sum() == scale
     assert np.all(freqs[present] >= min_freq)
     assert np.all(freqs[~present] == 0)

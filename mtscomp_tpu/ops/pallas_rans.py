@@ -65,7 +65,7 @@ def _srl(x, n):
 
 def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
             words_ref, out_ref, x_scr, pos_scr, *, steps_per_block,
-            small_alpha, fuse16):
+            small_alpha, fuse16, one_fixup):
     # Grid is (N groups, column blocks): the rANS states and stream
     # position persist in scratch across a group's column blocks, so the
     # output block stays small regardless of segment length.
@@ -127,9 +127,13 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         cp = lookup_coarse(_srl(slot, 4))
         did = cp & 255
         up0m = _srl(cp, 8) & 4095
-        up1m = _srl(cp, 20)
-        did = did + jnp.where(slot > up0m, 1, 0) \
-                  + jnp.where(slot > up1m, 1, 0)
+        did = did + jnp.where(slot > up0m, 1, 0)
+        if not one_fixup:
+            # Only needed when some 16-slot bucket holds 3 symbols
+            # (pack_device_tables reports this per table; the batch
+            # selects the single-fixup variant when none does).
+            up1m = _srl(cp, 20)
+            did = did + jnp.where(slot > up1m, 1, 0)
         pk = lookup_dense(did)
         cum = pk & 4095
         f = _srl(pk, 12) & 4095
@@ -219,10 +223,11 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
 
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
                                              'small_alpha',
-                                             'steps_per_block'))
+                                             'steps_per_block',
+                                             'one_fixup'))
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                          *, n_steps, interpret=False, small_alpha=False,
-                         steps_per_block=None):
+                         steps_per_block=None, one_fixup=False):
     """Decode N groups on TPU; returns (N, R, 4*ceil(S/4)*128) u8 symbols.
 
     Output is row-linear: ``out[n, r]`` is segment row r's symbol stream
@@ -236,20 +241,26 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
     counts_b  (N, R, 128) int32 — per-row symbol counts (lane-broadcast)
     small_alpha: all tables have <= 128 present symbols (single-row
               dense lookups; caller asserts)
+    one_fixup: no table in the batch has a 16-slot bucket holding 3
+              symbols (pack_device_tables reports this), so the slot
+              lookup's second compare-increment is dropped
     """
     return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                                None, counts_b, n_steps=n_steps,
                                interpret=interpret,
                                small_alpha=small_alpha,
-                               steps_per_block=steps_per_block)
+                               steps_per_block=steps_per_block,
+                               one_fixup=one_fixup)
 
 
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
                                              'small_alpha',
-                                             'steps_per_block'))
+                                             'steps_per_block',
+                                             'one_fixup'))
 def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
                            counts_b, *, n_steps, interpret=False,
-                           small_alpha=False, steps_per_block=None):
+                           small_alpha=False, steps_per_block=None,
+                           one_fixup=False):
     """Fused variant: emits final int16 elements, (N, R, steps*128).
 
     ``elem_pk`` maps each dense symbol id to the fully decoded 16-bit
@@ -262,7 +273,8 @@ def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
                                elem_pk, counts_b, n_steps=n_steps,
                                interpret=interpret,
                                small_alpha=small_alpha,
-                               steps_per_block=steps_per_block)
+                               steps_per_block=steps_per_block,
+                               one_fixup=one_fixup)
 
 
 STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
@@ -270,7 +282,7 @@ STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
 
 def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
                         counts_b, *, n_steps, interpret, small_alpha,
-                        steps_per_block=None):
+                        steps_per_block=None, one_fixup=False):
     fuse16 = elem_pk is not None
     interpret = interpret or force_interpret()
     N, R_in, _ = states.shape
@@ -282,7 +294,8 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
         elem_pk = dense_pk     # unused placeholder with matching shape
     out = pl.pallas_call(
         functools.partial(_kernel, steps_per_block=spb,
-                          small_alpha=small_alpha, fuse16=fuse16),
+                          small_alpha=small_alpha, fuse16=fuse16,
+                          one_fixup=one_fixup),
         grid=(N, CB),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
@@ -333,13 +346,19 @@ def pack_elem_table(freqs, hi_const=0, dtype=np.int16):
 def pack_device_tables(freqs):
     """Host-side packed tables from a (256,) frequency table.
 
-    Returns (coarse_pk (2,128) int32, dense_pk (2,128) int32). A coarse
-    entry packs the bucket's first dense id and BOTH fixup boundaries —
+    Returns ``(coarse_pk (2,128) int32, dense_pk (2,128) int32,
+    needs_second_fixup bool)``. A coarse entry packs the bucket's first
+    dense id and BOTH fixup boundaries —
     ``((up1-1) << 20) | ((up0-1) << 8) | id0`` with ``upX`` the
     exclusive uppers of candidates ``id0``/``id0+1`` (4096 encodes as
     4095 via the -1; the kernel compares ``slot > upX-1``) — so the
     kernel resolves the symbol with two compare-increments and ONE
     dense lookup (min_freq 8 bounds each 16-slot bucket to 3 symbols).
+
+    ``needs_second_fixup`` is False when no 16-slot bucket of this
+    table holds 3 symbols (the common case for real tables): the
+    kernel may then drop the second compare-increment (static variant
+    selected per batch, zero format or ratio impact).
     """
     freqs = np.asarray(freqs, dtype=np.int64)
     present = np.flatnonzero(freqs)
@@ -356,8 +375,11 @@ def pack_device_tables(freqs):
                    upper_d[np.minimum(id0 + 1, present.size - 1)],
                    1 << SCALE_BITS)
     coarse = ((up1 - 1) << 20) | ((up0 - 1) << 8) | id0
+    # Second fixup can trigger in bucket b iff the candidate id0+1 ends
+    # before the bucket does (some slot in [16b, 16b+16) maps past it).
+    needs2 = bool(np.any(up1 < (np.arange(256) + 1) * 16))
 
     def to_i32(a):
         return a.astype(np.uint32).view(np.int32).reshape(2, 128)
 
-    return to_i32(coarse), to_i32(dense)
+    return to_i32(coarse), to_i32(dense), needs2

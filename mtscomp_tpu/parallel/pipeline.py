@@ -34,7 +34,8 @@ def _jax():
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                      do_time_diff, do_spatial_diff, zigzag, has_head,
-                     use_pallas, small_alpha=False, aligned=False):
+                     use_pallas, small_alpha=False, aligned=False,
+                     one_fixup=False):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
@@ -118,7 +119,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             from ..ops.device_delta import cumsum_time_transposed_u8
             syms = decode_groups_pallas(
                 states, words, coarse_pk, dense_pk, counts_b, n_steps=S,
-                small_alpha=small_alpha, steps_per_block=spb_f)
+                small_alpha=small_alpha, steps_per_block=spb_f,
+                one_fixup=one_fixup)
             chan = syms.reshape(B, c_cap, tp)
             heads_p = jnp.pad(as_i16(heads), ((0, 0), (0, c_cap - C)))
             out = cumsum_time_transposed_u8(chan, heads_p,
@@ -127,7 +129,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         if full_fuse:
             syms16 = decode_groups_pallas16(
                 states, words, coarse_pk, dense_pk, elem_pk, counts_b,
-                n_steps=S, small_alpha=small_alpha, steps_per_block=spb_f)
+                n_steps=S, small_alpha=small_alpha, steps_per_block=spb_f,
+                one_fixup=one_fixup)
             chan = syms16.reshape(B, c_cap, tp)
             heads_p = jnp.pad(heads, ((0, 0), (0, c_cap - C)))
             out = cumsum_time_transposed(chan, head=heads_p)
@@ -139,7 +142,8 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                 # Kernel output is already row-linear (N, R, steps*128).
                 syms = decode_groups_pallas(states, words, coarse_pk,
                                             dense_pk, counts_b, n_steps=S,
-                                            small_alpha=small_alpha)
+                                            small_alpha=small_alpha,
+                                            one_fixup=one_fixup)
                 rows = syms.reshape(B, G * GROUP_ROWS, -1)
             else:
                 syms = decode_groups(
@@ -310,6 +314,7 @@ class DeviceBatchDecoder:
         heads = np.zeros((B, C), dtype=self.dtype)
         table_cache = {}
         alpha_max = 0
+        needs_fixup2 = False
         for b, parsed in enumerate(parsed_list):
             if has_head:
                 heads[b] = parsed['head'].view(self.dtype)
@@ -335,11 +340,12 @@ class DeviceBatchDecoder:
                         table_cache[key] = (
                             pack_device_tables(table), et,
                             int(np.count_nonzero(table)))
-                    (coarse_pk[i, r], dense_pk[i, r]), et, a = \
+                    (coarse_pk[i, r], dense_pk[i, r], n2), et, a = \
                         table_cache[key]
                     if et is not None:
                         elem_pk[i, r] = et
                     alpha_max = max(alpha_max, a)
+                    needs_fixup2 = needs_fixup2 or n2
             for j, p in enumerate(const_planes):
                 const_vals[b, j] = parsed['planes'][p]['value']
             for j, p in enumerate(raw_planes):
@@ -348,12 +354,13 @@ class DeviceBatchDecoder:
         raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
                     counts_b, const_vals, raw_vals, heads, elem_pk)
         small_alpha = alpha_max <= 128
+        one_fixup = not needs_fixup2
         if mesh is None:
             fn = _build_decode_fn(
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
                 self.order, self.do_time_diff, self.do_spatial_diff,
                 first['zigzag'], has_head, use_pallas, small_alpha,
-                aligned)
+                aligned, one_fixup)
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -370,7 +377,8 @@ class DeviceBatchDecoder:
         inner = _build_decode_fn(
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
-            first['zigzag'], has_head, use_pallas, small_alpha, aligned)
+            first['zigzag'], has_head, use_pallas, small_alpha, aligned,
+            one_fixup)
         spec = PartitionSpec(axis)
         fn = jax.jit(shard_map(
             lambda *a: inner(*a), mesh=mesh,

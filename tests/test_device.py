@@ -340,7 +340,7 @@ def test_fused16_kernel_interpret():
     WR = -(-wd.size // 128) + window_rows(R)
     words = np.zeros((1, WR, 128), np.uint16)
     words.reshape(-1)[:wd.size] = wd
-    cp, dp = pack_device_tables(f)
+    cp, dp, _ = pack_device_tables(f)
     ep = pack_elem_table(f, hi_const=0, dtype=np.int16)
     tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
     out = decode_groups_pallas16(
@@ -349,6 +349,89 @@ def test_fused16_kernel_interpret():
         jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
         n_steps=SEG // 128, interpret=True)
     assert np.array_equal(np.asarray(out)[0].reshape(-1), d)
+
+
+def test_second_fixup_flag_matches_bucket_occupancy():
+    """pack_device_tables' needs2 flag == brute-force bucket occupancy."""
+    from mtscomp_tpu.ops.pallas_rans import pack_device_tables
+    rng = np.random.default_rng(7)
+    hit = {True: 0, False: 0}
+    # Hand-built occupancy-3 table: symbols at slots [0,12),[12,20),
+    # [20,28),... -> bucket [16,32) holds three dense ids (1, 2, 3).
+    occ3_freqs = np.zeros(256, dtype=np.uint16)
+    occ3_freqs[0] = 12
+    occ3_freqs[1:9] = 8
+    occ3_freqs[9] = rans.SCALE - 12 - 8 * 8
+    tables = [occ3_freqs]
+    for _ in range(60):
+        p = rng.dirichlet(np.full(256, float(rng.choice([0.02, 0.3, 2.0]))))
+        counts = np.bincount(rng.choice(256, size=3000, p=p),
+                             minlength=256)
+        f = rans.quantize_freqs(counts)
+        if f is not None:
+            tables.append(f)
+    for f in tables:
+        _, _, needs2 = pack_device_tables(f)
+        dense_id = np.repeat(np.arange(int((f > 0).sum())),
+                             f[f > 0].astype(np.int64))
+        occ3 = any(np.unique(dense_id[b * 16:(b + 1) * 16]).size > 2
+                   for b in range(256))
+        assert needs2 == occ3
+        hit[occ3] += 1
+    # The generator must exercise both variants or the test is vacuous.
+    assert hit[True] > 0 and hit[False] > 0
+
+
+@pytest.mark.parametrize('force', [None, True, False, 'occ3'])
+def test_decode_kernel_fixup_variants(force):
+    """Both fixup variants decode bit-exactly (interpret mode).
+
+    ``force=None`` uses the packer's own flag; True/False force the
+    two-fixup kernel on a one-fixup-safe table (always correct) and
+    vice versa is skipped (one fixup on a 3-occupancy table is wrong by
+    design, so that combination is never selected). ``'occ3'`` codes
+    with a table that genuinely has a 3-symbol bucket, proving the
+    second fixup fires.
+    """
+    from mtscomp_tpu.ops.pallas_rans import (decode_groups_pallas,
+                                             pack_device_tables,
+                                             window_rows)
+    rng = np.random.default_rng(11)
+    R = rans.GROUP_ROWS
+    SEG = 256
+    if force == 'occ3':
+        # Table with bucket [16,32) spanning dense ids 1,2,3; code
+        # symbols only from its support.
+        f = np.zeros(256, dtype=np.uint16)
+        f[0] = 12
+        f[1:9] = 8
+        f[9] = rans.SCALE - 12 - 8 * 8
+        syms = rng.choice(10, size=R * SEG,
+                          p=f[:10] / float(rans.SCALE)).astype(np.uint8)
+        force = True                       # two-fixup kernel required
+    else:
+        # Heavy-tailed alphabet: many min-freq symbols, realistic tables.
+        p = rng.dirichlet(np.full(256, 0.05))
+        syms = rng.choice(256, size=R * SEG, p=p).astype(np.uint8)
+        f = rans.quantize_freqs(np.bincount(syms, minlength=256))
+    rows = [syms[r * SEG:(r + 1) * SEG] for r in range(R)]
+    st, wd = rans.rans_encode_group(rows, np.tile(f, (R, 1)))
+    WR = -(-wd.size // 128) + window_rows(R)
+    words = np.zeros((1, WR, 128), np.uint16)
+    words.reshape(-1)[:wd.size] = wd
+    cp, dp, needs2 = pack_device_tables(f)
+    one_fixup = (not needs2) if force is None else (not force)
+    if one_fixup and needs2:
+        pytest.skip("table needs the second fixup")
+    tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
+    out = decode_groups_pallas(
+        jnp.asarray(st[None].astype(np.uint32)), jnp.asarray(words),
+        tile(cp), tile(dp),
+        jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
+        n_steps=SEG // 128, interpret=True, one_fixup=one_fixup)
+    # Row-linear output, columns padded to the steps_per_block multiple.
+    got = np.asarray(out)[0][:, :SEG].reshape(-1)
+    assert np.array_equal(got, syms)
 
 
 def test_multi_probe_mesh(tmp_path_):
