@@ -73,7 +73,9 @@ def main():
         dec = DeviceBatchDecoder(r)
         assert dec.supported(parsed, T)
         fn, dev_args = dec.pack(parsed, T)
-        out = fn(*dev_args)               # warm-up / compile
+        out, used = fn(*dev_args)         # warm-up / compile
+        from mtscomp_tpu.parallel.pipeline import check_words_used
+        check_words_used(parsed, used)
         if not np.array_equal(np.asarray(out).reshape(arr.shape), arr):
             print(json.dumps({"metric": "decompress_throughput",
                               "value": 0.0, "unit": "GB/s",
@@ -93,7 +95,7 @@ def main():
 
         def run_once():
             for _ in range(inner):
-                o = fn(*dev_args)
+                o, _u = fn(*dev_args)
             # Slice checksum: o is fully materialized in HBM by fn (the
             # slice is a separate dispatch on the result); summing the
             # whole array would add a full extra HBM pass to the timing.

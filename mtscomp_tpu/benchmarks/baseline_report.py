@@ -46,11 +46,11 @@ def _staged_decode_rate(r, T, arr, reps):
     if not dec.supported(parsed, T):
         return None, False
     fn, dev_args = dec.pack(parsed, T)
-    out = fn(*dev_args)
+    out, _used = fn(*dev_args)
     exact = np.array_equal(np.asarray(out).reshape(arr.shape), arr)
 
     def run():
-        o = fn(*dev_args)
+        o, _u = fn(*dev_args)
         return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
 
     dt = _median_time(run, reps)
@@ -199,7 +199,7 @@ def config4_multiprobe(seconds, reps, out):
         fn, dev_args = dec.pack(parsed, 30000)
 
         def run():
-            o = fn(*dev_args)
+            o, _u = fn(*dev_args)
             return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
 
         dt = _median_time(run, reps)

@@ -62,6 +62,7 @@ hundredths of a bit per symbol; decoders drop them by slicing
 """
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -71,7 +72,21 @@ MAGIC = 0x3253544D
 CONTAINER_VERSION = 2
 MODE_RAW, MODE_RANS, MODE_CONST = 0, 1, 2
 
+# flags bit3: a little-endian u32 CRC32 of the whole preceding payload
+# trails the container. The rANS stream has no intrinsic redundancy (a
+# flipped word decodes to plausible garbage), so the checksum provides
+# the corruption detection zlib chunks get from adler32. Decoders verify
+# when the bit is set; files written before the bit existed lack it and
+# rely on the word-consumption audit plus `check()`'s SHA1s.
+FLAG_CRC32 = 8
+
 DEFAULT_SEG_LOG2 = 16           # 65536 symbols per segment
+
+
+def _append_crc(parts):
+    """Join container parts and append the trailing CRC32."""
+    body = b''.join(parts)
+    return body + struct.pack('<I', zlib.crc32(body))
 
 _HEADER = struct.Struct('<IBBBBIBBBBHH')
 assert _HEADER.size == 20
@@ -219,7 +234,8 @@ class AnsCodec:
                 plane_meta.append(struct.pack('<B', MODE_RANS)
                                   + freqs.astype('<u2').tobytes())
 
-        flags = int(zigzag) | (2 if split_head else 0) | (4 if aligned else 0)
+        flags = (int(zigzag) | (2 if split_head else 0)
+                 | (4 if aligned else 0) | FLAG_CRC32)
         seg_field = k if aligned else self.seg_log2
         parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
                               flags, rans.SCALE_BITS, n_elems,
@@ -251,7 +267,7 @@ class AnsCodec:
             parts.append(struct.pack('<I', len(group_blobs)))
             parts.append(np.asarray(word_counts, '<u4').tobytes())
             parts.extend(group_blobs)
-        return b''.join(parts)
+        return _append_crc(parts)
 
     def _encode_groups(self, group_inputs):
         """Encode groups via the native batch encoder when available."""
@@ -366,6 +382,15 @@ class AnsCodec:
             raise IOError("Bad ANS chunk magic 0x%08X." % magic)
         if version != CONTAINER_VERSION:
             raise IOError("Unsupported ANS container version %d." % version)
+        if flags & FLAG_CRC32:
+            if len(mv) < _HEADER.size + 4:
+                raise IOError("ANS chunk too short for its CRC32 field.")
+            (want,) = struct.unpack_from('<I', mv, len(mv) - 4)
+            got = zlib.crc32(mv[:-4])
+            if got != want:
+                raise IOError("ANS chunk CRC32 mismatch "
+                              "(stored %08x, computed %08x)." % (want, got))
+            mv = mv[:-4]
         if scale_bits != rans.SCALE_BITS:
             raise IOError("Unsupported ANS scale_bits %d." % scale_bits)
         if group_rows != rans.GROUP_ROWS:
@@ -391,6 +416,16 @@ class AnsCodec:
                 off += n_coded
             elif mode == MODE_RANS:
                 freqs = np.frombuffer(mv, '<u2', 256, off); off += 512
+                # Structural validation up front: every decoder (host,
+                # native, XLA, Pallas) assumes a well-formed min-8
+                # table; a corrupted one would otherwise decode garbage
+                # silently or index out of range.
+                nz = freqs[freqs > 0]
+                if (int(freqs.sum()) != rans.SCALE or nz.size < 2
+                        or int(nz.min()) < rans.MIN_FREQ):
+                    raise IOError("Corrupt ANS frequency table "
+                                  "(sum=%d, present=%d)."
+                                  % (freqs.sum(), nz.size))
                 planes.append({'mode': mode, 'freqs': freqs})
             else:
                 raise IOError("Unknown ANS plane mode %d." % mode)

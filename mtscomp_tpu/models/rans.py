@@ -304,6 +304,9 @@ def rans_decode_group(states, words, freqs_rows, row_counts):
         need = active & (x < np.uint64(RANS_L))
         cnt = int(need.sum())
         if cnt:
+            if pos + cnt > words.size:
+                raise IOError("rANS word stream exhausted mid-decode "
+                              "(corrupt or truncated payload).")
             w = words[pos:pos + cnt].astype(np.uint64)
             x[need] = (x[need] << np.uint64(16)) | w    # row-major order
             pos += cnt

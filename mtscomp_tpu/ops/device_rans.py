@@ -38,7 +38,13 @@ def derive_tables(freqs):
 
 @functools.partial(jax.jit, static_argnames=('n_steps',))
 def decode_groups(states, words, freqs, counts, *, n_steps):
-    """Decode all groups for ``n_steps`` steps; returns (N, S, 8, 128) u8."""
+    """Decode all groups for ``n_steps`` steps.
+
+    Returns ``(syms, words_used)``: (N, S, 8, 128) uint8 symbols and the
+    (N,) int32 count of stream words each group consumed — callers
+    compare it against the group's stored stream length (the corruption
+    check the sequential decoders perform inline).
+    """
     N, R, K = states.shape
     assert R == GROUP_ROWS and K == LANES
     W = words.shape[1]
@@ -72,7 +78,7 @@ def decode_groups(states, words, freqs, counts, *, n_steps):
     pos0 = (states[:, 0, 0] & jnp.uint32(0)).astype(jnp.int32)
     (x, pos), syms = jax.lax.scan(
         step, (states, pos0), jnp.arange(n_steps, dtype=jnp.int32))
-    return jnp.transpose(syms, (1, 0, 2, 3))           # (N, S, R, K)
+    return jnp.transpose(syms, (1, 0, 2, 3)), pos      # (N, S, R, K), (N,)
 
 
 def _mulhi32(a, b):
@@ -200,13 +206,22 @@ def pack_groups(groups, freq_of_plane):
 
 
 def decode_groups_host(groups, freq_of_plane):
-    """Convenience wrapper: pack, decode on device, unpack row arrays."""
+    """Convenience wrapper: pack, decode on device, unpack row arrays.
+
+    Raises IOError when a group consumes a different number of stream
+    words than its container recorded (corrupt payload).
+    """
     states, words, freqs, counts, S = pack_groups(groups, freq_of_plane)
-    out = np.asarray(decode_groups(states, jnp.asarray(words),
-                                   jnp.asarray(freqs), jnp.asarray(counts),
-                                   n_steps=S))
+    out, used = decode_groups(states, jnp.asarray(words),
+                              jnp.asarray(freqs), jnp.asarray(counts),
+                              n_steps=S)
+    out = np.asarray(out)
+    used = np.asarray(used)
     rows = []
     for i, g in enumerate(groups):
+        if used[i] != g['words'].size:
+            raise IOError("ANS group consumed %d of %d payload words."
+                          % (used[i], g['words'].size))
         rows.append([out[i, :, r, :].reshape(-1)[:n]
                      for r, (_, _, n) in enumerate(g['segments'])])
     return rows

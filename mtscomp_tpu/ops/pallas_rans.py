@@ -64,8 +64,8 @@ def _srl(x, n):
 
 
 def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
-            words_ref, out_ref, x_scr, pos_scr, *, steps_per_block,
-            small_alpha, fuse16, one_fixup):
+            words_ref, out_ref, used_ref, x_scr, pos_scr, *,
+            steps_per_block, small_alpha, fuse16, one_fixup):
     # Grid is (N groups, column blocks): the rANS states and stream
     # position persist in scratch across a group's column blocks, so the
     # output block stays small regardless of segment length.
@@ -219,6 +219,13 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
     x, pos = jax.lax.fori_loop(0, steps_per_block, body, (x0, pos0))
     x_scr[...] = x
     pos_scr[0] = pos
+    # Stream-consumption audit: the block revisits this output each
+    # column block, so the final block leaves the group's total word
+    # count — callers compare it to the container's stored stream
+    # length (the corruption check sequential decoders do inline).
+    # Lane-broadcast row: TPU blocks need (>=8, 128) or full-dim tiles,
+    # so a (1, 1, 128) VMEM row stands in for the scalar.
+    used_ref[...] = jnp.broadcast_to(pos, used_ref.shape).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
@@ -228,10 +235,13 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                          *, n_steps, interpret=False, small_alpha=False,
                          steps_per_block=None, one_fixup=False):
-    """Decode N groups on TPU; returns (N, R, 4*ceil(S/4)*128) u8 symbols.
+    """Decode N groups on TPU.
 
-    Output is row-linear: ``out[n, r]`` is segment row r's symbol stream
-    (no reassembly transpose needed downstream).
+    Returns ``(syms, words_used)``: (N, R, blocks*128) uint8 symbols and
+    the (N,) int32 stream words each group consumed (callers compare to
+    the stored stream length — the corruption audit). Symbols are
+    row-linear: ``out[n, r]`` is segment row r's symbol stream (no
+    reassembly transpose needed downstream).
 
     states    (N, R, 128) uint32
     words_u16 (N, WR, 128) uint16 — merged streams, row-padded, with
@@ -261,7 +271,7 @@ def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
                            counts_b, *, n_steps, interpret=False,
                            small_alpha=False, steps_per_block=None,
                            one_fixup=False):
-    """Fused variant: emits final int16 elements, (N, R, steps*128).
+    """Fused variant: emits final int16 elements plus words_used.
 
     ``elem_pk`` maps each dense symbol id to the fully decoded 16-bit
     element (plane combination and inverse zigzag folded into the table
@@ -292,7 +302,7 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
     CB = -(-max(n_steps, 1) // spb)
     if not fuse16:
         elem_pk = dense_pk     # unused placeholder with matching shape
-    out = pl.pallas_call(
+    out, used = pl.pallas_call(
         functools.partial(_kernel, steps_per_block=spb,
                           small_alpha=small_alpha, fuse16=fuse16,
                           one_fixup=one_fixup),
@@ -311,18 +321,24 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
             pl.BlockSpec((1, WR, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R_in, spb * LANES),
-                               lambda n, c: (n, 0, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (N, R_in, CB * spb * LANES),
-            jnp.int16 if fuse16 else jnp.uint8),
+        out_specs=(
+            pl.BlockSpec((1, R_in, spb * LANES), lambda n, c: (n, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (N, R_in, CB * spb * LANES),
+                jnp.int16 if fuse16 else jnp.uint8),
+            jax.ShapeDtypeStruct((N, 1, LANES), jnp.int32),
+        ),
         scratch_shapes=[pltpu.VMEM((R_in, LANES), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, elem_pk,
       words_u16)
-    return out
+    return out, used[:, 0, 0]
 
 
 def pack_elem_table(freqs, hi_const=0, dtype=np.int16):

@@ -117,7 +117,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                const_vals, raw_vals, heads, elem_pk):
         if fuse8:
             from ..ops.device_delta import cumsum_time_transposed_u8
-            syms = decode_groups_pallas(
+            syms, used = decode_groups_pallas(
                 states, words, coarse_pk, dense_pk, counts_b, n_steps=S,
                 small_alpha=small_alpha, steps_per_block=spb_f,
                 one_fixup=one_fixup)
@@ -125,28 +125,29 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             heads_p = jnp.pad(as_i16(heads), ((0, 0), (0, c_cap - C)))
             out = cumsum_time_transposed_u8(chan, heads_p,
                                             const_vals[:, 0])
-            return from_i16(out[:, :T, :C])
+            return from_i16(out[:, :T, :C]), used
         if full_fuse:
-            syms16 = decode_groups_pallas16(
+            syms16, used = decode_groups_pallas16(
                 states, words, coarse_pk, dense_pk, elem_pk, counts_b,
                 n_steps=S, small_alpha=small_alpha, steps_per_block=spb_f,
                 one_fixup=one_fixup)
             chan = syms16.reshape(B, c_cap, tp)
             heads_p = jnp.pad(heads, ((0, 0), (0, c_cap - C)))
             out = cumsum_time_transposed(chan, head=heads_p)
-            return out[:, :T, :C]
+            return out[:, :T, :C], used
         ubits = 'uint%d' % (dtype.itemsize * 8)
         acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
+        used = jnp.zeros((B,), dtype=jnp.int32)
         if rans_planes:
             if use_pallas:
                 # Kernel output is already row-linear (N, R, steps*128).
-                syms = decode_groups_pallas(states, words, coarse_pk,
-                                            dense_pk, counts_b, n_steps=S,
-                                            small_alpha=small_alpha,
-                                            one_fixup=one_fixup)
+                syms, used = decode_groups_pallas(
+                    states, words, coarse_pk, dense_pk, counts_b,
+                    n_steps=S, small_alpha=small_alpha,
+                    one_fixup=one_fixup)
                 rows = syms.reshape(B, G * GROUP_ROWS, -1)
             else:
-                syms = decode_groups(
+                syms, used = decode_groups(
                     states, words.reshape(words.shape[0], -1),
                     freqs, counts, n_steps=S)
                 # (B*G, S, R, 128) -> (B, G*R rows, S*128)
@@ -183,7 +184,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                                      axis=2)
             T_out = ct.shape[2]
             ct = pad_to(pad_to(ct, 128, axis=2), 128, axis=1)
-            return from_i16(cumsum_time_transposed(ct)[:, :T_out, :C])
+            return from_i16(cumsum_time_transposed(ct)[:, :T_out, :C]), used
         if order == 'F':
             chunks = jnp.transpose(elems.reshape(B, C, Tc), (0, 2, 1))
         else:
@@ -200,9 +201,25 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                                               use_pallas=True))
             else:
                 chunks = cumsum_time_jnp(chunks)
-        return chunks
+        return chunks, used
 
     return decode
+
+
+def check_words_used(parsed_list, used):
+    """Compare device-reported per-group word consumption to the
+    containers' stored stream lengths; IOError on mismatch."""
+    n_groups = sum(len(p['groups']) for p in parsed_list)
+    if n_groups == 0:
+        return
+    used = np.asarray(used).reshape(-1)
+    i = 0
+    for parsed in parsed_list:
+        for g in parsed['groups']:
+            if used[i] != g['words'].size:
+                raise IOError("ANS group consumed %d of %d payload words."
+                              % (used[i], g['words'].size))
+            i += 1
 
 
 class DeviceBatchDecoder:
@@ -236,19 +253,27 @@ class DeviceBatchDecoder:
         return True
 
     def decode_batch(self, parsed_list, n_samples, mesh=None):
-        """Returns (B, n_samples, n_channels) decoded ndarray."""
+        """Returns (B, n_samples, n_channels) decoded ndarray.
+
+        Raises IOError when any group's stream-word consumption differs
+        from its container's stored length (corrupt payload) — the
+        device analogue of the sequential decoders' inline check.
+        """
         with phase('decode.pack'):
             fn, args = self.pack(parsed_list, n_samples, mesh=mesh)
         with phase('decode.device'):
-            out = fn(*args)
+            out, used = fn(*args)
         with phase('decode.fetch'):
+            check_words_used(parsed_list, used)
             return np.asarray(out)
 
     def pack(self, parsed_list, n_samples, mesh=None):
         """Stage a batch: build device arrays + the compiled decode fn.
 
-        Returns ``(fn, device_args)``; calling ``fn(*device_args)``
-        decodes entirely on-device. Useful to amortize host->device
+        Returns ``(fn, device_args)``; ``fn(*device_args)`` decodes
+        entirely on-device and returns ``(chunks, words_used)`` — pass
+        ``words_used`` to :func:`check_words_used` for the corruption
+        audit (decode_batch does). Useful to amortize host->device
         transfer of the compressed batch across repeated decodes.
 
         With ``mesh`` (a 1-D device mesh), the chunk batch is sharded
@@ -382,7 +407,7 @@ class DeviceBatchDecoder:
         spec = PartitionSpec(axis)
         fn = jax.jit(shard_map(
             lambda *a: inner(*a), mesh=mesh,
-            in_specs=(spec,) * len(raw_args), out_specs=spec))
+            in_specs=(spec,) * len(raw_args), out_specs=(spec, spec)))
         sharding = NamedSharding(mesh, spec)
         return fn, tuple(jax.device_put(a, sharding) for a in raw_args)
 
@@ -723,7 +748,7 @@ class DeviceBatchEncoder:
         for b in range(B):
             parts = [ans_mod._HEADER.pack(
                 ans_mod.MAGIC, ans_mod.CONTAINER_VERSION, P,
-                1 | 2 | (4 if aligned else 0),
+                1 | 2 | (4 if aligned else 0) | ans_mod.FLAG_CRC32,
                 rans.SCALE_BITS, T * C,
                 k if aligned else self.codec.seg_log2,
                 rans.MIN_FREQ, rans.GROUP_ROWS, 0, C, 0)]
@@ -746,7 +771,7 @@ class DeviceBatchEncoder:
                 for st, wd in zip(group_states[b], group_words[b]):
                     parts.append(st.astype('<u4').tobytes())
                     parts.append(wd.astype('<u2').tobytes())
-            payloads.append(b''.join(parts))
+            payloads.append(ans_mod._append_crc(parts))
         return payloads
 
 
@@ -779,7 +804,9 @@ class DeviceChunkCache:
         if not dec.supported(parsed, ns):  # pragma: no cover
             raise NotImplementedError("unsupported chunk for device cache")
         fn, args = dec.pack(parsed, ns)
-        out = fn(*args)[0]        # (ns, C), stays on device
+        chunks, used = fn(*args)
+        check_words_used(parsed, used)
+        out = chunks[0]           # (ns, C), stays on device
         self._cache[idx] = out
         self._order.append(idx)
         while len(self._order) > self.capacity:

@@ -343,12 +343,13 @@ def test_fused16_kernel_interpret():
     cp, dp, _ = pack_device_tables(f)
     ep = pack_elem_table(f, hi_const=0, dtype=np.int16)
     tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
-    out = decode_groups_pallas16(
+    out, used = decode_groups_pallas16(
         jnp.asarray(st[None].astype(np.uint32)), jnp.asarray(words),
         tile(cp), tile(dp), tile(ep),
         jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
         n_steps=SEG // 128, interpret=True)
     assert np.array_equal(np.asarray(out)[0].reshape(-1), d)
+    assert int(np.asarray(used)[0]) == wd.size
 
 
 def test_second_fixup_flag_matches_bucket_occupancy():
@@ -424,7 +425,7 @@ def test_decode_kernel_fixup_variants(force):
     if one_fixup and needs2:
         pytest.skip("table needs the second fixup")
     tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
-    out = decode_groups_pallas(
+    out, used = decode_groups_pallas(
         jnp.asarray(st[None].astype(np.uint32)), jnp.asarray(words),
         tile(cp), tile(dp),
         jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
@@ -432,6 +433,7 @@ def test_decode_kernel_fixup_variants(force):
     # Row-linear output, columns padded to the steps_per_block multiple.
     got = np.asarray(out)[0][:, :SEG].reshape(-1)
     assert np.array_equal(got, syms)
+    assert int(np.asarray(used)[0]) == wd.size
 
 
 def test_multi_probe_mesh(tmp_path_):
