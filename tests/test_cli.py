@@ -119,3 +119,27 @@ def test_cli_chop(data):
     cmeta = json.loads((tmp / 'chopped.ch').read_text())
     assert cmeta['chopped'] is True
     assert len(cmeta['chunk_bounds']) == 3
+
+
+def test_benchmark_plots(tmp_path_):
+    """The plot generator builds the standard panel from harness rows."""
+    matplotlib = pytest.importorskip('matplotlib')
+    matplotlib.use('Agg')
+    from mtscomp_tpu.benchmarks.plots import bar_chart, benchmark_plots
+    rows = [
+        {'dataset': 'ap', 'algorithm': 'zlib', 'n_threads': 1,
+         'ratio': 2.9, 'write_mbps': 10, 'read_mbps': 20, 'window_ms': 5},
+        {'dataset': 'ap', 'algorithm': 'zlib', 'n_threads': 4,
+         'ratio': 2.9, 'write_mbps': 30, 'read_mbps': 21, 'window_ms': 5},
+        {'dataset': 'ap', 'algorithm': 'ans', 'n_threads': 1,
+         'ratio': 3.3, 'write_mbps': 40, 'read_mbps': 90, 'window_ms': 2},
+        {'dataset': 'ap', 'algorithm': 'ans', 'n_threads': 4,
+         'ratio': 3.3, 'write_mbps': 90, 'read_mbps': 91, 'window_ms': 2},
+    ]
+    fig = bar_chart(rows, metric='read_mbps', group_by='algorithm',
+                    bar_by='n_threads')
+    assert fig.axes[0].get_ylabel() == 'read_mbps'
+    figs = benchmark_plots(output_dir=tmp_path_ / 'plots', rows=rows)
+    assert set(figs) == {'ratio', 'write_mbps', 'read_mbps', 'window_ms'}
+    for metric in figs:
+        assert (tmp_path_ / 'plots' / ('%s.png' % metric)).exists()
