@@ -81,6 +81,10 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     # wrapping mod-2^16 arithmetic, so a bitcast in and out is exact
     # (the reference's canonical Neuropixels dataset is uint16).
     i16_kind = dtype in (np.dtype(np.int16), np.dtype(np.uint16))
+    # 1-byte dtypes ride them too: widen to int16, scan mod 2^16, keep
+    # the low byte — mod 256 is a quotient of mod 2^16, so truncation
+    # reproduces the wrapping 8-bit cumsum exactly.
+    one_byte = dtype.itemsize == 1
     full_fuse = (use_pallas and aligned and has_head
                  and os.environ.get('MTSCOMP_FULL_FUSE', '') not in ('', '0')
                  and rans_planes == [0] and not raw_planes
@@ -105,10 +109,16 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     c_cap = G * GROUP_ROWS * k if (full_fuse or fuse8) else 0
 
     def as_i16(a):
+        if one_byte:
+            return a.astype(jnp.int16)      # value-extend; see one_byte
         return a if a.dtype == jnp.int16 \
             else jax.lax.bitcast_convert_type(a, jnp.int16)
 
     def from_i16(a):
+        if one_byte:
+            u = (a & 255).astype(jnp.uint8)
+            return u if dtype == np.uint8 \
+                else jax.lax.bitcast_convert_type(u, jnp.int8)
         return a if dtype == np.int16 \
             else jax.lax.bitcast_convert_type(a, jnp.dtype(dtype))
 
@@ -173,7 +183,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         else:
             elems = acc.astype(dtype)
         if (use_pallas and order == 'F' and do_time_diff
-                and not do_spatial_diff and i16_kind):
+                and not do_spatial_diff and (i16_kind or one_byte)):
             # Fused finalize: channel-major elements (with the verbatim
             # head as column 0, so the scan emits it as sample 0) go
             # through one transpose+scan kernel — one HBM pass instead
@@ -196,7 +206,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         if do_time_diff:
             # The Pallas carried-scan kernel: XLA's cumsum lowering over
             # tens of thousands of timesteps is unusable on TPU.
-            if use_pallas and i16_kind:
+            if use_pallas and (i16_kind or one_byte):
                 chunks = from_i16(cumsum_time(as_i16(chunks),
                                               use_pallas=True))
             else:

@@ -352,6 +352,28 @@ def test_fused16_kernel_interpret():
     assert int(np.asarray(used)[0]) == wd.size
 
 
+@pytest.mark.parametrize('dtype', [np.int8, np.uint8, np.uint16])
+def test_device_decode_narrow_dtypes(tmp_path_, dtype, monkeypatch):
+    """1- and 2-byte integer dtypes ride the i16 device kernels exactly
+    (widen-to-int16 + mod-256 truncation for the 1-byte kinds).
+    Interpret mode forces the Pallas branches on the CPU backend."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    rng = np.random.default_rng(3)
+    walk = np.cumsum(rng.normal(0, 3, size=(3 * 2000, 16)), axis=0)
+    arr = np.mod(np.round(walk), np.iinfo(dtype).max + 1 -
+                 np.iinfo(dtype).min).astype(np.int64)
+    arr = (arr + np.iinfo(dtype).min).astype(dtype)
+    path = write_arr(tmp_path_ / 'n.bin', arr)
+    compress(path, tmp_path_ / 'n.cbin', tmp_path_ / 'n.ch',
+             sample_rate=2000.0, n_channels=16, dtype=np.dtype(dtype).name,
+             algorithm='ans', quiet=True, ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'n.cbin', tmp_path_ / 'n.ch', quiet=True)
+    try:
+        assert np.array_equal(decompress_to_array(r), arr)
+    finally:
+        r.close()
+
+
 def test_second_fixup_flag_matches_bucket_occupancy():
     """pack_device_tables' needs2 flag == brute-force bucket occupancy."""
     from mtscomp_tpu.ops.pallas_rans import pack_device_tables
