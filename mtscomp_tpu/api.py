@@ -192,35 +192,56 @@ class Writer:
 
     # -- output ---------------------------------------------------------------
 
-    def write(self, out, outmeta):
-        """Write ``.cbin`` + ``.ch``; returns compressed/raw size ratio."""
+    def write(self, out, outmeta, first_chunk=0, last_chunk=None):
+        """Write ``.cbin`` + ``.ch``; returns compressed/raw size ratio.
+
+        With ``first_chunk``/``last_chunk`` only chunks
+        ``[first_chunk, last_chunk)`` are written — the output is a
+        fully valid standalone file of that sample range (rebased
+        chunk_bounds, its own offset table and SHA1s) whose sidecar
+        records ``part: [first, last]``. Ranges are the multi-host
+        parallelism unit (each host compresses a disjoint range over
+        DCN-shared storage; chunks are independent so no communication
+        is needed) and the crash-resume unit; concatenate with
+        :func:`mtscomp_tpu.parallel.distributed.merge_parts`.
+        """
+        first_chunk = int(first_chunk)
+        last_chunk = self.n_chunks if last_chunk is None else int(last_chunk)
+        assert 0 <= first_chunk < last_chunk <= self.n_chunks
+        partial = (first_chunk, last_chunk) != (0, self.n_chunks)
+        n_range = last_chunk - first_chunk
+        n_batches = math.ceil(n_range / self.batch_size)
         out, outmeta = default_compressed_paths(self.data_path, out, outmeta)
         Path(out).parent.mkdir(exist_ok=True, parents=True)
         offset = 0
         self.chunk_offsets = [0]
+        self._part = (first_chunk, last_chunk) if partial else None
         self._pool = (ThreadPoolExecutor(self.batch_size)
                       if self.n_threads > 1 else None)
         logger.info("Starting compression with %d thread(s), algorithm=%s.",
                     self.n_threads, self.algorithm)
 
         def bounds(batch):
-            return (self.batch_size * batch,
-                    min(self.batch_size * (batch + 1), self.n_chunks))
+            return (first_chunk + self.batch_size * batch,
+                    min(first_chunk + self.batch_size * (batch + 1),
+                        last_chunk))
 
         # Double-buffered pipeline: batch b+1 compresses (C++ workers /
         # device) while batch b's ordered write-back (file IO + SHA1,
         # both GIL-releasing) runs — the reference is strictly
         # batch-synchronous here (mtscomp.py:461-483).
+        self.sha1_compressed = hashlib.sha1()
+        self.sha1_uncompressed = hashlib.sha1()
         prefetch = ThreadPoolExecutor(1)
         try:
             with open(out, 'wb') as fb:
                 fut = (prefetch.submit(self.compress_batch, *bounds(0))
-                       if self.n_batches else None)
-                for batch in progress(range(self.n_batches),
+                       if n_batches else None)
+                for batch in progress(range(n_batches),
                                       desc='Compressing',
                                       disable=self.quiet):
                     compressed = fut.result()
-                    if batch + 1 < self.n_batches:
+                    if batch + 1 < n_batches:
                         fut = prefetch.submit(self.compress_batch,
                                               *bounds(batch + 1))
                     first, last = bounds(batch)
@@ -242,14 +263,17 @@ class Writer:
         if self._pool is not None:
             self._pool.shutdown()
             self._pool = None
-        ratio = csize / self.file_size
+        i0 = self.chunk_bounds[first_chunk]
+        i1 = self.chunk_bounds[last_chunk]
+        raw_size = (i1 - i0) * self.n_channels * self.dtype.itemsize
+        ratio = csize / raw_size
         logger.info("Wrote %s (%.1f GB, -%.3f%%).", out, csize / 1024 ** 3,
                     100 - 100 * ratio)
         write_cmeta(outmeta, self.get_cmeta())
         if self.check_after_compress:
             self.before_check(self)
             try:
-                check(self.data, out, outmeta)
+                check(self.data[i0:i1], out, outmeta)
             except AssertionError:
                 raise RuntimeError(CRITICAL_ERROR_MSG)
             logger.debug("Automatic integrity check after compression PASSED.")
@@ -260,16 +284,29 @@ class Writer:
         extra = {}
         if self.algorithm == 'ans':
             extra['ans_seg_log2'] = self.codec.seg_log2
+        part = getattr(self, '_part', None)
+        bounds = self.chunk_bounds
+        shape = self.shape
+        if part is not None:
+            # Ranged write: rebase sample bounds to the part's origin so
+            # the part is a standalone valid file; record provenance.
+            first, last = part
+            base = self.chunk_bounds[first]
+            bounds = [b - base for b in self.chunk_bounds[first:last + 1]]
+            # A part is always 2-D (an original >=3-D .npy shape cannot
+            # be restored from a sample sub-range).
+            shape = (bounds[-1], self.n_channels)
+            extra['part'] = [first, last]
         return build_cmeta(
             algorithm=self.algorithm, comp_level=self.comp_level,
             do_time_diff=self.do_time_diff,
             do_spatial_diff=self.do_spatial_diff,
             dtype=self.dtype, n_channels=self.n_channels,
-            sample_rate=self.sample_rate, chunk_bounds=self.chunk_bounds,
+            sample_rate=self.sample_rate, chunk_bounds=bounds,
             chunk_offsets=self.chunk_offsets, chunk_order=self.chunk_order,
             sha1_compressed=self.sha1_compressed.hexdigest(),
             sha1_uncompressed=self.sha1_uncompressed.hexdigest(),
-            shape=self.shape, extra=extra)
+            shape=shape, extra=extra)
 
     def close(self):
         """Release the input memmap."""

@@ -1,0 +1,192 @@
+"""Multi-host (DCN) chunk-range compression and part merging.
+
+Chunks are fully independent (the format's core invariant), so the
+multi-host parallelization of ``compress`` needs no communication at
+all: each host compresses a disjoint chunk range of the shared raw file
+into a standalone part (``Writer.write(first_chunk=..., last_chunk=...)``,
+itself a valid ``.cbin``/``.ch`` pair of that sample range), and one
+host concatenates the parts — rebasing the offset/bounds tables and
+streaming the global SHA1 during the byte copy, exactly like the
+reference's ordered batch write-back (mtscomp.py:474-483) lifted from
+threads to hosts. The same mechanism is the crash-resume story: a
+failed run reruns only the missing ranges (SURVEY §5 checkpoint/resume;
+each part's own SHA1 lets the merge verify surviving parts first).
+
+This is plain host code by design — the reference's analogue is its
+ThreadPool loop; the device mesh (ICI) parallelism lives in
+``parallel.pipeline`` and composes with this (each host drives its own
+chips over its own range).
+"""
+
+import hashlib
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..format import read_cmeta, write_cmeta
+from ..utils.misc import logger
+
+
+def plan_ranges(n_chunks, n_parts):
+    """Split ``n_chunks`` into ``n_parts`` contiguous [first, last) ranges."""
+    n_parts = min(max(1, int(n_parts)), n_chunks)
+    edges = np.linspace(0, n_chunks, n_parts + 1).round().astype(int)
+    return [(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:]) if b > a]
+
+
+def compress_range(path, out, outmeta, first_chunk, last_chunk,
+                   sample_rate=None, n_channels=None, dtype=None, **kwargs):
+    """Compress chunks ``[first_chunk, last_chunk)`` of a raw file.
+
+    One host's share of a multi-host compress. The output is a
+    standalone valid compressed file of that sample range whose sidecar
+    records ``part: [first, last]``. Returns the part's size ratio.
+    """
+    from ..api import Writer
+    w = Writer(**kwargs)
+    try:
+        w.open(path, sample_rate=sample_rate, n_channels=n_channels,
+               dtype=dtype)
+        return w.write(out, outmeta, first_chunk=first_chunk,
+                       last_chunk=last_chunk)
+    finally:
+        w.close()
+
+
+def merge_parts(parts, out, outmeta, expected_n_chunks=None):
+    """Concatenate compressed parts into one ``.cbin`` + ``.ch``.
+
+    ``parts``: ordered list of ``(cbin_path, ch_path)`` pairs produced
+    by :func:`compress_range` (or any compressed files with identical
+    parameters). Each part's bytes are verified against its own
+    ``sha1_compressed`` while being copied; the merged sidecar gets the
+    global ``sha1_compressed`` computed during the copy and
+    ``sha1_uncompressed: None`` (the raw stream was never seen whole
+    here — the ``chop`` precedent for hash-less but valid sidecars).
+
+    Part coverage is validated: ``part`` ranges (when present) must be
+    contiguous from 0, and chunk geometry/parameters must match across
+    parts. Returns the merged cmeta dict.
+    """
+    assert parts, "nothing to merge"
+    metas = [read_cmeta(ch) for _, ch in parts]
+    first = metas[0]
+    check_keys = ('algorithm', 'comp_level', 'do_time_diff',
+                  'do_spatial_diff', 'dtype', 'n_channels', 'sample_rate',
+                  'chunk_order', 'version')
+    for m in metas[1:]:
+        for k in check_keys:
+            if m.get(k) != first.get(k):
+                raise ValueError("part parameter mismatch: %s (%r != %r)"
+                                 % (k, m.get(k), first.get(k)))
+    next_chunk = 0
+    for m in metas:
+        pr = m.get('part')
+        if pr is not None:
+            if pr[0] != next_chunk:
+                raise ValueError("part ranges not contiguous: expected "
+                                 "chunk %d, got %d" % (next_chunk, pr[0]))
+            next_chunk = pr[1]
+        else:
+            next_chunk += len(m['chunk_bounds']) - 1
+    if expected_n_chunks is not None and next_chunk != expected_n_chunks:
+        raise ValueError("parts cover %d chunks, expected %d"
+                         % (next_chunk, expected_n_chunks))
+
+    out = Path(out)
+    out.parent.mkdir(exist_ok=True, parents=True)
+    sha1_all = hashlib.sha1()
+    bounds = [0]
+    offsets = [0]
+    with open(out, 'wb') as fb:
+        for (cbin, _), m in zip(parts, metas):
+            sha1_part = hashlib.sha1()
+            size = 0
+            with open(cbin, 'rb') as fp:
+                while True:
+                    buf = fp.read(1 << 22)
+                    if not buf:
+                        break
+                    sha1_part.update(buf)
+                    sha1_all.update(buf)
+                    fb.write(buf)
+                    size += len(buf)
+            if m.get('sha1_compressed') and \
+                    sha1_part.hexdigest() != m['sha1_compressed']:
+                raise IOError("part %s does not match its sha1_compressed "
+                              "(corrupt or stale part)." % cbin)
+            if size != m['chunk_offsets'][-1]:
+                raise IOError("part %s is %d bytes, sidecar says %d."
+                              % (cbin, size, m['chunk_offsets'][-1]))
+            base_b, base_o = bounds[-1], offsets[-1]
+            bounds.extend(base_b + b for b in m['chunk_bounds'][1:])
+            offsets.extend(base_o + o for o in m['chunk_offsets'][1:])
+
+    cmeta = dict(first)
+    cmeta.pop('part', None)
+    cmeta['chunk_bounds'] = bounds
+    cmeta['chunk_offsets'] = offsets
+    cmeta['shape'] = (bounds[-1], int(first['n_channels']))
+    cmeta['sha1_compressed'] = sha1_all.hexdigest()
+    cmeta['sha1_uncompressed'] = None
+    write_cmeta(outmeta, cmeta)
+    logger.info("Merged %d parts into %s (%d chunks, %d samples).",
+                len(parts), out, len(bounds) - 1, bounds[-1])
+    return cmeta
+
+
+def compress_multihost(path, out, outmeta, n_parts, part_dir=None,
+                       sample_rate=None, n_channels=None, dtype=None,
+                       **kwargs):
+    """Single-process reference flow of the multi-host split.
+
+    Plans ranges, compresses each (on a cluster, one range per host —
+    here sequentially), then merges. Exists as the executable spec of
+    the protocol plus a convenient resumable compress: parts that
+    already exist with a valid sidecar are reused, so rerunning after a
+    crash only redoes missing ranges.
+    """
+    from ..api import Writer
+    w = Writer(**dict(kwargs, check_after_compress=False))
+    try:
+        w.open(path, sample_rate=sample_rate, n_channels=n_channels,
+               dtype=dtype)
+        n_chunks = w.n_chunks
+    finally:
+        w.close()
+    part_dir = Path(part_dir) if part_dir else Path(out).parent
+    part_dir.mkdir(exist_ok=True, parents=True)
+    ranges = plan_ranges(n_chunks, n_parts)
+    parts = []
+    for first, last in ranges:
+        cbin = part_dir / ('part_%06d_%06d.cbin' % (first, last))
+        ch = part_dir / ('part_%06d_%06d.ch' % (first, last))
+        if not (cbin.exists() and ch.exists() and _part_valid(cbin, ch)):
+            compress_range(path, cbin, ch, first, last,
+                           sample_rate=sample_rate, n_channels=n_channels,
+                           dtype=dtype, **kwargs)
+        else:
+            logger.info("Reusing existing valid part %s.", cbin)
+        parts.append((cbin, ch))
+    return merge_parts(parts, out, outmeta, expected_n_chunks=n_chunks)
+
+
+def _part_valid(cbin, ch):
+    """Whether an existing part's bytes match its sidecar SHA1."""
+    try:
+        m = read_cmeta(ch)
+    except (OSError, ValueError, AssertionError,
+            json.JSONDecodeError):  # pragma: no cover - unreadable sidecar
+        return False
+    want = m.get('sha1_compressed')
+    if not want:
+        return False
+    sha = hashlib.sha1()
+    with open(cbin, 'rb') as f:
+        while True:
+            buf = f.read(1 << 22)
+            if not buf:
+                break
+            sha.update(buf)
+    return sha.hexdigest() == want

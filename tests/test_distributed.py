@@ -1,0 +1,122 @@
+"""Multi-host chunk-range compression and part merging (SURVEY §2b/§5:
+the DCN parallelization splits the chunk range per host; the merge
+mirrors the ordered batch write-back; parts double as resume units)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mtscomp_tpu import compress, decompress
+from mtscomp_tpu.parallel.distributed import (
+    compress_range, compress_multihost, merge_parts, plan_ranges)
+
+from conftest import write_arr, to_int16, make_signal, tmp_path_  # noqa: F401
+
+SR = 2000.0
+NC = 13
+
+
+def _make(tmp_path_, ns=5 * 2000 + 700):
+    arr = to_int16(make_signal('colored', ns=ns, nc=NC))
+    return arr, write_arr(tmp_path_ / 'raw.bin', arr)
+
+
+def test_plan_ranges():
+    assert plan_ranges(10, 3) == [(0, 3), (3, 7), (7, 10)]
+    assert plan_ranges(2, 5) == [(0, 1), (1, 2)]
+    assert plan_ranges(7, 1) == [(0, 7)]
+
+
+@pytest.mark.parametrize('algorithm', ['zlib', 'ans'])
+def test_part_is_standalone(tmp_path_, algorithm):
+    """A ranged write is itself a fully valid compressed file."""
+    arr, raw = _make(tmp_path_)
+    compress_range(raw, tmp_path_ / 'p.cbin', tmp_path_ / 'p.ch', 2, 4,
+                   sample_rate=SR, n_channels=NC, dtype='int16',
+                   algorithm=algorithm, quiet=True)
+    meta = json.loads((tmp_path_ / 'p.ch').read_text())
+    assert meta['part'] == [2, 4]
+    assert meta['chunk_bounds'][0] == 0
+    r = decompress(tmp_path_ / 'p.cbin', tmp_path_ / 'p.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr[2 * 2000:4 * 2000])
+    finally:
+        r.close()
+
+
+@pytest.mark.parametrize('algorithm', ['zlib', 'ans'])
+def test_merge_matches_full_compress(tmp_path_, algorithm):
+    """Range-compress + merge is byte-identical to one full compress."""
+    arr, raw = _make(tmp_path_)
+    compress(raw, tmp_path_ / 'full.cbin', tmp_path_ / 'full.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm=algorithm, quiet=True)
+    full_meta = json.loads((tmp_path_ / 'full.ch').read_text())
+    n_chunks = len(full_meta['chunk_bounds']) - 1
+    parts = []
+    for first, last in plan_ranges(n_chunks, 3):
+        cbin = tmp_path_ / ('p%d.cbin' % first)
+        ch = tmp_path_ / ('p%d.ch' % first)
+        compress_range(raw, cbin, ch, first, last, sample_rate=SR,
+                       n_channels=NC, dtype='int16', algorithm=algorithm,
+                       quiet=True)
+        parts.append((cbin, ch))
+    merged = merge_parts(parts, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                         expected_n_chunks=n_chunks)
+    assert (tmp_path_ / 'm.cbin').read_bytes() == \
+        (tmp_path_ / 'full.cbin').read_bytes()
+    assert merged['chunk_bounds'] == full_meta['chunk_bounds']
+    assert merged['chunk_offsets'] == full_meta['chunk_offsets']
+    assert merged['sha1_compressed'] == full_meta['sha1_compressed']
+    assert merged['sha1_uncompressed'] is None
+    assert 'part' not in merged
+    r = decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_merge_rejects_bad_parts(tmp_path_):
+    arr, raw = _make(tmp_path_, ns=3 * 2000)
+    a = (tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch')
+    b = (tmp_path_ / 'b.cbin', tmp_path_ / 'b.ch')
+    compress_range(raw, *a, 0, 2, sample_rate=SR, n_channels=NC,
+                   dtype='int16', quiet=True)
+    compress_range(raw, *b, 2, 3, sample_rate=SR, n_channels=NC,
+                   dtype='int16', quiet=True)
+    # Gap: skipping part a.
+    with pytest.raises(ValueError):
+        merge_parts([b], tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch')
+    # Corrupt part bytes fail the per-part SHA1 during the copy.
+    data = bytearray(a[0].read_bytes())
+    data[len(data) // 2] ^= 0xFF
+    a[0].write_bytes(bytes(data))
+    with pytest.raises(IOError):
+        merge_parts([a, b], tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch')
+
+
+def test_multihost_resumable(tmp_path_):
+    """compress_multihost reuses valid existing parts (crash resume)."""
+    arr, raw = _make(tmp_path_)
+    pdir = tmp_path_ / 'parts'
+    meta = compress_multihost(raw, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                              n_parts=3, part_dir=pdir, sample_rate=SR,
+                              n_channels=NC, dtype='int16', quiet=True)
+    n_chunks = len(meta['chunk_bounds']) - 1
+    # Simulate a crash that lost one part; rerun must redo only it.
+    victims = sorted(pdir.glob('part_*.cbin'))
+    victims[1].unlink()
+    mtimes = {p: p.stat().st_mtime_ns for p in sorted(pdir.glob('*.cbin'))}
+    meta2 = compress_multihost(raw, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                               n_parts=3, part_dir=pdir, sample_rate=SR,
+                               n_channels=NC, dtype='int16', quiet=True)
+    assert len(meta2['chunk_bounds']) - 1 == n_chunks
+    for p, t in mtimes.items():
+        assert p.stat().st_mtime_ns == t, "untouched part was rewritten"
+    r = decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
