@@ -65,17 +65,33 @@ def zigzag_encode_jnp(v):
 
 # --- Pallas kernel: carried int16 prefix scan over time tiles ---------------
 
-def _cumsum_kernel(x_ref, out_ref, carry_ref):
-    """One (Tt, Ct) int16 tile: in-tile prefix sum + carried offset.
+def _byte_split_prefix(x, tri, nbytes, transpose_scan=False):
+    """Exact modular prefix sums via byte-split MXU matmuls.
+
+    ``x`` int32 holding ``nbytes``-wide elements; split into unsigned
+    bytes so the bf16 matmul inputs stay exact (values <= 255; MXU
+    accumulates in f32, exact below 2^24) — avoids the 3x cost of
+    HIGHEST-precision f32 emulation. Recombined in int32, which wraps
+    mod 2^32 — truncation to the element width gives np.cumsum(dtype=...)
+    semantics for 1/2/4-byte integers alike.
+    """
+    total = None
+    for k in range(nbytes):
+        plane = ((x >> (8 * k)) & 255).astype(jnp.float32)
+        p = jax.lax.dot(plane, tri, preferred_element_type=jnp.float32) \
+            if transpose_scan else \
+            jax.lax.dot(tri, plane, preferred_element_type=jnp.float32)
+        term = p.astype(jnp.int32) << (8 * k)
+        total = term if total is None else total + term
+    return total
+
+
+def _cumsum_kernel(x_ref, out_ref, carry_ref, *, out_dtype):
+    """One (Tt, Ct) integer tile: in-tile prefix sum + carried offset.
 
     Grid is (B, C_tiles, T_tiles) with the time dimension innermost, so
-    ``carry_ref`` (the running per-channel sum, wrapped to int16) is
-    reset whenever a new (batch, channel-tile) stripe starts.
-
-    The in-tile scan is a Hillis-Steele ladder of sublane rolls in int32
-    (exact; wrapping to int16 at the end gives np.cumsum(dtype=int16)
-    semantics). log2(Tt) vector ops beat a triangular MXU matmul, which
-    would need HIGHEST precision to be exact.
+    ``carry_ref`` (the running per-channel sum, wrapped to the element
+    dtype) is reset whenever a new (batch, channel-tile) stripe starts.
     """
     t = pl.program_id(2)
 
@@ -85,35 +101,29 @@ def _cumsum_kernel(x_ref, out_ref, carry_ref):
 
     x = x_ref[0].astype(jnp.int32)                        # (Tt, Ct)
     tt = x.shape[0]
-    # MXU prefix: split into unsigned bytes so bf16 inputs stay exact
-    # (values <= 255; MXU accumulates in f32, exact below 2^24) —
-    # avoids the 3x cost of HIGHEST-precision f32 emulation.
-    lo = (x & 255).astype(jnp.float32)
-    hi = ((x >> 8) & 255).astype(jnp.float32)
+    nbytes = jnp.dtype(out_dtype).itemsize
     row = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 1)
     tri = (col <= row).astype(jnp.float32)
-    p_lo = jax.lax.dot(tri, lo, preferred_element_type=jnp.float32)
-    p_hi = jax.lax.dot(tri, hi, preferred_element_type=jnp.float32)
-    prefix = p_lo.astype(jnp.int32) + (p_hi.astype(jnp.int32) << 8)
-    out = prefix.astype(jnp.int16) + carry_ref[...]       # int16 add, wraps
+    prefix = _byte_split_prefix(x, tri, nbytes)
+    out = prefix.astype(out_dtype) + carry_ref[...]       # wraps in-dtype
     out_ref[0] = out
     carry_ref[...] = out[-1:, :]
 
 
 @functools.partial(jax.jit, static_argnames=('t_tile', 'interpret'))
 def cumsum_time_pallas(d, t_tile=256, interpret=False):
-    """Pallas TPU int16 prefix scan along time for (B, T, C) chunks.
+    """Pallas TPU int16/int32 prefix scan along time for (B, T, C) chunks.
 
     Requires T % t_tile == 0 and C % 128 == 0 (callers pad channels;
     chunk lengths are padded to the tile and trimmed).
     """
     B, T, C = d.shape
-    assert d.dtype == jnp.int16
+    assert d.dtype in (jnp.int16, jnp.int32)
     assert T % t_tile == 0 and C % 128 == 0
     grid = (B, C // 128, T // t_tile)
     return pl.pallas_call(
-        _cumsum_kernel,
+        functools.partial(_cumsum_kernel, out_dtype=d.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((1, t_tile, 128),
                                lambda b, c, t: (b, t, c),
@@ -121,13 +131,14 @@ def cumsum_time_pallas(d, t_tile=256, interpret=False):
         out_specs=pl.BlockSpec((1, t_tile, 128),
                                lambda b, c, t: (b, t, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((1, 128), jnp.int16)],
+        out_shape=jax.ShapeDtypeStruct((B, T, C), d.dtype),
+        scratch_shapes=[pltpu.VMEM((1, 128), d.dtype)],
         interpret=interpret,
     )(d)
 
 
-def _cumsum_t_kernel(x_ref, head_ref, out_ref, carry_ref, *, exclusive):
+def _cumsum_t_kernel(x_ref, head_ref, out_ref, carry_ref, *, exclusive,
+                     out_dtype):
     """Fused transpose + time scan: (128 ch, 128 t) tile -> (128 t, 128 ch).
 
     Input is channel-major (chunk elements in F order, one row per
@@ -148,52 +159,52 @@ def _cumsum_t_kernel(x_ref, head_ref, out_ref, carry_ref, *, exclusive):
             else jnp.zeros_like(carry_ref)
 
     x = x_ref[0].astype(jnp.int32)                        # (128c, 128t)
-    lo = (x & 255).astype(jnp.float32)
-    hi = ((x >> 8) & 255).astype(jnp.float32)
+    nbytes = jnp.dtype(out_dtype).itemsize
     row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     triu = (row <= col).astype(jnp.float32)               # prefix over t
-    p_lo = jax.lax.dot(lo, triu, preferred_element_type=jnp.float32)
-    p_hi = jax.lax.dot(hi, triu, preferred_element_type=jnp.float32)
-    prefix = p_lo.astype(jnp.int32) + (p_hi.astype(jnp.int32) << 8)
+    prefix = _byte_split_prefix(x, triu, nbytes, transpose_scan=True)
     if exclusive:
         # Subtract in int32 (v5e has no s16 vector subtract), wrap, then
-        # int16 adds only.
-        excl = (prefix - x).astype(jnp.int16)
+        # in-dtype adds only.
+        excl = (prefix - x).astype(out_dtype)
         out = excl + carry_ref[...]                         # wraps
-        carry_ref[...] = carry_ref[...] + prefix[:, -1:].astype(jnp.int16)
+        carry_ref[...] = carry_ref[...] + prefix[:, -1:].astype(out_dtype)
     else:
-        out = prefix.astype(jnp.int16) + carry_ref[...]     # wraps
+        out = prefix.astype(out_dtype) + carry_ref[...]     # wraps
         carry_ref[...] = out[:, -1:]
     out_ref[0] = out.T
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def cumsum_time_transposed(elems, head=None, interpret=False):
-    """(B, C, T) channel-major int16 -> (B, T, C) integrated samples.
+    """(B, C, T) channel-major int16/int32 -> (B, T, C) integrated samples.
 
     Computes the in-dtype time cumsum AND the layout transpose in one
     pass. Requires T % 128 == 0 and C % 128 == 0 (callers pad; padded
     channels produce garbage columns to trim, padded time extends the
     last value).
 
-    With ``head`` (B, C) int16, the scan is exclusive seeded by the
-    head: out[:, t] = head + sum(elems[:, :, :t]) — i.e. ``elems`` hold
-    the diffs and ``head`` the verbatim first sample per channel.
+    With ``head`` (B, C) of the same dtype, the scan is exclusive
+    seeded by the head: out[:, t] = head + sum(elems[:, :, :t]) — i.e.
+    ``elems`` hold the diffs and ``head`` the verbatim first sample per
+    channel.
     """
     from .pallas_rans import force_interpret
     interpret = interpret or force_interpret()
     B, C, T = elems.shape
-    assert elems.dtype == jnp.int16
+    assert elems.dtype in (jnp.int16, jnp.int32)
     assert T % 128 == 0 and C % 128 == 0
     exclusive = head is not None
     if head is None:
-        head3 = jnp.zeros((B, C, 128), jnp.int16)
+        head3 = jnp.zeros((B, C, 128), elems.dtype)
     else:
         # Lane-broadcast: 1-lane blocks are off Mosaic's fast path.
+        assert head.dtype == elems.dtype
         head3 = jnp.broadcast_to(head.reshape(B, C, 1), (B, C, 128))
     return pl.pallas_call(
-        functools.partial(_cumsum_t_kernel, exclusive=exclusive),
+        functools.partial(_cumsum_t_kernel, exclusive=exclusive,
+                          out_dtype=elems.dtype),
         grid=(B, C // 128, T // 128),
         in_specs=[pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, t),
                                memory_space=pltpu.VMEM),
@@ -201,8 +212,8 @@ def cumsum_time_transposed(elems, head=None, interpret=False):
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, t, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((128, 1), jnp.int16)],
+        out_shape=jax.ShapeDtypeStruct((B, T, C), elems.dtype),
+        scratch_shapes=[pltpu.VMEM((128, 1), elems.dtype)],
         interpret=interpret,
     )(elems, head3)
 

@@ -85,6 +85,11 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     # the low byte — mod 256 is a quotient of mod 2^16, so truncation
     # reproduces the wrapping 8-bit cumsum exactly.
     one_byte = dtype.itemsize == 1
+    # 4-byte integers use the kernels' int32 variant (4 byte-split
+    # matmuls per tile instead of 2); uint32 bitcasts like uint16.
+    four_byte = dtype in (np.dtype(np.int32), np.dtype(np.uint32))
+    kdtype = jnp.int32 if four_byte else jnp.int16
+    scan_kinds = i16_kind or one_byte or four_byte
     full_fuse = (use_pallas and aligned and has_head
                  and os.environ.get('MTSCOMP_FULL_FUSE', '') not in ('', '0')
                  and rans_planes == [0] and not raw_planes
@@ -109,17 +114,19 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     c_cap = G * GROUP_ROWS * k if (full_fuse or fuse8) else 0
 
     def as_i16(a):
+        """To the scan-kernel dtype (int16/int32), bit-preserving."""
         if one_byte:
             return a.astype(jnp.int16)      # value-extend; see one_byte
-        return a if a.dtype == jnp.int16 \
-            else jax.lax.bitcast_convert_type(a, jnp.int16)
+        return a if a.dtype == kdtype \
+            else jax.lax.bitcast_convert_type(a, kdtype)
 
     def from_i16(a):
+        """Back from the scan-kernel dtype to the element dtype."""
         if one_byte:
             u = (a & 255).astype(jnp.uint8)
             return u if dtype == np.uint8 \
                 else jax.lax.bitcast_convert_type(u, jnp.int8)
-        return a if dtype == np.int16 \
+        return a if a.dtype == jnp.dtype(dtype) \
             else jax.lax.bitcast_convert_type(a, jnp.dtype(dtype))
 
     @jax.jit
@@ -183,7 +190,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         else:
             elems = acc.astype(dtype)
         if (use_pallas and order == 'F' and do_time_diff
-                and not do_spatial_diff and (i16_kind or one_byte)):
+                and not do_spatial_diff and scan_kinds):
             # Fused finalize: channel-major elements (with the verbatim
             # head as column 0, so the scan emits it as sample 0) go
             # through one transpose+scan kernel — one HBM pass instead
@@ -206,7 +213,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
         if do_time_diff:
             # The Pallas carried-scan kernel: XLA's cumsum lowering over
             # tens of thousands of timesteps is unusable on TPU.
-            if use_pallas and (i16_kind or one_byte):
+            if use_pallas and scan_kinds:
                 chunks = from_i16(cumsum_time(as_i16(chunks),
                                               use_pallas=True))
             else:

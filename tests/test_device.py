@@ -352,11 +352,13 @@ def test_fused16_kernel_interpret():
     assert int(np.asarray(used)[0]) == wd.size
 
 
-@pytest.mark.parametrize('dtype', [np.int8, np.uint8, np.uint16])
+@pytest.mark.parametrize('dtype', [np.int8, np.uint8, np.uint16,
+                                   np.int32, np.uint32])
 def test_device_decode_narrow_dtypes(tmp_path_, dtype, monkeypatch):
-    """1- and 2-byte integer dtypes ride the i16 device kernels exactly
-    (widen-to-int16 + mod-256 truncation for the 1-byte kinds).
-    Interpret mode forces the Pallas branches on the CPU backend."""
+    """Every integer width rides the device scan kernels exactly:
+    1-byte kinds widen to int16 (+ mod-256 truncation), 2-byte bitcast
+    to int16, 4-byte use the kernels' int32 variant. Interpret mode
+    forces the Pallas branches on the CPU backend."""
     monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
     rng = np.random.default_rng(3)
     walk = np.cumsum(rng.normal(0, 3, size=(3 * 2000, 16)), axis=0)
