@@ -70,6 +70,11 @@ def mtscomp_parser():
     parser.add_argument('-a', '--algorithm', type=str,
                         help="compression algorithm: 'zlib' (legacy) or "
                              "'ans' (TPU-parallel)")
+    parser.add_argument('--range', type=str, dest='chunk_range',
+                        help='compress only chunks FIRST:LAST (exclusive) '
+                             'into a standalone part file; merge parts '
+                             'with mtsmerge (multi-host / resumable '
+                             'compression)')
     _shared_options(parser)
     parser.add_argument('--set-default', action='store_true',
                         help='set the specified parameters as the default')
@@ -84,6 +89,15 @@ def mtscomp(args=None):
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
     if pargs.set_default:
         write_config(**config)
+    if pargs.chunk_range:
+        from .parallel.distributed import compress_range
+        if not (pargs.out and pargs.outmeta):
+            raise ValueError("--range requires explicit out/outmeta paths "
+                             "(parts must not shadow the merged file).")
+        first, last = (int(x) for x in pargs.chunk_range.split(':'))
+        compress_range(pargs.path, pargs.out, pargs.outmeta, first, last,
+                       **config)
+        return
     compress(pargs.path, pargs.out, pargs.outmeta, **config)
 
 
@@ -138,6 +152,35 @@ def mtsdesc(args=None):
     )
     for k, v in info.items():
         print('{:<15}'.format(k), str(v))
+
+
+# -- mtsmerge ------------------------------------------------------------------
+
+def mtsmerge(args=None):
+    """Merge compressed part files (mtscomp --range output) into one."""
+    sys.excepthook = exception_handler
+    parser = argparse.ArgumentParser(
+        description='Merge compressed chunk-range parts into one '
+                    '.cbin/.ch (parts are produced by mtscomp --range; '
+                    'each part is verified against its own SHA1 during '
+                    'the copy).')
+    parser.add_argument('parts', type=str, nargs='+',
+                        help='part .cbin files, in chunk order (each '
+                             'needs its .ch sidecar next to it)')
+    parser.add_argument('-o', '--out', type=str, required=True,
+                        help='path to the merged compressed file (.cbin)')
+    parser.add_argument('-m', '--outmeta', type=str,
+                        help='path to the merged metadata file (.ch; '
+                             'default: out with .ch suffix)')
+    _shared_options(parser)
+    pargs = parser.parse_args(args or sys.argv[1:])
+    add_default_handler('DEBUG' if pargs.debug else 'INFO')
+    from pathlib import Path
+    from .format import cmeta_sidecar_path
+    from .parallel.distributed import merge_parts
+    pairs = [(Path(p), cmeta_sidecar_path(p)) for p in pargs.parts]
+    outmeta = pargs.outmeta or cmeta_sidecar_path(pargs.out)
+    merge_parts(pairs, pargs.out, outmeta)
 
 
 # -- mtschop -------------------------------------------------------------------

@@ -15,6 +15,7 @@ setup(
             'mtsdecomp=mtscomp_tpu.cli:mtsdecomp',
             'mtsdesc=mtscomp_tpu.cli:mtsdesc',
             'mtschop=mtscomp_tpu.cli:mtschop',
+            'mtsmerge=mtscomp_tpu.cli:mtsmerge',
         ],
     },
 )

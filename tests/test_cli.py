@@ -143,3 +143,28 @@ def test_benchmark_plots(tmp_path_):
     assert set(figs) == {'ratio', 'write_mbps', 'read_mbps', 'window_ms'}
     for metric in figs:
         assert (tmp_path_ / 'plots' / ('%s.png' % metric)).exists()
+
+
+def test_cli_range_and_merge(tmp_path_):
+    """mtscomp --range + mtsmerge: parts merge byte-identically to a
+    full compress."""
+    from mtscomp_tpu import decompress
+    from mtscomp_tpu.cli import mtscomp, mtsmerge
+    arr = to_int16(make_signal('colored', ns=4 * 1000, nc=7))
+    path = write_arr(tmp_path_ / 'r.bin', arr)
+    base = ['-d', 'int16', '-s', '1000', '-n', '7']
+    mtscomp([str(path), str(tmp_path_ / 'full.cbin'),
+             str(tmp_path_ / 'full.ch')] + base)
+    mtscomp([str(path), str(tmp_path_ / 'p0.cbin'), str(tmp_path_ / 'p0.ch'),
+             '--range', '0:2'] + base)
+    mtscomp([str(path), str(tmp_path_ / 'p1.cbin'), str(tmp_path_ / 'p1.ch'),
+             '--range', '2:4'] + base)
+    mtsmerge([str(tmp_path_ / 'p0.cbin'), str(tmp_path_ / 'p1.cbin'),
+              '-o', str(tmp_path_ / 'm.cbin')])
+    assert (tmp_path_ / 'm.cbin').read_bytes() == \
+        (tmp_path_ / 'full.cbin').read_bytes()
+    r = decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
