@@ -116,8 +116,7 @@ class Writer:
         self.n_chunks = len(self.chunk_bounds) - 1
         self.batch_size = self.n_threads
         self.n_batches = math.ceil(self.n_chunks / self.batch_size)
-        self.sha1_compressed = hashlib.sha1()
-        self.sha1_uncompressed = hashlib.sha1()
+        # SHA1 accumulators are (re)seeded per write() call.
 
     # -- per-chunk pipeline ---------------------------------------------------
 
@@ -207,7 +206,10 @@ class Writer:
         """
         first_chunk = int(first_chunk)
         last_chunk = self.n_chunks if last_chunk is None else int(last_chunk)
-        assert 0 <= first_chunk < last_chunk <= self.n_chunks
+        if not 0 <= first_chunk < last_chunk <= self.n_chunks:
+            raise ValueError(
+                "Invalid chunk range [%d, %d): the file has %d chunks."
+                % (first_chunk, last_chunk, self.n_chunks))
         partial = (first_chunk, last_chunk) != (0, self.n_chunks)
         n_range = last_chunk - first_chunk
         n_batches = math.ceil(n_range / self.batch_size)
@@ -297,6 +299,10 @@ class Writer:
             # be restored from a sample sub-range).
             shape = (bounds[-1], self.n_channels)
             extra['part'] = [first, last]
+            # Total chunk count of the source: lets merge_parts require
+            # full coverage (a missing tail part must not merge into a
+            # sidecar indistinguishable from a complete recording).
+            extra['part_of'] = self.n_chunks
         return build_cmeta(
             algorithm=self.algorithm, comp_level=self.comp_level,
             do_time_diff=self.do_time_diff,

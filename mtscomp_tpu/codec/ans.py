@@ -84,9 +84,15 @@ DEFAULT_SEG_LOG2 = 16           # 65536 symbols per segment
 
 
 def _append_crc(parts):
-    """Join container parts and append the trailing CRC32."""
-    body = b''.join(parts)
-    return body + struct.pack('<I', zlib.crc32(body))
+    """Join container parts with the trailing CRC32 appended.
+
+    The CRC accumulates across parts so the (potentially multi-MB)
+    container is joined exactly once on the encode hot path.
+    """
+    crc = 0
+    for p in parts:
+        crc = zlib.crc32(p, crc)
+    return b''.join(parts + [struct.pack('<I', crc)])
 
 _HEADER = struct.Struct('<IBBBBIBBBBHH')
 assert _HEADER.size == 20

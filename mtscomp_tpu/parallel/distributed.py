@@ -54,6 +54,19 @@ def compress_range(path, out, outmeta, first_chunk, last_chunk,
         w.close()
 
 
+def _stream_file(path, consume):
+    """Feed a file's bytes through ``consume(buf)``; returns its SHA1 hex."""
+    sha = hashlib.sha1()
+    with open(path, 'rb') as f:
+        while True:
+            buf = f.read(1 << 22)
+            if not buf:
+                break
+            sha.update(buf)
+            consume(buf)
+    return sha.hexdigest()
+
+
 def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     """Concatenate compressed parts into one ``.cbin`` + ``.ch``.
 
@@ -65,9 +78,14 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     ``sha1_uncompressed: None`` (the raw stream was never seen whole
     here — the ``chop`` precedent for hash-less but valid sidecars).
 
-    Part coverage is validated: ``part`` ranges (when present) must be
-    contiguous from 0, and chunk geometry/parameters must match across
-    parts. Returns the merged cmeta dict.
+    Coverage is validated: ``part`` ranges must be contiguous from 0
+    and, when the sidecars record the source's total chunk count
+    (``part_of``, written by ranged writes) or ``expected_n_chunks`` is
+    given, the parts must cover ALL of it — a merge missing its tail
+    parts must not produce a sidecar indistinguishable from a complete
+    recording. The merged ``.cbin`` is written to a temp file and
+    renamed on success, so a failed merge leaves no partial output.
+    Returns the merged cmeta dict.
     """
     assert parts, "nothing to merge"
     metas = [read_cmeta(ch) for _, ch in parts]
@@ -81,6 +99,7 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
                 raise ValueError("part parameter mismatch: %s (%r != %r)"
                                  % (k, m.get(k), first.get(k)))
     next_chunk = 0
+    total = expected_n_chunks
     for m in metas:
         pr = m.get('part')
         if pr is not None:
@@ -90,41 +109,52 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
             next_chunk = pr[1]
         else:
             next_chunk += len(m['chunk_bounds']) - 1
-    if expected_n_chunks is not None and next_chunk != expected_n_chunks:
-        raise ValueError("parts cover %d chunks, expected %d"
-                         % (next_chunk, expected_n_chunks))
+        part_of = m.get('part_of')
+        if part_of is not None:
+            if total is not None and total != part_of:
+                raise ValueError("parts disagree on the source chunk "
+                                 "count (%d != %d)" % (part_of, total))
+            total = part_of
+    if total is not None and next_chunk != total:
+        raise ValueError("parts cover %d of %d source chunks — refusing "
+                         "to merge an incomplete set" % (next_chunk, total))
 
     out = Path(out)
     out.parent.mkdir(exist_ok=True, parents=True)
+    tmp = out.with_name(out.name + '.merging')
     sha1_all = hashlib.sha1()
     bounds = [0]
     offsets = [0]
-    with open(out, 'wb') as fb:
-        for (cbin, _), m in zip(parts, metas):
-            sha1_part = hashlib.sha1()
-            size = 0
-            with open(cbin, 'rb') as fp:
-                while True:
-                    buf = fp.read(1 << 22)
-                    if not buf:
-                        break
-                    sha1_part.update(buf)
+    try:
+        with open(tmp, 'wb') as fb:
+            for (cbin, _), m in zip(parts, metas):
+                size = 0
+
+                def consume(buf):
+                    nonlocal size
                     sha1_all.update(buf)
                     fb.write(buf)
                     size += len(buf)
-            if m.get('sha1_compressed') and \
-                    sha1_part.hexdigest() != m['sha1_compressed']:
-                raise IOError("part %s does not match its sha1_compressed "
-                              "(corrupt or stale part)." % cbin)
-            if size != m['chunk_offsets'][-1]:
-                raise IOError("part %s is %d bytes, sidecar says %d."
-                              % (cbin, size, m['chunk_offsets'][-1]))
-            base_b, base_o = bounds[-1], offsets[-1]
-            bounds.extend(base_b + b for b in m['chunk_bounds'][1:])
-            offsets.extend(base_o + o for o in m['chunk_offsets'][1:])
+
+                part_sha = _stream_file(cbin, consume)
+                if m.get('sha1_compressed') and \
+                        part_sha != m['sha1_compressed']:
+                    raise IOError("part %s does not match its "
+                                  "sha1_compressed (corrupt or stale "
+                                  "part)." % cbin)
+                if size != m['chunk_offsets'][-1]:
+                    raise IOError("part %s is %d bytes, sidecar says %d."
+                                  % (cbin, size, m['chunk_offsets'][-1]))
+                base_b, base_o = bounds[-1], offsets[-1]
+                bounds.extend(base_b + b for b in m['chunk_bounds'][1:])
+                offsets.extend(base_o + o for o in m['chunk_offsets'][1:])
+        tmp.replace(out)
+    finally:
+        tmp.unlink(missing_ok=True)
 
     cmeta = dict(first)
     cmeta.pop('part', None)
+    cmeta.pop('part_of', None)
     cmeta['chunk_bounds'] = bounds
     cmeta['chunk_offsets'] = offsets
     cmeta['shape'] = (bounds[-1], int(first['n_channels']))
@@ -182,11 +212,4 @@ def _part_valid(cbin, ch):
     want = m.get('sha1_compressed')
     if not want:
         return False
-    sha = hashlib.sha1()
-    with open(cbin, 'rb') as f:
-        while True:
-            buf = f.read(1 << 22)
-            if not buf:
-                break
-            sha.update(buf)
-    return sha.hexdigest() == want
+    return _stream_file(cbin, lambda buf: None) == want

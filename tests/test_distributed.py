@@ -89,6 +89,12 @@ def test_merge_rejects_bad_parts(tmp_path_):
     # Gap: skipping part a.
     with pytest.raises(ValueError):
         merge_parts([b], tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch')
+    # Missing tail: contiguous from 0 but incomplete coverage (the
+    # part_of field written by ranged writes catches it).
+    with pytest.raises(ValueError):
+        merge_parts([a], tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch')
+    # A failed merge must not leave a partial output file behind.
+    assert not (tmp_path_ / 'm.cbin').exists()
     # Corrupt part bytes fail the per-part SHA1 during the copy.
     data = bytearray(a[0].read_bytes())
     data[len(data) // 2] ^= 0xFF

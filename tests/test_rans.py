@@ -339,6 +339,51 @@ def test_container_fuzz_all_detected():
             codec.decode(bytes(payload), 800, 6, np.int16, order='F')
 
 
+def _strip_crc(payload):
+    """Remove the trailing CRC32 and clear flag bit3 (a pre-checksum
+    container, as written before the bit existed)."""
+    from mtscomp_tpu.codec.ans import FLAG_CRC32
+    data = bytearray(payload[:-4])
+    # Header '<IBBBBI...': flags is the byte at offset 6.
+    assert data[6] & FLAG_CRC32
+    data[6] ^= FLAG_CRC32
+    return bytes(data)
+
+
+def test_container_fuzz_crcless_never_crashes():
+    """Mutations of a CRC-less (legacy) container reach the actual
+    decoders — native C++ and normative NumPy — and must either
+    round-trip to the right shape or raise IOError; never crash, hang,
+    or index out of bounds (the pre-checksum detection contract)."""
+    rng = np.random.default_rng(9)
+    codec = AnsCodec(seg_log2=10)
+    chunkd = rng.integers(-30, 30, size=(800, 6)).astype(np.int16)
+    good = _strip_crc(codec.encode(chunkd, order='F'))
+    back = codec.decode(good, 800, 6, np.int16, order='F')
+    assert np.array_equal(back, chunkd)          # CRC-less still decodes
+    for trial in range(200):
+        payload = bytearray(good)
+        mode = trial % 4
+        if mode == 0:      # flip random bytes
+            for _ in range(int(rng.integers(1, 8))):
+                payload[int(rng.integers(0, len(payload)))] ^= \
+                    int(rng.integers(1, 256))
+        elif mode == 1:    # truncate
+            payload = payload[:int(rng.integers(0, len(payload)))]
+        elif mode == 2:    # append garbage
+            payload += bytes(rng.integers(0, 256, size=7, dtype=np.uint8))
+        else:              # pure garbage of plausible size
+            payload = bytearray(
+                rng.integers(0, 256, size=int(rng.integers(1, 400)),
+                             dtype=np.uint8))
+        try:
+            out = codec.decode(bytes(payload), 800, 6, np.int16,
+                               order='F')
+            assert out.shape == (800, 6)
+        except IOError:
+            pass
+
+
 def test_word_underrun_raises_ioerror():
     """The normative decoder reports stream exhaustion as IOError (not a
     shape error) when handed fewer words than the group consumes."""
