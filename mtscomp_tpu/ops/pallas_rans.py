@@ -216,7 +216,16 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
             out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
         return x, pos
 
-    x, pos = jax.lax.fori_loop(0, steps_per_block, body, (x0, pos0))
+    # Per-group step clamp: n_steps is the batch-wide max, but a group
+    # only needs ceil(max_row_count / 128) steps — a chunk's tail group
+    # (e.g. 1 live row of 32) would otherwise burn the full scan on
+    # all-inactive steps. Skipped steps change nothing (inactive lanes
+    # hold their state and read no words), so results stay bit-exact;
+    # the skipped output columns are garbage the callers never read.
+    steps_needed = _srl(jnp.max(counts) + 127, 7)
+    todo = jnp.clip(steps_needed - cb * steps_per_block, 0,
+                    steps_per_block)
+    x, pos = jax.lax.fori_loop(0, todo, body, (x0, pos0))
     x_scr[...] = x
     pos_scr[0] = pos
     # Stream-consumption audit: the block revisits this output each

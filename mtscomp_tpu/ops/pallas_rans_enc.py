@@ -212,7 +212,16 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         x, epos = carry
         return substep(steps_per_block - 1 - i, x, epos)
 
-    x, epos = jax.lax.fori_loop(0, steps_per_block, body, (x0, epos0))
+    # Per-group step clamp (mirror of the decode kernel's): the backward
+    # pass iterates local steps high to low, so a group needing fewer
+    # steps than the batch max skips the LEADING iterations of its high
+    # blocks — those steps are all-inactive (emit nothing, keep state),
+    # so skipping is bit-exact.
+    steps_needed = _srl(jnp.max(counts) + 127, 7)
+    todo = jnp.clip(steps_needed - blk * steps_per_block, 0,
+                    steps_per_block)
+    x, epos = jax.lax.fori_loop(steps_per_block - todo, steps_per_block,
+                                body, (x0, epos0))
     x_scr[...] = x
     epos_scr[0] = epos
     states_ref[0] = x
