@@ -210,3 +210,23 @@ def test_decompress_pool_concurrent(tmp_path_, algorithm):
         r.stop_thread_pool()
     finally:
         r.close()
+
+
+def test_comp_level_is_recorded_not_applied(tmp_path_):
+    """Reference quirk (SURVEY §2c.1): comp_level is read and written to
+    the sidecar but never passed to deflate — zlib output is
+    byte-identical at every level (legacy byte-compat depends on it)."""
+    import json
+    np.random.seed(23)
+    arr = to_int16(np.random.normal(size=(3000, 5)))
+    path = write_arr(tmp_path_ / 'data.bin', arr)
+    blobs = {}
+    for level in (-1, 1, 9):
+        out = tmp_path_ / ('l%d.cbin' % level)
+        meta = tmp_path_ / ('l%d.ch' % level)
+        compress(path, out, meta, sample_rate=1000.0, n_channels=5,
+                 dtype=arr.dtype, algorithm='zlib', comp_level=level,
+                 quiet=True)
+        blobs[level] = out.read_bytes()
+        assert json.loads(meta.read_text())['comp_level'] == level
+    assert blobs[-1] == blobs[1] == blobs[9]
