@@ -163,7 +163,7 @@ class Writer:
         """Compress chunks ``[first_chunk, last_chunk)``; returns idx->result."""
         assert 0 <= first_chunk < last_chunk <= self.n_chunks
         ids = range(first_chunk, last_chunk)
-        if self.algorithm == 'ans' and self._use_device():
+        if self._use_device():
             chunks = [self.get_chunk(i) for i in ids]
             shapes = {c.shape for c in chunks}
             if len(shapes) == 1:
@@ -261,10 +261,10 @@ class Writer:
                 csize = fb.tell()
         finally:
             prefetch.shutdown()
+            if self._pool is not None:
+                self._pool.shutdown()
+                self._pool = None
         assert self.chunk_offsets[-1] == csize
-        if self._pool is not None:
-            self._pool.shutdown()
-            self._pool = None
         i0 = self.chunk_bounds[first_chunk]
         i1 = self.chunk_bounds[last_chunk]
         raw_size = (i1 - i0) * self.n_channels * self.dtype.itemsize
@@ -441,9 +441,15 @@ class Reader:
                     for i in chunk_ids]
         shapes = [(self.chunk_bounds[i + 1] - self.chunk_bounds[i],
                    self.n_channels) for i in chunk_ids]
-        chunkds = self.codec.decode_batch(
-            payloads, shapes, self.dtype, order=self.chunk_order,
-            n_threads=self.batch_size)
+        try:
+            chunkds = self.codec.decode_batch(
+                payloads, shapes, self.dtype, order=self.chunk_order,
+                n_threads=self.batch_size)
+        except IOError:
+            raise
+        except Exception:
+            raise IOError("A compressed chunk in %s..%s is corrupted."
+                          % (chunk_ids[0], chunk_ids[-1]))
         out = {}
         for i, chunkd in zip(chunk_ids, chunkds):
             chunki = cumsum_along_axis(
@@ -528,9 +534,14 @@ class Reader:
         if self._use_device():
             from .parallel.pipeline import decompress_to_array
             return decompress_to_array(self, first_chunk, last_chunk)
-        decoded = [self._decompress_chunk(i)[1]
-                   for i in range(first_chunk, last_chunk + 1)]
-        return np.concatenate(decoded, axis=0)
+        ids = range(first_chunk, last_chunk + 1)
+        if hasattr(self.codec, 'decode_batch'):
+            # Native batch inflate (and no LRU traffic — bulk reads
+            # would only thrash the random-access cache).
+            decoded = self._decompress_chunks_batch(ids)
+        else:
+            decoded = dict(self._decompress_chunk(i) for i in ids)
+        return np.concatenate([decoded[i] for i in ids], axis=0)
 
     def tofile(self, out, overwrite=False):
         """Decompress everything to a flat binary file (batched, threaded)."""
@@ -545,10 +556,13 @@ class Reader:
             out.unlink()
         use_device = self._use_device()
         # The device pipeline amortizes per-batch overhead over bigger
-        # chunk batches than the CPU thread pool would use.
+        # chunk batches than the CPU thread pool would use; an explicit
+        # config.batch_chunks is honored as-is (it bounds staged device
+        # memory), 0 = auto.
         batch_size = self.batch_size
         if use_device:
-            batch_size = max(batch_size, int(self.config.batch_chunks) or 8)
+            batch_size = int(self.config.batch_chunks) \
+                or max(batch_size, 8)
         n_batches = math.ceil(self.n_chunks / batch_size)
         self.start_thread_pool()
 
@@ -583,8 +597,8 @@ class Reader:
                 dsize = fb.tell()
         finally:
             prefetch.shutdown()
+            self.stop_thread_pool()
         assert dsize == self.n_samples * self.n_channels * self.dtype.itemsize
-        self.stop_thread_pool()
         logger.info("Wrote %s (%.1f GB).", out, dsize / 1024 ** 3)
         if self.check_after_decompress:
             decompressed = load_raw_data(out, n_channels=self.n_channels,
@@ -625,6 +639,11 @@ class Reader:
         cmeta['sha1_compressed'] = None
         cmeta['sha1_uncompressed'] = None
         cmeta['chopped'] = True
+        # A chopped file no longer covers the range its part provenance
+        # claims — keeping part/part_of would let merge_parts accept a
+        # silently truncated 'complete' set.
+        cmeta.pop('part', None)
+        cmeta.pop('part_of', None)
         write_cmeta(outmeta, cmeta)
 
     # -- NumPy protocol -----------------------------------------------------------

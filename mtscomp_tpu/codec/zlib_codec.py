@@ -62,11 +62,18 @@ class ZlibCodec:
         sizes = [ns * nc * np.dtype(dtype).itemsize for ns, nc in shapes]
         raws = inflate_batch(payloads, sizes, n_threads=n_threads)
         if raws is None:
+            # Native path refused (unavailable, corrupt stream, or size
+            # mismatch); the Python fallback re-derives a precise error.
             try:
                 raws = [zlib.decompress(p) for p in payloads]
             except Exception as e:
                 raise IOError("Corrupted zlib chunk payload (%s)." % (e,))
-        return [
-            np.frombuffer(raw, dtype=dtype).reshape((ns, nc), order=order)
-            for raw, (ns, nc) in zip(raws, shapes)
-        ]
+        out = []
+        for k, (raw, (ns, nc)) in enumerate(zip(raws, shapes)):
+            flat = np.frombuffer(raw, dtype=dtype)
+            if flat.size != ns * nc:
+                raise IOError(
+                    "Decompressed chunk (batch item %d) has %d elements, "
+                    "expected %d." % (k, flat.size, ns * nc))
+            out.append(flat.reshape((ns, nc), order=order))
+        return out

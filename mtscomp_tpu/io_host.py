@@ -43,8 +43,11 @@ def load_raw_data(path=None, n_channels=None, dtype=None, offset=None, mmap=True
     if n_samples == 0:
         return np.zeros((0, n_channels), dtype=dtype)
     if mmap:
-        return np.memmap(str(path), dtype=dtype, shape=(n_samples, n_channels),
-                         offset=offset)
+        # Read-only mapping: numpy's default mode 'r+' would both fail
+        # on read-only storage (archival/shared datasets) and make
+        # accidental writes mutate the user's original file.
+        return np.memmap(str(path), dtype=dtype, mode='r',
+                         shape=(n_samples, n_channels), offset=offset)
     if offset > 0:  # pragma: no cover
         raise NotImplementedError()
     return np.fromfile(str(path), dtype).reshape((n_samples, n_channels))

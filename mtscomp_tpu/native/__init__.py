@@ -13,6 +13,7 @@ import logging
 import os
 import subprocess
 import sys
+import threading
 from pathlib import Path
 
 logger = logging.getLogger('mtscomp_tpu')
@@ -21,18 +22,31 @@ _HERE = Path(__file__).parent
 _LIB_PATH = _HERE / 'libmtsnative.so'
 _lib = None
 _load_attempted = False
+_load_lock = threading.Lock()
 
 
 def build_library(force=False):
-    """Compile libmtsnative.so with g++ (idempotent)."""
+    """Compile libmtsnative.so with g++ (idempotent).
+
+    Compiles to a per-process temp name and ``os.replace``s it into
+    place: concurrent first-use builds (multiple processes sharing the
+    checkout — e.g. hosts compressing ranges over shared storage, or
+    parallel test workers) then race benignly instead of interleaving
+    writes into a half-written or already-dlopen'ed .so.
+    """
     src = _HERE / 'mtsnative.cpp'
     if _LIB_PATH.exists() and not force:
         if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
             return _LIB_PATH
+    tmp = _HERE / ('libmtsnative.%d.tmp.so' % os.getpid())
     cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared', '-fPIC',
-           str(src), '-o', str(_LIB_PATH), '-lz', '-pthread']
+           str(src), '-o', str(tmp), '-lz', '-pthread']
     logger.debug("Building native library: %s", ' '.join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        tmp.unlink(missing_ok=True)
     return _LIB_PATH
 
 
@@ -41,6 +55,14 @@ def _load():
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
+    with _load_lock:
+        if _lib is not None or _load_attempted:  # pragma: no cover - race
+            return _lib
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _load_attempted
     _load_attempted = True
     try:
         build_library()

@@ -126,3 +126,22 @@ def test_multihost_resumable(tmp_path_):
         assert np.array_equal(r[:], arr)
     finally:
         r.close()
+
+
+def test_chop_drops_part_provenance(tmp_path_):
+    """A chopped part must not keep part/part_of: merge would otherwise
+    accept a silently truncated 'complete' set."""
+    from mtscomp_tpu import Reader
+    arr, raw = _make(tmp_path_, ns=4 * 2000)
+    compress_range(raw, tmp_path_ / 'p.cbin', tmp_path_ / 'p.ch', 0, 4,
+                   sample_rate=SR, n_channels=NC, dtype='int16',
+                   quiet=True)
+    r = Reader(quiet=True)
+    r.open(tmp_path_ / 'p.cbin', tmp_path_ / 'p.ch')
+    try:
+        r.chop(2, tmp_path_ / 'chopped.cbin')
+    finally:
+        r.close()
+    meta = json.loads((tmp_path_ / 'chopped.ch').read_text())
+    assert meta['chopped'] is True
+    assert 'part' not in meta and 'part_of' not in meta
