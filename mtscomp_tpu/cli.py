@@ -150,6 +150,12 @@ def mtsdesc(args=None):
         n_chunks=r.n_chunks,
         algorithm=r.algorithm,
     )
+    if r.cmeta.get('chopped'):
+        info['chopped'] = True
+    part = r.cmeta.get('part')
+    if part is not None:
+        info['part'] = 'chunks [%d, %d) of %s' % (
+            part[0], part[1], r.cmeta.get('part_of', '?'))
     for k, v in info.items():
         print('{:<15}'.format(k), str(v))
 

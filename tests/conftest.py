@@ -85,7 +85,8 @@ def arr(request):
     return make_signal(request.param)
 
 
-@pytest.fixture(params=['uint8', 'uint16', 'int8', 'int16', 'int32'])
+@pytest.fixture(params=['uint8', 'uint16', 'int8', 'int16', 'int32',
+                        'int64'])
 def dtype(request):
     return np.dtype(request.param)
 
