@@ -4,6 +4,7 @@ setup(
     name='mtscomp_tpu',
     version='0.1.0',
     description='TPU-native lossless compression for multichannel time series',
+    license='BSD-3-Clause',
     packages=find_packages(include=['mtscomp_tpu', 'mtscomp_tpu.*']),
     package_data={'mtscomp_tpu.native': ['*.cpp']},
     python_requires='>=3.9',
