@@ -562,3 +562,29 @@ def test_full_fused_pipeline_interpret(tmp_path_, monkeypatch):
     finally:
         _build_decode_fn.cache_clear()
         r.close()
+
+
+def test_device_chunk_cache_windows(tmp_path_, monkeypatch):
+    """Random-access windows through the device-resident chunk cache
+    (decode + slice on device, LRU eviction, multi-chunk stitching)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    rng = np.random.default_rng(21)
+    arr = np.cumsum(rng.normal(0, 5, size=(4 * 1000, 16)),
+                    axis=0).astype(np.int16)
+    path = write_arr(tmp_path_ / 'w.bin', arr)
+    compress(path, tmp_path_ / 'w.cbin', tmp_path_ / 'w.ch',
+             sample_rate=1000.0, n_channels=16, dtype='int16',
+             algorithm='ans', quiet=True, ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'w.cbin', tmp_path_ / 'w.ch', quiet=True,
+                   cache_size=2, device='cpu')
+    try:
+        from mtscomp_tpu.parallel.pipeline import DeviceChunkCache
+        cache = DeviceChunkCache(r)
+        for i0, i1 in [(0, 500), (1500, 2500), (3900, 4000), (100, 3200),
+                       (0, 4000)]:
+            assert np.array_equal(cache.read_window(i0, i1), arr[i0:i1])
+        # Reader.__getitem__ routes through the device window too.
+        assert np.array_equal(r[700:2300], arr[700:2300])
+        assert np.array_equal(r[50:60, 3:9], arr[50:60, 3:9])
+    finally:
+        r.close()
