@@ -173,28 +173,27 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         # active window is widened in-register.
         window = words_ref[0, pl.ds(base, WROWS), :]
         brow_c = brow[:, 0:1]                       # row-constant
-        onehot0 = (wrow_iota == brow_c).astype(jnp.float32)
-        onehot1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
         # Byte-split matmuls: u16 word values exceed bf16's mantissa,
-        # but each byte half is bf16-exact, so two single-pass (default
-        # precision) matmuls per select replace one HIGHEST (~6-pass
-        # emulated) matmul. (Mosaic has no direct u16->f32 cast; widen
-        # to i32 first.)
+        # but each byte half is bf16-exact, so single-pass (default
+        # precision) matmuls replace HIGHEST (~6-pass emulated) ones.
+        # Both row-selects ride ONE matmul per byte half: scaling the
+        # second one-hot by 256 keeps entries in {0, 1, 256} (all
+        # bf16-exact powers of two) and the merged sum w_row0 +
+        # 256*w_row1 <= 255 + 256*255 < 2^24 unpacks exactly.
+        # (Mosaic has no direct u16->f32 cast; widen to i32 first.)
         wi = window.astype(jnp.int32)
         wlo = (wi & 255).astype(jnp.float32)
         whi = _srl(wi, 8).astype(jnp.float32)
-        w0 = (jax.lax.dot(onehot0, wlo,
-                          preferred_element_type=jnp.float32
-                          ).astype(jnp.int32)
-              + (jax.lax.dot(onehot0, whi,
-                             preferred_element_type=jnp.float32
-                             ).astype(jnp.int32) << 8))
-        w1 = (jax.lax.dot(onehot1, wlo,
-                          preferred_element_type=jnp.float32
-                          ).astype(jnp.int32)
-              + (jax.lax.dot(onehot1, whi,
-                             preferred_element_type=jnp.float32
-                             ).astype(jnp.int32) << 8))
+        ohc = ((wrow_iota == brow_c).astype(jnp.float32)
+               + (wrow_iota == brow_c + 1).astype(jnp.float32) * 256.0)
+        a = jax.lax.dot(ohc, wlo,
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.int32)
+        b = jax.lax.dot(ohc, whi,
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.int32)
+        w0 = (a & 255) | ((b & 255) << 8)
+        w1 = _srl(a, 8) | (_srl(b, 8) << 8)
         off = widx - (brow << 7)                    # [0, 256)
         g0 = jnp.take_along_axis(w0, off & 127, axis=1)
         g1 = jnp.take_along_axis(w1, off & 127, axis=1)
