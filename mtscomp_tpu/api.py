@@ -62,7 +62,8 @@ class Writer:
         self.before_check = before_check or (lambda w: None)
         self.codec = get_codec(
             self.algorithm, seg_log2=config.get('ans_seg_log2', 16),
-            channel_aligned=config.get('ans_channel_segments', True))
+            channel_aligned=config.get('ans_channel_segments', True),
+            table_mode=config.get('ans_table_mode', 'plane'))
         self.data = None
         self._pool = None
 
@@ -286,6 +287,8 @@ class Writer:
         extra = {}
         if self.algorithm == 'ans':
             extra['ans_seg_log2'] = self.codec.seg_log2
+            if self.codec.table_mode != 'plane':
+                extra['ans_table_mode'] = self.codec.table_mode
         part = getattr(self, '_part', None)
         bounds = self.chunk_bounds
         shape = self.shape

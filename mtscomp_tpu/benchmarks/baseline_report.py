@@ -37,6 +37,15 @@ def _synth(ns, nc, diff_std, seed=0):
     return walk.astype(np.int16)
 
 
+def _synth_gradient(ns, nc, lo, hi, seed=0):
+    """Per-channel step size swept log-uniformly lo..hi (LFP-like
+    amplitude gradient along the probe)."""
+    rng = np.random.default_rng(seed)
+    stds = np.logspace(np.log10(lo), np.log10(hi), nc)
+    walk = np.cumsum(rng.normal(0.0, 1.0, size=(ns, nc)) * stds, axis=0)
+    return np.clip(walk, -30000, 30000).astype(np.int16)
+
+
 def _staged_decode_rate(r, T, arr, reps):
     """Staged device decode GB/s + byte-exactness for a Reader."""
     import jax.numpy as jnp
@@ -128,13 +137,18 @@ def config2_neuropixels(seconds, reps, out):
 def config3_lfp_windows(reps, out):
     """LFP band 385-ch @2.5 kHz: random window reads r[i0:i1]."""
     from .. import compress, decompress
-    arr = _synth(2500 * 240, 385, 12.0)         # 4 min of LFP
+    arr = _synth_gradient(2500 * 240, 385, 3.0, 40.0)   # 4 min of LFP
     tmp = Path(tempfile.mkdtemp())
     arr.tofile(tmp / 'c3.bin')
     ratio = compress(tmp / 'c3.bin', tmp / 'c3.cbin', tmp / 'c3.ch',
                      sample_rate=2500.0, n_channels=385, dtype='int16',
                      algorithm='ans', quiet=True,
+                     ans_table_mode='segment',
                      check_after_compress=False)
+    ratio_plane = compress(tmp / 'c3.bin', tmp / 'c3p.cbin', tmp / 'c3p.ch',
+                           sample_rate=2500.0, n_channels=385,
+                           dtype='int16', algorithm='ans', quiet=True,
+                           check_after_compress=False)
     rng = np.random.default_rng(1)
     lat = {}
     for device, label in (('none', 'host'), (None, 'device-cache')):
@@ -157,7 +171,10 @@ def config3_lfp_windows(reps, out):
                "window reads\n")
     out.append("| metric | value |")
     out.append("|---|---|")
-    out.append("| compression ratio | %.2fx |" % (1 / ratio))
+    out.append("| compression ratio (segment tables) | %.2fx |"
+               % (1 / ratio))
+    out.append("| compression ratio (plane tables) | %.2fx |"
+               % (1 / ratio_plane))
     for label, ms in lat.items():
         out.append("| window read latency (%s) | %.1f ms |" % (label, ms))
     out.append("")

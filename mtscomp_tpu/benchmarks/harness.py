@@ -26,8 +26,11 @@ DATASETS = {
     # name: (n_channels, sample_rate, diff_std) — AP band and LFP band
     # with statistics comparable to Neuropixels recordings
     # (reference dataset: imec_385_100s.bin, benchmark.py:13).
+    # diff_std may be a (low, high) pair: per-channel step sizes swept
+    # log-uniformly across the probe (the amplitude gradient real LFP
+    # bands show along the shank — what per-segment tables exploit).
     'ap_385': (385, 30000.0, 6.0),
-    'lfp_385': (385, 2500.0, 12.0),
+    'lfp_385': (385, 2500.0, (3.0, 40.0)),
     'small_64': (64, 20000.0, 4.0),
 }
 
@@ -37,9 +40,14 @@ def make_dataset(name, duration, seed=0):
     n_channels, sample_rate, diff_std = DATASETS[name]
     ns = int(duration * sample_rate)
     rng = np.random.default_rng(seed)
-    walk = np.cumsum(rng.normal(0.0, diff_std, size=(ns, n_channels)),
+    if isinstance(diff_std, tuple):
+        lo, hi = diff_std
+        stds = np.logspace(np.log10(lo), np.log10(hi), n_channels)
+    else:
+        stds = np.full(n_channels, float(diff_std))
+    walk = np.cumsum(rng.normal(0.0, 1.0, size=(ns, n_channels)) * stds,
                      axis=0)
-    return walk.astype(np.int16), sample_rate
+    return np.clip(walk, -30000, 30000).astype(np.int16), sample_rate
 
 
 def mtscomp_perf(arr, sample_rate, algorithm='ans', n_threads=None,

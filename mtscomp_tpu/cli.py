@@ -46,6 +46,7 @@ def _args_to_config(parser, args, compress=True):
             chunk_duration=pargs.chunk,
             check_after_compress=check_after,
             algorithm=getattr(pargs, 'algorithm', None),
+            ans_table_mode=getattr(pargs, 'ans_table_mode', None),
         )
     else:
         kwargs.update(check_after_decompress=check_after)
@@ -70,6 +71,12 @@ def mtscomp_parser():
     parser.add_argument('-a', '--algorithm', type=str,
                         help="compression algorithm: 'zlib' (legacy) or "
                              "'ans' (TPU-parallel)")
+    parser.add_argument('--ans-tables', type=str, dest='ans_table_mode',
+                        choices=('plane', 'segment'),
+                        help="ans frequency tables: one per byte plane "
+                             "('plane', default) or clustered per "
+                             "channel segment ('segment': better ratio "
+                             "on channel-heterogeneous bands, e.g. LFP)")
     parser.add_argument('--range', type=str, dest='chunk_range',
                         help='compress only chunks FIRST:LAST (exclusive) '
                              'into a standalone part file; merge parts '

@@ -38,7 +38,10 @@ Chunk container layout (all little-endian)::
     per plane p (planes cover the remaining n_elems - n_head elements):
       u8 mode:
         0 RAW   -> n_elems raw bytes
-        1 RANS  -> u16 freq[256]
+        1 RANS  -> u16 freq[256]           (flags bit4 clear)
+                -> u8 n_tables, n_tables x u16 freq[256],
+                   [if n_tables > 1] u8 table_idx[n_segments]
+                                           (flags bit4: multi-table)
         2 CONST -> u8 value
     if any plane is RANS:
       u32 n_groups
@@ -79,6 +82,16 @@ MODE_RAW, MODE_RANS, MODE_CONST = 0, 1, 2
 # when the bit is set; files written before the bit existed lack it and
 # rely on the word-consumption audit plus `check()`'s SHA1s.
 FLAG_CRC32 = 8
+
+# flags bit4: multi-table planes. Each RANS plane's metadata becomes
+#   u8 mode=1, u8 n_tables, n_tables x u16 freq[256],
+#   [if n_tables > 1] u8 table_idx[n_segments]
+# so different segments of one plane can carry different frequency
+# tables (the group coders are per-row-table already — this is purely a
+# container extension). Recordings with per-channel amplitude gradients
+# (LFP bands) compress measurably better with channel-aligned segments
+# assigned to clustered tables; see cluster_segment_tables.
+FLAG_MULTITABLE = 16
 
 DEFAULT_SEG_LOG2 = 16           # 65536 symbols per segment
 
@@ -160,6 +173,120 @@ def _estimated_rans_bytes(counts, freqs, n_elems, seg):
     return 512 + n_segs * (4 * rans.LANES) + bits / 8.0
 
 
+def seg_freqs(parsed, p, start):
+    """Frequency table for plane ``p``'s segment starting at ``start``.
+
+    Single accessor shared by every decode path (host, native staging,
+    device batch packer) so multi-table planes (flags bit4) and legacy
+    single-table planes look the same to callers.
+    """
+    plane = parsed['planes'][p]
+    tidx = plane.get('tidx')
+    if tidx is not None:
+        return plane['tables'][tidx[start // parsed['seg']]]
+    return plane['freqs']
+
+
+def _segment_histograms(stream, seg):
+    """(n_segs, 256) int64 symbol histograms of consecutive segments."""
+    n = stream.size
+    out = np.empty((-(-n // seg), 256), dtype=np.int64)
+    for i, start in enumerate(range(0, n, seg)):
+        out[i] = np.bincount(stream[start:start + seg], minlength=256)
+    return out
+
+
+def _quantize_cluster(counts):
+    """quantize_freqs that tolerates single-symbol clusters.
+
+    A cluster whose segments are all one constant byte (e.g. zero pads)
+    still needs a >= 2-symbol table; borrow one count for a neighbor
+    symbol, mirroring the device pipeline's placeholder tables.
+    """
+    f = rans.quantize_freqs(counts)
+    if f is None:
+        c = np.asarray(counts, dtype=np.int64).copy()
+        c[(int(np.argmax(c)) + 1) % 256] += 1
+        f = rans.quantize_freqs(c)
+    return f
+
+
+# Bits charged per symbol occurrence that a candidate table cannot code
+# (frequency 0). Large enough that argmin never picks a non-covering
+# table while some covering table exists (a segment's own cluster table
+# always covers it), small enough that n_segs * seg * BIG stays finite.
+_UNCODABLE_BITS = 1e6
+
+_TABLE_CANDIDATES = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def cluster_segment_tables(seg_hists, max_tables=16):
+    """Cluster per-segment histograms into few quantized tables.
+
+    Lloyd iterations under the *exact* objective — Shannon bits of each
+    segment under each candidate quantized table plus the container
+    overhead of extra tables (512 B each) and the per-segment index
+    byte. Initial clusters are contiguous quantiles of the segments
+    ordered by mean symbol value (zigzag codes: a monotone proxy for
+    channel amplitude, the dominant axis of variation in ephys bands).
+
+    Returns ``(tables, tidx, payload_bits)``: a ``(T, 256)`` uint16
+    stack, per-segment uint8 table indices, and the total coded bits of
+    all segments under their assigned tables.
+    """
+    H = np.asarray(seg_hists, dtype=np.float64)
+    n_segs = H.shape[0]
+    assert n_segs >= 1
+    sym = np.arange(256, dtype=np.float64)
+    feat = (H * sym).sum(axis=1) / np.maximum(H.sum(axis=1), 1.0)
+    order = np.argsort(feat, kind='stable')
+
+    def penalties(tables):
+        # (T, 256) bits-per-occurrence; uncodable symbols get BIG.
+        t = np.asarray(tables, dtype=np.float64)
+        pen = np.full(t.shape, _UNCODABLE_BITS)
+        nz = t > 0
+        pen[nz] = rans.SCALE_BITS - np.log2(t[nz])
+        return pen
+
+    best = None
+    for T in _TABLE_CANDIDATES:
+        T = min(T, n_segs, max_tables, 255)
+        # Contiguous equal-count split along the amplitude ordering.
+        assign = np.empty(n_segs, dtype=np.int64)
+        assign[order] = (np.arange(n_segs) * T) // n_segs
+        for _ in range(8):
+            tables = np.stack([
+                _quantize_cluster(seg_hists[assign == t].sum(axis=0))
+                for t in np.unique(assign)])
+            bits = H @ penalties(tables).T          # (n_segs, T_eff)
+            new_assign = np.argmin(bits, axis=1)
+            if np.array_equal(new_assign, assign):
+                break
+            assign = new_assign
+        else:
+            # Close with one assignment step under the final tables so
+            # (tables, assign, bits) are mutually consistent.
+            bits = H @ penalties(tables).T
+            assign = np.argmin(bits, axis=1)
+        used = np.unique(assign)
+        tables = tables[used]
+        remap = np.zeros(int(used.max()) + 1, dtype=np.int64)
+        remap[used] = np.arange(used.size)
+        assign = remap[assign]
+        bits = H @ penalties(tables).T
+        payload_bits = float(bits[np.arange(n_segs), assign].sum())
+        T_eff = tables.shape[0]
+        total = (T_eff * 512 + 1 + (n_segs if T_eff > 1 else 0)
+                 + payload_bits / 8.0)
+        if best is None or total < best[0]:
+            best = (total, tables, assign.astype(np.uint8), payload_bits)
+        if T >= min(n_segs, max_tables, 255):
+            break
+    _, tables, tidx, payload_bits = best
+    return tables, tidx, payload_bits
+
+
 class AnsCodec:
     """Encode/decode one diffed chunk with grouped rANS byte planes."""
 
@@ -167,11 +294,15 @@ class AnsCodec:
     format_version = '2.0'
 
     def __init__(self, seg_log2=DEFAULT_SEG_LOG2, channel_aligned=True,
-                 **kwargs):
+                 table_mode='plane', **kwargs):
         self.seg_log2 = int(seg_log2)
         assert 7 <= self.seg_log2 <= 24
         self.seg = 1 << self.seg_log2
         self.channel_aligned = bool(channel_aligned)
+        if table_mode not in ('plane', 'segment'):
+            raise ValueError("table_mode must be 'plane' or 'segment', "
+                             "got %r." % (table_mode,))
+        self.table_mode = table_mode
 
     # --- encode -----------------------------------------------------------
 
@@ -210,13 +341,14 @@ class AnsCodec:
             seg = self.seg
             n_stream = n_coded
 
-        modes, plane_meta, tables, streams = [], [], {}, {}
+        modes, plane_info, streams = [], [], {}
+        multitable = False
         for p in range(itemsize):
             plane = planes[:, p]
             counts = np.bincount(plane, minlength=256)
             if counts.max() == counts.sum():
                 modes.append(MODE_CONST)
-                plane_meta.append(struct.pack('<BB', MODE_CONST,
+                plane_info.append(struct.pack('<BB', MODE_CONST,
                                               int(plane[0])))
                 continue
             if aligned:
@@ -228,20 +360,31 @@ class AnsCodec:
             else:
                 stream, scounts = plane, counts
             freqs = rans.quantize_freqs(scounts)
-            if _estimated_rans_bytes(scounts, freqs,
-                                     n_stream, seg) >= n_coded:
+            cost = _estimated_rans_bytes(scounts, freqs, n_stream, seg)
+            ptables, tidx = freqs[None], None
+            if self.table_mode == 'segment' and n_stream > seg:
+                ctables, cidx, cbits = cluster_segment_tables(
+                    _segment_histograms(stream, seg))
+                n_segs_p = -(-n_stream // seg)
+                ccost = (ctables.shape[0] * 512 + 1
+                         + (n_segs_p if ctables.shape[0] > 1 else 0)
+                         + n_segs_p * (4 * rans.LANES) + cbits / 8.0)
+                if ctables.shape[0] > 1 and ccost < cost:
+                    cost = ccost
+                    ptables, tidx = ctables, cidx
+            if cost >= n_coded:
                 modes.append(MODE_RAW)
-                plane_meta.append(struct.pack('<B', MODE_RAW)
+                plane_info.append(struct.pack('<B', MODE_RAW)
                                   + plane.tobytes())
             else:
                 modes.append(MODE_RANS)
-                tables[p] = freqs
                 streams[p] = np.ascontiguousarray(stream)
-                plane_meta.append(struct.pack('<B', MODE_RANS)
-                                  + freqs.astype('<u2').tobytes())
+                plane_info.append((ptables, tidx))
+                multitable = multitable or tidx is not None
 
         flags = (int(zigzag) | (2 if split_head else 0)
-                 | (4 if aligned else 0) | FLAG_CRC32)
+                 | (4 if aligned else 0)
+                 | (FLAG_MULTITABLE if multitable else 0) | FLAG_CRC32)
         seg_field = k if aligned else self.seg_log2
         parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
                               flags, rans.SCALE_BITS, n_elems,
@@ -252,7 +395,26 @@ class AnsCodec:
             if h.dtype.byteorder == '>':  # pragma: no cover
                 h = h.astype(h.dtype.newbyteorder('<'))
             parts.append(h.tobytes())
-        parts.extend(plane_meta)
+        rans_tables = {}
+        for p, info in enumerate(plane_info):
+            if isinstance(info, bytes):
+                parts.append(info)
+                continue
+            ptables, tidx = info
+            rans_tables[p] = info
+            if multitable:
+                meta = (struct.pack('<BB', MODE_RANS, ptables.shape[0])
+                        + ptables.astype('<u2').tobytes())
+                if ptables.shape[0] > 1:
+                    meta += tidx.tobytes()
+                parts.append(meta)
+            else:
+                parts.append(struct.pack('<B', MODE_RANS)
+                             + ptables[0].astype('<u2').tobytes())
+
+        def table_for(p, start):
+            ptables, tidx = rans_tables[p]
+            return ptables[0 if tidx is None else tidx[start // seg]]
 
         segments = segment_counts(n_stream, seg, modes)
         if segments:
@@ -262,7 +424,8 @@ class AnsCodec:
                 group = segments[g0:g0 + rans.GROUP_ROWS]
                 rows = [plane_bytes[p][start:start + n]
                         for p, start, n in group]
-                freq_rows = np.stack([tables[p] for p, _, _ in group])
+                freq_rows = np.stack([table_for(p, start)
+                                      for p, start, _ in group])
                 group_inputs.append((rows, freq_rows))
             encoded = self._encode_groups(group_inputs)
             group_blobs, word_counts = [], []
@@ -312,8 +475,8 @@ class AnsCodec:
                 bufs[p] = np.empty(n_stream, dtype=np.uint8)
         groups = parsed['groups']
         used_list = None
-        freq_stacks = [np.stack([parsed['planes'][p]['freqs']
-                                 for p, _, _ in g['segments']])
+        freq_stacks = [np.stack([seg_freqs(parsed, p, start)
+                                 for p, start, _ in g['segments']])
                        for g in groups]
         if groups:
             # Native C++ batch decoder: symbols land directly in the
@@ -409,33 +572,6 @@ class AnsCodec:
             head = np.frombuffer(mv, np.uint8, n_head * itemsize, off)
             off += n_head * itemsize
         n_coded = n_elems - n_head
-        planes, modes = [], []
-        for _p in range(itemsize):
-            mode = mv[off]; off += 1
-            modes.append(mode)
-            if mode == MODE_CONST:
-                planes.append({'mode': mode, 'value': mv[off]})
-                off += 1
-            elif mode == MODE_RAW:
-                raw = np.frombuffer(mv, np.uint8, n_coded, off)
-                planes.append({'mode': mode, 'raw': raw})
-                off += n_coded
-            elif mode == MODE_RANS:
-                freqs = np.frombuffer(mv, '<u2', 256, off); off += 512
-                # Structural validation up front: every decoder (host,
-                # native, XLA, Pallas) assumes a well-formed min-8
-                # table; a corrupted one would otherwise decode garbage
-                # silently or index out of range.
-                nz = freqs[freqs > 0]
-                if (int(freqs.sum()) != rans.SCALE or nz.size < 2
-                        or int(nz.min()) < rans.MIN_FREQ):
-                    raise IOError("Corrupt ANS frequency table "
-                                  "(sum=%d, present=%d)."
-                                  % (freqs.sum(), nz.size))
-                planes.append({'mode': mode, 'freqs': freqs})
-            else:
-                raise IOError("Unknown ANS plane mode %d." % mode)
-
         aligned = bool(flags & 4)
         if aligned:
             if not n_head or n_coded % n_head:
@@ -449,6 +585,59 @@ class AnsCodec:
             tcs = tp = 0
             seg = 1 << seg_log2
             n_stream = n_coded
+        if seg <= 0:
+            raise IOError("ANS chunk has a zero-size segment geometry.")
+        n_segs = -(-n_stream // seg)
+
+        def read_table(off):
+            freqs = np.frombuffer(mv, '<u2', 256, off)
+            # Structural validation up front: every decoder (host,
+            # native, XLA, Pallas) assumes a well-formed min-8
+            # table; a corrupted one would otherwise decode garbage
+            # silently or index out of range.
+            nz = freqs[freqs > 0]
+            if (int(freqs.sum()) != rans.SCALE or nz.size < 2
+                    or int(nz.min()) < rans.MIN_FREQ):
+                raise IOError("Corrupt ANS frequency table "
+                              "(sum=%d, present=%d)."
+                              % (freqs.sum(), nz.size))
+            return freqs, off + 512
+
+        planes, modes = [], []
+        for _p in range(itemsize):
+            mode = mv[off]; off += 1
+            modes.append(mode)
+            if mode == MODE_CONST:
+                planes.append({'mode': mode, 'value': mv[off]})
+                off += 1
+            elif mode == MODE_RAW:
+                raw = np.frombuffer(mv, np.uint8, n_coded, off)
+                planes.append({'mode': mode, 'raw': raw})
+                off += n_coded
+            elif mode == MODE_RANS and flags & FLAG_MULTITABLE:
+                n_tables = mv[off]; off += 1
+                if n_tables < 1:
+                    raise IOError("ANS multi-table plane with 0 tables.")
+                tables = np.empty((n_tables, 256), dtype=np.uint16)
+                for t in range(n_tables):
+                    tables[t], off = read_table(off)
+                if n_tables > 1:
+                    tidx = np.frombuffer(mv, np.uint8, n_segs, off)
+                    off += n_segs
+                    if int(tidx.max(initial=0)) >= n_tables:
+                        raise IOError(
+                            "ANS table index %d out of range (%d tables)."
+                            % (int(tidx.max()), n_tables))
+                    planes.append({'mode': mode, 'tables': tables,
+                                   'tidx': tidx})
+                else:
+                    planes.append({'mode': mode, 'freqs': tables[0]})
+            elif mode == MODE_RANS:
+                freqs, off = read_table(off)
+                planes.append({'mode': mode, 'freqs': freqs})
+            else:
+                raise IOError("Unknown ANS plane mode %d." % mode)
+
         segments = segment_counts(n_stream, seg, modes)
         groups = []
         if segments:

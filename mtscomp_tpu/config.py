@@ -36,6 +36,9 @@ DEFAULT_CONFIG = (
     ('device', 'auto'),             # 'auto' | 'tpu' | 'cpu' | 'none' (host only)
     ('ans_seg_log2', 16),           # log2 symbols per rANS segment (128 lanes each)
     ('ans_channel_segments', True),  # channel-aligned segments (TPU fast layout)
+    ('ans_table_mode', 'plane'),    # 'plane' | 'segment' (clustered per-segment
+                                    # tables: better ratio on channel-
+                                    # heterogeneous bands, e.g. LFP)
     ('batch_chunks', 0),            # 0 = auto batch size for the device pipeline
 )
 

@@ -20,6 +20,7 @@ import functools
 import numpy as np
 
 from ..codec.ans import MODE_RAW, MODE_RANS, MODE_CONST
+from ..codec.ans import seg_freqs as ans_seg_freqs
 from ..models.rans import LANES, GROUP_ROWS, RANS_L
 from ..utils.misc import logger
 from ..utils.trace import phase
@@ -365,12 +366,17 @@ class DeviceBatchDecoder:
                 R = len(g['segments'])
                 states[i, :R] = g['states']
                 words[i].reshape(-1)[:g['words'].size] = g['words']
-                for r, (p, _, n) in enumerate(g['segments']):
-                    table = parsed['planes'][p]['freqs']
+                for r, (p, start, n) in enumerate(g['segments']):
+                    table = ans_seg_freqs(parsed, p, start)
                     freqs[i, r] = table
                     counts[i, r] = n
                     counts_b[i, r] = n
-                    key = (b, p)
+                    # Multi-table planes (flags bit4): key on the table
+                    # identity, not just the plane.
+                    tidx = parsed['planes'][p].get('tidx')
+                    ti = 0 if tidx is None else int(
+                        tidx[start // parsed['seg']])
+                    key = (b, p, ti)
                     if key not in table_cache:
                         if build_elems:
                             from ..ops.pallas_rans import pack_elem_table
@@ -479,9 +485,13 @@ class DeviceBatchEncoder:
         self.order = writer.chunk_order
 
     def supported(self, n_samples):
+        # table_mode='segment' clusters per-segment histograms on the
+        # host (the device transform emits whole-plane histograms only);
+        # those writes take the host codec path.
         return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
                 and n_samples > 1
-                and self.writer.n_channels < 65536)
+                and self.writer.n_channels < 65536
+                and getattr(self.codec, 'table_mode', 'plane') == 'plane')
 
     def _encode_pallas(self, symbols, tables, segments, counts_arr,
                        fallback, hists, B, G, R, S, aligned, n_pad):
