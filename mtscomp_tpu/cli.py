@@ -82,6 +82,14 @@ def mtscomp_parser():
                              'into a standalone part file; merge parts '
                              'with mtsmerge (multi-host / resumable '
                              'compression)')
+    parser.add_argument('--parts', type=int, dest='n_parts',
+                        help='split the chunk range into N parts '
+                             'compressed in parallel worker processes '
+                             '(resumable: valid existing parts are '
+                             'reused), then merge')
+    parser.add_argument('--workers', type=int, dest='n_workers',
+                        help='worker processes for --parts '
+                             '(default: number of parts)')
     _shared_options(parser)
     parser.add_argument('--set-default', action='store_true',
                         help='set the specified parameters as the default')
@@ -104,6 +112,18 @@ def mtscomp(args=None):
         first, last = (int(x) for x in pargs.chunk_range.split(':'))
         compress_range(pargs.path, pargs.out, pargs.outmeta, first, last,
                        **config)
+        return
+    if pargs.n_parts:
+        from pathlib import Path
+        from .parallel.distributed import compress_multihost
+        path = Path(pargs.path)
+        out = Path(pargs.out) if pargs.out \
+            else path.with_suffix('.c' + path.suffix[1:])
+        outmeta = Path(pargs.outmeta) if pargs.outmeta \
+            else path.with_suffix('.ch')
+        compress_multihost(path, out, outmeta, n_parts=pargs.n_parts,
+                           n_workers=pargs.n_workers or pargs.n_parts,
+                           **config)
         return
     compress(pargs.path, pargs.out, pargs.outmeta, **config)
 

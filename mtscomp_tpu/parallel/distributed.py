@@ -166,16 +166,27 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     return cmeta
 
 
-def compress_multihost(path, out, outmeta, n_parts, part_dir=None,
-                       sample_rate=None, n_channels=None, dtype=None,
-                       **kwargs):
-    """Single-process reference flow of the multi-host split.
+def _compress_range_task(task):
+    """Picklable worker entry for process-parallel part compression."""
+    (path, cbin, ch, first, last, sample_rate, n_channels, dtype,
+     kwargs) = task
+    compress_range(path, cbin, ch, first, last, sample_rate=sample_rate,
+                   n_channels=n_channels, dtype=dtype, **kwargs)
+    return str(cbin)
 
-    Plans ranges, compresses each (on a cluster, one range per host —
-    here sequentially), then merges. Exists as the executable spec of
-    the protocol plus a convenient resumable compress: parts that
-    already exist with a valid sidecar are reused, so rerunning after a
-    crash only redoes missing ranges.
+
+def compress_multihost(path, out, outmeta, n_parts, part_dir=None,
+                       n_workers=1, sample_rate=None, n_channels=None,
+                       dtype=None, **kwargs):
+    """Executable spec (and local driver) of the multi-host split.
+
+    Plans ranges, compresses each — on a cluster one range per host; here
+    sequentially, or with ``n_workers > 1`` in parallel **OS processes**
+    (spawned, fully isolated interpreters: the true multi-host execution
+    model exercised on one machine, sharing only the filesystem exactly
+    as cluster hosts share storage) — then merges. Doubles as a
+    resumable compress: parts that already exist with a valid sidecar
+    are reused, so rerunning after a crash only redoes missing ranges.
     """
     from ..api import Writer
     w = Writer(**dict(kwargs, check_after_compress=False))
@@ -188,17 +199,28 @@ def compress_multihost(path, out, outmeta, n_parts, part_dir=None,
     part_dir = Path(part_dir) if part_dir else Path(out).parent
     part_dir.mkdir(exist_ok=True, parents=True)
     ranges = plan_ranges(n_chunks, n_parts)
-    parts = []
+    parts, todo = [], []
     for first, last in ranges:
         cbin = part_dir / ('part_%06d_%06d.cbin' % (first, last))
         ch = part_dir / ('part_%06d_%06d.ch' % (first, last))
         if not (cbin.exists() and ch.exists() and _part_valid(cbin, ch)):
-            compress_range(path, cbin, ch, first, last,
-                           sample_rate=sample_rate, n_channels=n_channels,
-                           dtype=dtype, **kwargs)
+            todo.append((path, cbin, ch, first, last, sample_rate,
+                         n_channels, dtype, kwargs))
         else:
             logger.info("Reusing existing valid part %s.", cbin)
         parts.append((cbin, ch))
+    if len(todo) > 1 and n_workers and int(n_workers) > 1:
+        import concurrent.futures
+        import multiprocessing
+        ctx = multiprocessing.get_context('spawn')
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=min(int(n_workers), len(todo)),
+                mp_context=ctx) as pool:
+            for done in pool.map(_compress_range_task, todo):
+                logger.info("Part %s written.", done)
+    else:
+        for task in todo:
+            _compress_range_task(task)
     return merge_parts(parts, out, outmeta, expected_n_chunks=n_chunks)
 
 

@@ -128,6 +128,50 @@ def test_multihost_resumable(tmp_path_):
         r.close()
 
 
+def test_multihost_process_parallel(tmp_path_, monkeypatch):
+    """n_workers > 1 runs ranges in spawned OS processes — the real
+    multi-host execution model (isolated interpreters sharing only the
+    filesystem) — and the merged output is byte-identical to a serial
+    full compress."""
+    # Hermetic ~/.mtscomp for the spawned workers (they don't inherit
+    # the in-process CONFIG_PATH monkeypatch, only the environment).
+    monkeypatch.setenv('HOME', str(tmp_path_))
+    arr, raw = _make(tmp_path_)
+    compress(raw, tmp_path_ / 'full.cbin', tmp_path_ / 'full.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True)
+    meta = compress_multihost(raw, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                              n_parts=3, n_workers=2,
+                              part_dir=tmp_path_ / 'parts', sample_rate=SR,
+                              n_channels=NC, dtype='int16',
+                              algorithm='ans', quiet=True)
+    assert (tmp_path_ / 'm.cbin').read_bytes() == \
+        (tmp_path_ / 'full.cbin').read_bytes()
+    assert len(list((tmp_path_ / 'parts').glob('part_*.cbin'))) == 3
+    full_meta = json.loads((tmp_path_ / 'full.ch').read_text())
+    assert meta['sha1_compressed'] == full_meta['sha1_compressed']
+    r = decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_cli_parts_workers(tmp_path_, monkeypatch):
+    """mtscomp --parts N --workers W: process-parallel compress+merge."""
+    from mtscomp_tpu.cli import mtscomp as cli_compress
+    monkeypatch.setenv('HOME', str(tmp_path_))
+    arr, raw = _make(tmp_path_, ns=3 * 2000)
+    cli_compress([str(raw), '-d', 'int16', '-s', str(SR), '-n', str(NC),
+                  '-a', 'ans', '--parts', '2', '--workers', '2', '-nc'])
+    r = decompress(tmp_path_ / 'raw.cbin', tmp_path_ / 'raw.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
 def test_chop_drops_part_provenance(tmp_path_):
     """A chopped part must not keep part/part_of: merge would otherwise
     accept a silently truncated 'complete' set."""
