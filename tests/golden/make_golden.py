@@ -21,15 +21,27 @@ import numpy as np
 HERE = Path(__file__).parent
 
 
-def signal(ns, nc, seed, dtype):
+def signal(ns, nc, seed, dtype, hetero=False):
     rng = np.random.default_rng(seed)
-    walk = np.cumsum(rng.normal(0, 4, size=(ns, nc)), axis=0)
+    if hetero:
+        stds = np.logspace(0.0, 1.6, nc)
+        steps = rng.normal(0, 1, size=(ns, nc)) * stds
+    else:
+        steps = rng.normal(0, 4, size=(ns, nc))
+    walk = np.cumsum(steps, axis=0)
     return np.clip(walk, -30000, 30000).astype(dtype)
 
 
 CASES = [
     ('int16_19ch', dict(ns=3000, nc=19, seed=0, dtype=np.int16), 1234.0),
     ('uint8_7ch', dict(ns=2000, nc=7, seed=1, dtype=np.uint8), 500.0),
+]
+
+# ans-only artifacts exercising the multi-table plane layout
+# (flags bit4): channel-heterogeneous input, clustered segment tables.
+MT_CASES = [
+    ('mt_int16_48ch',
+     dict(ns=4000, nc=48, seed=2, dtype=np.int16, hetero=True), 1000.0),
 ]
 
 
@@ -45,6 +57,15 @@ def main():
                      sample_rate=rate, n_channels=kw['nc'],
                      dtype=np.dtype(kw['dtype']).name, algorithm=algo,
                      quiet=True)
+    for name, kw, rate in MT_CASES:
+        arr = signal(**kw)
+        raw = HERE / ('np_%s.bin' % name)
+        arr.tofile(raw)
+        compress(raw, HERE / ('ans_%s.cbin' % name),
+                 HERE / ('ans_%s.ch' % name),
+                 sample_rate=rate, n_channels=kw['nc'],
+                 dtype=np.dtype(kw['dtype']).name, algorithm='ans',
+                 ans_table_mode='segment', ans_seg_log2=13, quiet=True)
     print("golden corpus regenerated under", HERE)
 
 

@@ -63,6 +63,26 @@ def test_golden_zlib_writer_stable(tmp_path_, name, dtype, nc, rate):
     assert got == want
 
 
+def test_golden_multitable_decode(tmp_path_):
+    """The frozen multi-table (flags bit4) file keeps decoding exactly,
+    on the host path and through the device batch pipeline."""
+    from mtscomp_tpu.codec.ans import AnsCodec
+    from mtscomp_tpu.parallel.pipeline import decompress_to_array
+    arr = _raw('mt_int16_48ch', np.int16, 48)
+    r = decompress(GOLDEN / 'ans_mt_int16_48ch.cbin',
+                   GOLDEN / 'ans_mt_int16_48ch.ch', quiet=True)
+    try:
+        # The artifact really exercises the bit4 layout.
+        payload = (GOLDEN / 'ans_mt_int16_48ch.cbin').read_bytes()[
+            r.chunk_offsets[0]:r.chunk_offsets[1]]
+        parsed = AnsCodec(seg_log2=13).parse(payload)
+        assert parsed['planes'][0].get('tidx') is not None
+        assert np.array_equal(r[:], arr)
+        assert np.array_equal(decompress_to_array(r), arr)
+    finally:
+        r.close()
+
+
 @pytest.mark.parametrize('name,dtype,nc,rate', CASES)
 def test_golden_sidecar_sha1(tmp_path_, name, dtype, nc, rate):
     """Frozen .ch SHA1 fields match independently computed hashes."""

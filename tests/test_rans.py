@@ -309,7 +309,26 @@ def test_container_corruption_detected():
         codec.decode(b'', 400, 4, np.int16, order='F')
 
 
-def test_container_fuzz_all_detected():
+def _fuzz_case(table_mode):
+    """(codec, chunkd, shape) for the fuzz payloads: plain planes, or a
+    container exercising the bit4 multi-table layout (clustered tables
+    on plane 0 AND a single-table-under-bit4 plane 1)."""
+    rng = np.random.default_rng(7)
+    if table_mode == 'segment':
+        codec = AnsCodec(seg_log2=10, table_mode='segment')
+        stds = np.logspace(0, 1.6, 16)
+        chunkd = (rng.normal(0, 1, size=(3000, 16)) * stds
+                  ).astype(np.int16)
+        assert 'tidx' in codec.parse(
+            codec.encode(chunkd, order='F'))['planes'][0]
+    else:
+        codec = AnsCodec(seg_log2=10)
+        chunkd = rng.integers(-30, 30, size=(800, 6)).astype(np.int16)
+    return codec, chunkd
+
+
+@pytest.mark.parametrize('table_mode', ['plane', 'segment'])
+def test_container_fuzz_all_detected(table_mode):
     """Every random mutation of a valid container raises IOError: byte
     flips and appended garbage break the trailing CRC32, truncation
     breaks the length/CRC checks, garbage breaks the magic — corruption
@@ -317,8 +336,8 @@ def test_container_fuzz_all_detected():
     redundancy, so before the checksum a flipped word could decode to
     plausible garbage silently)."""
     rng = np.random.default_rng(7)
-    codec = AnsCodec(seg_log2=10)
-    chunkd = rng.integers(-30, 30, size=(800, 6)).astype(np.int16)
+    codec, chunkd = _fuzz_case(table_mode)
+    ns, nc = chunkd.shape
     good = codec.encode(chunkd, order='F')
     for trial in range(200):
         payload = bytearray(good)
@@ -336,7 +355,7 @@ def test_container_fuzz_all_detected():
                 rng.integers(0, 256, size=int(rng.integers(1, 400)),
                              dtype=np.uint8))
         with pytest.raises(IOError):
-            codec.decode(bytes(payload), 800, 6, np.int16, order='F')
+            codec.decode(bytes(payload), ns, nc, np.int16, order='F')
 
 
 def _strip_crc(payload):
@@ -350,16 +369,17 @@ def _strip_crc(payload):
     return bytes(data)
 
 
-def test_container_fuzz_crcless_never_crashes():
+@pytest.mark.parametrize('table_mode', ['plane', 'segment'])
+def test_container_fuzz_crcless_never_crashes(table_mode):
     """Mutations of a CRC-less (legacy) container reach the actual
     decoders — native C++ and normative NumPy — and must either
     round-trip to the right shape or raise IOError; never crash, hang,
     or index out of bounds (the pre-checksum detection contract)."""
     rng = np.random.default_rng(9)
-    codec = AnsCodec(seg_log2=10)
-    chunkd = rng.integers(-30, 30, size=(800, 6)).astype(np.int16)
+    codec, chunkd = _fuzz_case(table_mode)
+    ns, nc = chunkd.shape
     good = _strip_crc(codec.encode(chunkd, order='F'))
-    back = codec.decode(good, 800, 6, np.int16, order='F')
+    back = codec.decode(good, ns, nc, np.int16, order='F')
     assert np.array_equal(back, chunkd)          # CRC-less still decodes
     for trial in range(200):
         payload = bytearray(good)
@@ -377,9 +397,9 @@ def test_container_fuzz_crcless_never_crashes():
                 rng.integers(0, 256, size=int(rng.integers(1, 400)),
                              dtype=np.uint8))
         try:
-            out = codec.decode(bytes(payload), 800, 6, np.int16,
+            out = codec.decode(bytes(payload), ns, nc, np.int16,
                                order='F')
-            assert out.shape == (800, 6)
+            assert out.shape == (ns, nc)
         except IOError:
             pass
 
