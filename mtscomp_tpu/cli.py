@@ -216,6 +216,49 @@ def mtsmerge(args=None):
     merge_parts(pairs, pargs.out, outmeta)
 
 
+# -- mtsrecompress -------------------------------------------------------------
+
+def mtsrecompress(args=None):
+    """Transcode a compressed file to another format, chunk by chunk."""
+    sys.excepthook = exception_handler
+    parser = argparse.ArgumentParser(
+        description='Re-encode a compressed file with another codec '
+                    'without materializing the raw data: upgrade legacy '
+                    'zlib files to the TPU v2 format (-a ans), export '
+                    'v2 files for reference-implementation consumers '
+                    '(-a zlib), or re-encode with different ans '
+                    'parameters. The source\'s sha1_uncompressed is '
+                    're-derived and verified during the pass.')
+    parser.add_argument('cdata', type=str,
+                        help='path to the input compressed file (.cbin)')
+    parser.add_argument('cmeta', type=str, nargs='?',
+                        help='path to the input metadata file (.ch)')
+    parser.add_argument('-o', '--out', type=str, required=True,
+                        help='path to the output compressed file (.cbin)')
+    parser.add_argument('-m', '--outmeta', type=str,
+                        help='path to the output metadata file (.ch; '
+                             'default: out with .ch suffix)')
+    parser.add_argument('-a', '--algorithm', type=str, default='ans',
+                        help="target algorithm: 'ans' (default) or "
+                             "'zlib' (legacy export)")
+    parser.add_argument('--ans-tables', type=str, dest='ans_table_mode',
+                        choices=('plane', 'segment'),
+                        help='ans frequency table mode (see mtscomp)')
+    parser.add_argument('--overwrite', '-f', action='store_true',
+                        help='overwrite existing output files')
+    parser.add_argument('-v', '--debug', action='store_true',
+                        help='verbose')
+    pargs = parser.parse_args(args or sys.argv[1:])
+    add_default_handler('DEBUG' if pargs.debug else 'INFO')
+    from .transcode import transcode
+    kwargs = {}
+    if pargs.ans_table_mode:
+        kwargs['ans_table_mode'] = pargs.ans_table_mode
+    transcode(pargs.cdata, pargs.cmeta, pargs.out, pargs.outmeta,
+              algorithm=pargs.algorithm, overwrite=pargs.overwrite,
+              **kwargs)
+
+
 # -- mtschop -------------------------------------------------------------------
 
 def mtschop(args=None):

@@ -17,6 +17,7 @@ setup(
             'mtsdesc=mtscomp_tpu.cli:mtsdesc',
             'mtschop=mtscomp_tpu.cli:mtschop',
             'mtsmerge=mtscomp_tpu.cli:mtsmerge',
+            'mtsrecompress=mtscomp_tpu.cli:mtsrecompress',
         ],
     },
 )

@@ -1,0 +1,162 @@
+"""Transcoding between formats without the raw file (mtsrecompress).
+
+Chunk bounds are format-invariant, so zlib <-> ans conversions stream
+chunk-by-chunk; ``ans -> zlib`` must reproduce byte-for-byte what the
+legacy writer produces from the raw data (and therefore what the
+reference implementation produces), and every transcode re-derives and
+verifies the source's sha1_uncompressed.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from mtscomp_tpu import compress, decompress, transcode
+
+from conftest import write_arr, to_int16, make_signal, tmp_path_  # noqa: F401
+
+SR = 2000.0
+NC = 17
+
+
+def _compressed(tmp_path_, algorithm, ns=3 * 2000 + 456, **kwargs):
+    arr = to_int16(make_signal('colored', ns=ns, nc=NC))
+    raw = write_arr(tmp_path_ / 'raw.bin', arr)
+    compress(raw, tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm=algorithm, quiet=True, **kwargs)
+    return arr
+
+
+def test_zlib_to_ans(tmp_path_):
+    arr = _compressed(tmp_path_, 'zlib')
+    ratio = transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                      tmp_path_ / 'out.cbin', algorithm='ans', quiet=True)
+    assert 0 < ratio < 1
+    meta = json.loads((tmp_path_ / 'out.ch').read_text())
+    src = json.loads((tmp_path_ / 'in.ch').read_text())
+    assert meta['algorithm'] == 'ans'
+    assert meta['chunk_bounds'] == src['chunk_bounds']
+    assert meta['sha1_uncompressed'] == src['sha1_uncompressed']
+    r = decompress(tmp_path_ / 'out.cbin', tmp_path_ / 'out.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+        # Random access on the transcoded file.
+        assert np.array_equal(r[1234:4321], arr[1234:4321])
+    finally:
+        r.close()
+    # ans output is smaller than the zlib input on this signal.
+    assert (tmp_path_ / 'out.cbin').stat().st_size \
+        < (tmp_path_ / 'in.cbin').stat().st_size
+
+
+def test_ans_to_zlib_matches_legacy_writer(tmp_path_):
+    """Legacy export: ans -> zlib equals compressing the raw file with
+    the v1 writer (itself byte-identical to the reference)."""
+    arr = _compressed(tmp_path_, 'ans')
+    transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+              tmp_path_ / 'out.cbin', algorithm='zlib', quiet=True)
+    compress(tmp_path_ / 'raw.bin', tmp_path_ / 'legacy.cbin',
+             tmp_path_ / 'legacy.ch', sample_rate=SR, n_channels=NC,
+             dtype='int16', algorithm='zlib', quiet=True)
+    assert (tmp_path_ / 'out.cbin').read_bytes() == \
+        (tmp_path_ / 'legacy.cbin').read_bytes()
+    meta = json.loads((tmp_path_ / 'out.ch').read_text())
+    legacy = json.loads((tmp_path_ / 'legacy.ch').read_text())
+    assert meta['sha1_compressed'] == legacy['sha1_compressed']
+    assert meta['chunk_offsets'] == legacy['chunk_offsets']
+    assert 'ans_seg_log2' not in meta
+
+
+def test_transcode_reencode_with_segment_tables(tmp_path_):
+    """ans -> ans with clustered tables shrinks heterogeneous data."""
+    rng = np.random.default_rng(2)
+    stds = np.logspace(0.0, 1.6, NC)
+    arr = np.clip(np.cumsum(rng.normal(0, 1, (6000, NC)) * stds, axis=0),
+                  -30000, 30000).astype(np.int16)
+    raw = write_arr(tmp_path_ / 'raw.bin', arr)
+    compress(raw, tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', ans_seg_log2=12, quiet=True)
+    transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+              tmp_path_ / 'out.cbin', algorithm='ans',
+              ans_table_mode='segment', ans_seg_log2=12, quiet=True)
+    assert (tmp_path_ / 'out.cbin').stat().st_size \
+        < (tmp_path_ / 'in.cbin').stat().st_size
+    meta = json.loads((tmp_path_ / 'out.ch').read_text())
+    assert meta.get('ans_table_mode') == 'segment'
+    r = decompress(tmp_path_ / 'out.cbin', tmp_path_ / 'out.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_transcode_detects_corrupt_source(tmp_path_):
+    _compressed(tmp_path_, 'zlib')
+    data = bytearray((tmp_path_ / 'in.cbin').read_bytes())
+    # Flip a byte mid-stream: either the chunk fails to inflate (IOError
+    # from the decoder) or it inflates to wrong bytes, which the
+    # sha1_uncompressed re-derivation must catch.
+    data[len(data) // 2] ^= 0x01
+    (tmp_path_ / 'in.cbin').write_bytes(bytes(data))
+    with pytest.raises(IOError):
+        transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                  tmp_path_ / 'out.cbin', algorithm='ans', quiet=True)
+    assert not (tmp_path_ / 'out.cbin').exists()
+    assert not (tmp_path_ / 'out.ch').exists()
+
+
+def test_transcode_guards_paths(tmp_path_):
+    _compressed(tmp_path_, 'zlib')
+    with pytest.raises(ValueError, match='explicit output'):
+        transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch', quiet=True)
+    with pytest.raises(ValueError, match='overwrite its input'):
+        transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                  tmp_path_ / 'in.cbin', quiet=True)
+    (tmp_path_ / 'out.cbin').write_bytes(b'x')
+    with pytest.raises(ValueError, match='already exists'):
+        transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                  tmp_path_ / 'out.cbin', quiet=True)
+    # overwrite=True proceeds.
+    transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+              tmp_path_ / 'out.cbin', overwrite=True, quiet=True)
+
+
+def test_cli_mtsrecompress(tmp_path_):
+    from mtscomp_tpu.cli import mtsrecompress
+    arr = _compressed(tmp_path_, 'zlib')
+    mtsrecompress([str(tmp_path_ / 'in.cbin'), str(tmp_path_ / 'in.ch'),
+                   '-o', str(tmp_path_ / 'out.cbin'), '-a', 'ans'])
+    r = decompress(tmp_path_ / 'out.cbin', tmp_path_ / 'out.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_transcode_chopped_source_keeps_provenance(tmp_path_):
+    from mtscomp_tpu import Reader
+    arr = _compressed(tmp_path_, 'zlib', ns=4 * 2000)
+    r = Reader(quiet=True)
+    r.open(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch')
+    try:
+        r.chop(2, tmp_path_ / 'chopped.cbin')
+    finally:
+        r.close()
+    transcode(tmp_path_ / 'chopped.cbin', tmp_path_ / 'chopped.ch',
+              tmp_path_ / 'out.cbin', algorithm='ans', quiet=True)
+    meta = json.loads((tmp_path_ / 'out.ch').read_text())
+    assert meta['chopped'] is True
+    # A chopped source has null hashes; transcoding restores real ones.
+    assert meta['sha1_uncompressed'] is not None
+    r = decompress(tmp_path_ / 'out.cbin', tmp_path_ / 'out.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr[:2 * 2000])
+    finally:
+        r.close()
