@@ -217,7 +217,7 @@ def _quantize_cluster(counts):
 # always covers it), small enough that n_segs * seg * BIG stays finite.
 _UNCODABLE_BITS = 1e6
 
-_TABLE_CANDIDATES = (1, 2, 3, 4, 6, 8, 12, 16)
+_TABLE_CANDIDATES = (1, 2, 4, 8, 16)
 
 
 def cluster_segment_tables(seg_hists, max_tables=16):
@@ -229,6 +229,10 @@ def cluster_segment_tables(seg_hists, max_tables=16):
     byte. Initial clusters are contiguous quantiles of the segments
     ordered by mean symbol value (zigzag codes: a monotone proxy for
     channel amplitude, the dominant axis of variation in ephys bands).
+    Candidate cluster counts double upward and the search stops once
+    the total cost worsens (it is unimodal in T in practice — the
+    marginal entropy gain of a split shrinks while the table cost is
+    linear), keeping the encoder's clustering overhead small.
 
     Returns ``(tables, tidx, payload_bits)``: a ``(T, 256)`` uint16
     stack, per-segment uint8 table indices, and the total coded bits of
@@ -255,7 +259,7 @@ def cluster_segment_tables(seg_hists, max_tables=16):
         # Contiguous equal-count split along the amplitude ordering.
         assign = np.empty(n_segs, dtype=np.int64)
         assign[order] = (np.arange(n_segs) * T) // n_segs
-        for _ in range(8):
+        for _ in range(5):
             tables = np.stack([
                 _quantize_cluster(seg_hists[assign == t].sum(axis=0))
                 for t in np.unique(assign)])
@@ -281,6 +285,8 @@ def cluster_segment_tables(seg_hists, max_tables=16):
                  + payload_bits / 8.0)
         if best is None or total < best[0]:
             best = (total, tables, assign.astype(np.uint8), payload_bits)
+        elif total > best[0]:
+            break                    # cost is rising: stop doubling T
         if T >= min(n_segs, max_tables, 255):
             break
     _, tables, tidx, payload_bits = best
