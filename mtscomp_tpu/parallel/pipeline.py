@@ -485,64 +485,41 @@ class DeviceBatchEncoder:
         self.order = writer.chunk_order
 
     def supported(self, n_samples):
-        # table_mode='segment' clusters per-segment histograms on the
-        # host (the device transform emits whole-plane histograms only);
-        # those writes take the host codec path.
         return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
                 and n_samples > 1
-                and self.writer.n_channels < 65536
-                and getattr(self.codec, 'table_mode', 'plane') == 'plane')
+                and self.writer.n_channels < 65536)
 
-    def _encode_pallas(self, symbols, tables, segments, counts_arr,
-                       fallback, hists, B, G, R, S, aligned, n_pad):
+    def _encode_pallas(self, symbols, freq_arr, row_bits, counts_arr, S):
         """Run the Pallas encode kernel; None on capacity overflow.
 
         The kernel writes each group's merged stream right-to-left into
-        a fixed VMEM region provisioned from the Shannon estimate of
-        the tables (x1.25 + slack). If any group's stream exceeds the
-        region (pathological rows), the caller falls back to the XLA
-        scan — deterministic either way.
+        a fixed VMEM region provisioned from ``row_bits`` — the Shannon
+        estimate of each row's stream under its own frequency table
+        (x1.25 + slack). If any group's stream exceeds the region
+        (pathological rows), the caller falls back to the XLA scan —
+        deterministic either way.
         """
         jax, jnp = _jax()
         from ..models import rans
         from ..ops.pallas_rans_enc import (encode_groups_pallas,
                                            pack_enc_device_tables)
-        # Bits/symbol under each quantized table, for capacity.
-        bps = {}
-        for (b, p), fq in tables.items():
-            cnt = hists[b, p].astype(np.float64).copy()
-            if aligned:
-                cnt[0] += n_pad
-            nz = fq > 0
-            bits = float(np.sum(cnt[nz] * (rans.SCALE_BITS
-                                           - np.log2(fq[nz]))))
-            bps[(b, p)] = bits / max(cnt.sum(), 1.0)
-        est = np.zeros(B * G)
-        pk_arr = np.zeros((B * G, R, 2, rans.LANES), np.int32)
+        NG, R = counts_arr.shape
+        est = row_bits.sum(axis=1) / 16.0          # 16-bit stream words
+        pk_arr = np.zeros((NG, R, 2, rans.LANES), np.int32)
         rcp_arr = np.zeros_like(pk_arr)
         enc_cache = {}
-        fb_tbls = pack_enc_device_tables(fallback)
-        for b in range(B):
-            for gi in range(G):
-                i = b * G + gi
-                segs = segments[gi * R:(gi + 1) * R]
-                for r in range(R):
-                    if r < len(segs):
-                        p, _, n = segs[r]
-                        key = (b, p)
-                        if key not in enc_cache:
-                            enc_cache[key] = pack_enc_device_tables(
-                                tables[key])
-                        pk_arr[i, r], rcp_arr[i, r] = enc_cache[key]
-                        est[i] += n * bps[key] / 16.0
-                    else:
-                        pk_arr[i, r], rcp_arr[i, r] = fb_tbls
+        for i in range(NG):
+            for r in range(R):
+                key = freq_arr[i, r].tobytes()
+                if key not in enc_cache:
+                    enc_cache[key] = pack_enc_device_tables(freq_arr[i, r])
+                pk_arr[i, r], rcp_arr[i, r] = enc_cache[key]
         cap_words = int(est.max(initial=0.0) * 1.25) + 4096
         cap_rows = -(-cap_words // (128 * 512)) * 512
         if cap_rows > 24576:   # > 6 MB u16: near-incompressible planes
             return None
         counts_b = np.ascontiguousarray(np.broadcast_to(
-            counts_arr[:, :, None], (B * G, R, rans.LANES)))
+            counts_arr[:, :, None], (NG, R, rans.LANES)))
         pk_d = jnp.asarray(pk_arr)
         rcp_d = jnp.asarray(rcp_arr)
         cb_d = jnp.asarray(counts_b)
@@ -566,7 +543,7 @@ class DeviceBatchEncoder:
         with phase('encode.align'):
             # Left-align the right-anchored streams on device, then one
             # bucketed download (avoids per-size transfer compiles).
-            wflat = words_d.reshape(B * G, -1)[:, :capw]
+            wflat = words_d.reshape(NG, -1)[:, :capw]
             shifts = jnp.asarray((capw - n_words).astype(np.int32))
             aligned_w = jax.vmap(jnp.roll)(wflat, -shifts)
             wmax = min(capw, -(-int(n_words.max(initial=1)) // 65536)
@@ -657,11 +634,36 @@ class DeviceBatchEncoder:
             k = tp = tcs = 0
             n_stream = n_coded
         n_pad = n_stream - n_coded
+        seg_mode = getattr(self.codec, 'table_mode', 'plane') == 'segment'
+        if seg_mode and not aligned:
+            return None    # host codec handles non-aligned clustering
+
+        # Per-channel histograms for segment-table clustering: the
+        # F-order plane stream is channel-major, so per-segment
+        # histograms are sums of per-channel ones (plus the per-channel
+        # zero pads) — bit-identical to the host codec's bincounts.
+        ch_hists = None
+        if seg_mode and n_stream > seg:
+            from ..ops.device_hist import histogram256
+            with phase('encode.seghist'):
+                ch = histogram256(planes_d.reshape(B * P * C, tcs))
+                ch_hists = np.asarray(ch).reshape(B, P, C, 256)
+        n_segs = -(-n_stream // seg) if aligned else 0
+
+        def _seg_hists(b, p):
+            out = np.empty((n_segs, 256), dtype=np.int64)
+            for s in range(n_segs):
+                a, z = s * k, min((s + 1) * k, C)
+                out[s] = ch_hists[b, p, a:z].sum(axis=0)
+                out[s, 0] += (z - a) * (tp - tcs)
+            return out
 
         # Host: tables + per-plane modes (must be uniform across the
         # batch for one device call; callers fall back otherwise).
+        # Decisions mirror AnsCodec.encode exactly so containers stay
+        # byte-identical to the host codec's.
         modes = np.empty((B, P), dtype=np.int64)
-        tables = {}
+        plane_tables = {}
         for b in range(B):
             for p in range(P):
                 counts = hists[b, p]
@@ -673,12 +675,23 @@ class DeviceBatchEncoder:
                     counts = counts.copy()
                     counts[0] += n_pad
                 freqs = rans.quantize_freqs(counts)
-                if ans_mod._estimated_rans_bytes(
-                        counts, freqs, n_stream, seg) >= n_coded:
+                cost = ans_mod._estimated_rans_bytes(
+                    counts, freqs, n_stream, seg)
+                ptables, tidx = freqs[None], None
+                if ch_hists is not None:
+                    ctables, cidx, cbits = ans_mod.cluster_segment_tables(
+                        _seg_hists(b, p))
+                    ccost = (ctables.shape[0] * 512 + 1
+                             + (n_segs if ctables.shape[0] > 1 else 0)
+                             + n_segs * (4 * rans.LANES) + cbits / 8.0)
+                    if ctables.shape[0] > 1 and ccost < cost:
+                        cost = ccost
+                        ptables, tidx = ctables, cidx
+                if cost >= n_coded:
                     modes[b, p] = ans_mod.MODE_RAW
                 else:
                     modes[b, p] = ans_mod.MODE_RANS
-                    tables[(b, p)] = freqs
+                    plane_tables[(b, p)] = (ptables, tidx)
         if not (modes == modes[0]).all():
             return None  # mixed modes: host path handles it
         mode_row = [int(m) for m in modes[0]]
@@ -718,17 +731,48 @@ class DeviceBatchEncoder:
             symbols = gather_symbols(planes_d)
             freq_arr = np.zeros((B * G, R, 256), dtype=np.int32)
             counts_arr = np.zeros((B * G, R), dtype=np.int32)
+            row_bits = np.zeros((B * G, R), dtype=np.float64)
             fallback = rans.quantize_freqs(
                 np.array([1, 1] + [0] * 254, dtype=np.int64))
+
+            bits_cache = {}
+
+            def _shannon(cnt, fq):
+                nz = fq > 0
+                return float(np.sum(cnt[nz].astype(np.float64)
+                                    * (rans.SCALE_BITS - np.log2(fq[nz]))))
+
+            def _row_bits(b, p, start, n):
+                """Shannon-estimate stream bits of one row (capacity
+                provisioning for the Pallas encode kernel)."""
+                ptables, tidx = plane_tables[(b, p)]
+                if tidx is None:
+                    key = (b, p)
+                    if key not in bits_cache:
+                        cnt = hists[b, p].astype(np.float64).copy()
+                        if aligned:
+                            cnt[0] += n_pad
+                        bits_cache[key] = (_shannon(cnt, ptables[0])
+                                           / max(cnt.sum(), 1.0))
+                    return n * bits_cache[key]
+                s = start // seg
+                key = (b, p, 'seg')
+                if key not in bits_cache:
+                    bits_cache[key] = _seg_hists(b, p)
+                return _shannon(bits_cache[key][s], ptables[tidx[s]])
+
             for b in range(B):
                 for gi in range(G):
                     i = b * G + gi
                     segs = segments[gi * R:(gi + 1) * R]
                     for r in range(R):
                         if r < len(segs):
-                            p, _, n = segs[r]
-                            freq_arr[i, r] = tables[(b, p)]
+                            p, start, n = segs[r]
+                            ptables, tidx = plane_tables[(b, p)]
+                            freq_arr[i, r] = ptables[
+                                0 if tidx is None else tidx[start // seg]]
                             counts_arr[i, r] = n
+                            row_bits[i, r] = _row_bits(b, p, start, n)
                         else:
                             freq_arr[i, r] = fallback
             from ..ops.pallas_rans import force_interpret
@@ -738,8 +782,7 @@ class DeviceBatchEncoder:
                     symbols, freq_arr, counts_arr, S, mesh)
             elif jax.default_backend() == 'tpu' or force_interpret():
                 out = self._encode_pallas(
-                    symbols, tables, segments, counts_arr, fallback,
-                    hists, B, G, R, S, aligned, n_pad)
+                    symbols, freq_arr, row_bits, counts_arr, S)
                 if out is not None:
                     states, streams, n_words = out
             if streams is None:
@@ -773,9 +816,14 @@ class DeviceBatchEncoder:
         # Host: assemble containers (identical layout to AnsCodec.encode).
         payloads = []
         for b in range(B):
+            multitable = any(
+                plane_tables[(b, p)][1] is not None
+                for p in rans_planes)
             parts = [ans_mod._HEADER.pack(
                 ans_mod.MAGIC, ans_mod.CONTAINER_VERSION, P,
-                1 | 2 | (4 if aligned else 0) | ans_mod.FLAG_CRC32,
+                1 | 2 | (4 if aligned else 0)
+                | (ans_mod.FLAG_MULTITABLE if multitable else 0)
+                | ans_mod.FLAG_CRC32,
                 rans.SCALE_BITS, T * C,
                 k if aligned else self.codec.seg_log2,
                 rans.MIN_FREQ, rans.GROUP_ROWS, 0, C, 0)]
@@ -790,8 +838,16 @@ class DeviceBatchEncoder:
                     parts.append(struct.pack('<B', m)
                                  + planes_np[b, p].tobytes())
                 else:
-                    parts.append(struct.pack('<B', m)
-                                 + tables[(b, p)].astype('<u2').tobytes())
+                    ptables, tidx = plane_tables[(b, p)]
+                    if multitable:
+                        meta = (struct.pack('<BB', m, ptables.shape[0])
+                                + ptables.astype('<u2').tobytes())
+                        if ptables.shape[0] > 1:
+                            meta += tidx.tobytes()
+                        parts.append(meta)
+                    else:
+                        parts.append(struct.pack('<B', m)
+                                     + ptables[0].astype('<u2').tobytes())
             if rans_planes:
                 parts.append(struct.pack('<I', len(group_words[b])))
                 parts.append(np.asarray(group_counts[b], '<u4').tobytes())

@@ -283,6 +283,82 @@ def test_device_encode_batch_byte_identical(tmp_path_, aligned, extra):
     w.close()
 
 
+def _hetero_arr(ns=4 * 3000, nc=24, seed=5):
+    rng = np.random.default_rng(seed)
+    stds = np.logspace(0.0, 1.6, nc)
+    return np.clip(np.cumsum(rng.normal(0, 1, (ns, nc)) * stds, axis=0),
+                   -30000, 30000).astype(np.int16)
+
+
+@pytest.mark.parametrize('interpret', [False, True])
+def test_device_encode_segment_tables_byte_identical(
+        tmp_path_, monkeypatch, interpret):
+    """Device encode with table_mode='segment' (per-channel histograms
+    on device, clustering on host) stays byte-identical to the host
+    codec and actually emits bit4 containers on heterogeneous data."""
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    if interpret:
+        monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    arr = _hetero_arr()
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
+               ans_table_mode='segment')
+    w.open(path, sample_rate=3000.0, n_channels=24, dtype='int16')
+    chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
+    enc = DeviceBatchEncoder(w)
+    assert enc.supported(chunks[0].shape[0])
+    payloads = enc.encode_batch(np.stack(chunks))
+    assert payloads is not None
+    saw_multitable = False
+    for chunk, payload in zip(chunks, payloads):
+        host = w.codec.encode(w._transform_chunk(chunk),
+                              order=w.chunk_order)
+        assert payload == host
+        parsed = w.codec.parse(payload)
+        saw_multitable |= parsed['planes'][0].get('tidx') is not None
+    assert saw_multitable
+    w.close()
+
+
+def test_device_encode_segment_tables_host_fallbacks(tmp_path_):
+    """Non-aligned layouts decline device encode under segment mode
+    (the host codec handles generic-segment clustering)."""
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    arr = _hetero_arr()
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
+               ans_table_mode='segment', ans_channel_segments=False)
+    w.open(path, sample_rate=3000.0, n_channels=24, dtype='int16')
+    chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
+    enc = DeviceBatchEncoder(w)
+    assert enc.encode_batch(np.stack(chunks)) is None
+    w.close()
+
+
+def test_device_encode_segment_tables_mesh(tmp_path_):
+    """Segment tables through the shard_map-sharded encode scan."""
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel.mesh import chunk_mesh
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    arr = _hetero_arr(ns=4 * 2000, nc=32)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    w = Writer(algorithm='ans', quiet=True, ans_seg_log2=11,
+               ans_table_mode='segment')
+    w.open(path, sample_rate=2000.0, n_channels=32, dtype='int16')
+    chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
+    enc = DeviceBatchEncoder(w)
+    mesh = chunk_mesh(jax.devices('cpu')[:8])
+    payloads = enc.encode_batch(np.stack(chunks), mesh=mesh)
+    assert payloads is not None
+    for chunk, payload in zip(chunks, payloads):
+        host = w.codec.encode(w._transform_chunk(chunk),
+                              order=w.chunk_order)
+        assert payload == host
+    w.close()
+
+
 def test_device_encode_sharded_mesh(tmp_path_):
     """Encode scan sharded over the 8-device virtual mesh (shard_map)."""
     from mtscomp_tpu import Writer
