@@ -33,6 +33,7 @@ from .transcode import transcode  # noqa: E402,F401
 
 __all__ = (
     'load_raw_data', 'Writer', 'Reader', 'compress', 'decompress',
-    'check', 'StreamWriter', 'read_config', 'write_config', 'Bunch',
+    'check', 'StreamWriter', 'transcode', 'read_config', 'write_config',
+    'Bunch',
     'add_default_handler', 'diff_along_axis', 'cumsum_along_axis',
 )

@@ -114,14 +114,12 @@ def mtscomp(args=None):
                        **config)
         return
     if pargs.n_parts:
-        from pathlib import Path
+        from .io_host import default_compressed_paths
         from .parallel.distributed import compress_multihost
-        path = Path(pargs.path)
-        out = Path(pargs.out) if pargs.out \
-            else path.with_suffix('.c' + path.suffix[1:])
-        outmeta = Path(pargs.outmeta) if pargs.outmeta \
-            else path.with_suffix('.ch')
-        compress_multihost(path, out, outmeta, n_parts=pargs.n_parts,
+        out, outmeta = default_compressed_paths(
+            pargs.path, pargs.out, pargs.outmeta)
+        compress_multihost(pargs.path, out, outmeta,
+                           n_parts=pargs.n_parts,
                            n_workers=pargs.n_workers or pargs.n_parts,
                            **config)
         return

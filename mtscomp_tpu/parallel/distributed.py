@@ -212,10 +212,15 @@ def compress_multihost(path, out, outmeta, n_parts, part_dir=None,
     if len(todo) > 1 and n_workers and int(n_workers) > 1:
         import concurrent.futures
         import multiprocessing
+        nw = min(int(n_workers), len(todo))
+        # Split the encoder thread budget across concurrent workers so
+        # N workers don't each spawn cpu_count C++ threads.
+        nt = kwargs.get('n_threads') or multiprocessing.cpu_count()
+        kw = dict(kwargs, n_threads=max(1, int(nt) // nw))
+        todo = [t[:-1] + (kw,) for t in todo]
         ctx = multiprocessing.get_context('spawn')
         with concurrent.futures.ProcessPoolExecutor(
-                max_workers=min(int(n_workers), len(todo)),
-                mp_context=ctx) as pool:
+                max_workers=nw, mp_context=ctx) as pool:
             for done in pool.map(_compress_range_task, todo):
                 logger.info("Part %s written.", done)
     else:

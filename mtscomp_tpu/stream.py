@@ -62,7 +62,8 @@ class StreamWriter:
         self.comp_level = config.comp_level
         self.codec = get_codec(
             self.algorithm, seg_log2=config.get('ans_seg_log2', 16),
-            channel_aligned=config.get('ans_channel_segments', True))
+            channel_aligned=config.get('ans_channel_segments', True),
+            table_mode=config.get('ans_table_mode', 'plane'))
         self.chunk_size = int(np.round(config.chunk_duration
                                        * self.sample_rate))
         assert self.chunk_size > 0
@@ -70,13 +71,19 @@ class StreamWriter:
         self.outmeta = Path(outmeta)
         self.out.parent.mkdir(exist_ok=True, parents=True)
         self._fb = open(self.out, 'wb')
-        self._buffer = np.empty((0, self.n_channels), dtype=self.dtype)
+        # Preallocated one-chunk staging buffer, filled in place: every
+        # appended sample is copied exactly once, and the writer never
+        # aliases a caller's (possibly reused) acquisition buffer.
+        self._buffer = np.empty((self.chunk_size, self.n_channels),
+                                dtype=self.dtype)
+        self._fill = 0
         self.chunk_bounds = [0]
         self.chunk_offsets = [0]
         self.n_samples = 0
         self.sha1_compressed = hashlib.sha1()
         self.sha1_uncompressed = hashlib.sha1()
         self._closed = False
+        self._ratio = None
 
     # -- feeding ------------------------------------------------------------
 
@@ -89,11 +96,16 @@ class StreamWriter:
         assert samples.ndim == 2 and samples.shape[1] == self.n_channels
         assert samples.dtype == self.dtype, \
             "block dtype %s != stream dtype %s" % (samples.dtype, self.dtype)
-        self._buffer = np.concatenate([self._buffer, samples], axis=0) \
-            if self._buffer.size else np.ascontiguousarray(samples)
-        while self._buffer.shape[0] >= self.chunk_size:
-            self._flush_chunk(self._buffer[:self.chunk_size])
-            self._buffer = self._buffer[self.chunk_size:]
+        pos, n = 0, samples.shape[0]
+        while pos < n:
+            take = min(self.chunk_size - self._fill, n - pos)
+            self._buffer[self._fill:self._fill + take] = \
+                samples[pos:pos + take]
+            self._fill += take
+            pos += take
+            if self._fill == self.chunk_size:
+                self._flush_chunk(self._buffer)
+                self._fill = 0
 
     def _flush_chunk(self, chunk):
         chunk = np.ascontiguousarray(chunk)
@@ -122,9 +134,9 @@ class StreamWriter:
         """
         if self._closed:
             return self._ratio
-        if self._buffer.shape[0]:
-            self._flush_chunk(self._buffer)
-            self._buffer = self._buffer[:0]
+        if self._fill:
+            self._flush_chunk(self._buffer[:self._fill])
+            self._fill = 0
         self._fb.close()
         if self.n_samples == 0:
             self.out.unlink(missing_ok=True)
@@ -133,6 +145,8 @@ class StreamWriter:
         extra = {}
         if self.algorithm == 'ans':
             extra['ans_seg_log2'] = self.codec.seg_log2
+            if self.codec.table_mode != 'plane':
+                extra['ans_table_mode'] = self.codec.table_mode
         write_cmeta(self.outmeta, build_cmeta(
             algorithm=self.algorithm, comp_level=self.comp_level,
             do_time_diff=self.do_time_diff,

@@ -29,7 +29,7 @@ from .codec import get_codec
 from .config import read_config
 from .format import write_cmeta
 from .ops.delta import diff_along_axis
-from .utils.misc import logger
+from .utils.misc import logger, progress
 
 
 def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
@@ -80,10 +80,8 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
         tmp = out.with_name(out.name + '.transcoding')
         try:
             with open(tmp, 'wb') as fb:
-                it = range(r.n_chunks)
-                if not quiet:  # pragma: no cover - cosmetic
-                    from tqdm import tqdm
-                    it = tqdm(it, desc='Transcoding')
+                it = progress(range(r.n_chunks), desc='Transcoding',
+                              disable=quiet)
                 for idx in it:
                     _, chunk = r._decompress_chunk(idx)
                     # C-order chunk bytes == the raw file's byte order.

@@ -61,6 +61,60 @@ def test_stream_single_sample_blocks(tmp_path_):
         r.close()
 
 
+def test_stream_reused_acquisition_buffer(tmp_path_):
+    """A caller may refill ONE buffer between append() calls (the DMA
+    block pattern); the writer must copy, never alias."""
+    arr = to_int16(make_signal('colored', ns=5 * 300, nc=NC))
+    buf = np.empty((300, NC), dtype=np.int16)
+    with StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans') as w:
+        for i in range(5):
+            buf[:] = arr[i * 300:(i + 1) * 300]
+            w.append(buf)
+    r = decompress(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_stream_segment_tables_matches_batch(tmp_path_):
+    """ans_table_mode reaches the stream codec (byte-identity holds)."""
+    rng = np.random.default_rng(4)
+    stds = np.logspace(0.0, 1.6, NC)
+    arr = np.clip(np.cumsum(rng.normal(0, 1, (3 * 2000 + 77, NC)) * stds,
+                            axis=0), -30000, 30000).astype(np.int16)
+    path = write_arr(tmp_path_ / 'batch.bin', arr)
+    compress(path, tmp_path_ / 'batch.cbin', tmp_path_ / 'batch.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', ans_table_mode='segment', quiet=True)
+    with StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans', ans_table_mode='segment') as w:
+        w.append(arr)
+    assert (tmp_path_ / 'live.cbin').read_bytes() == \
+        (tmp_path_ / 'batch.cbin').read_bytes()
+    import json
+    live = json.loads((tmp_path_ / 'live.ch').read_text())
+    assert live.get('ans_table_mode') == 'segment'
+
+
+def test_stream_close_after_abort_is_benign(tmp_path_):
+    """close() after an aborted context exits cleanly (no AttributeError)."""
+    w = StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16')
+    try:
+        with w:
+            w.append(to_int16(make_signal('randn', ns=10, nc=NC)))
+            raise RuntimeError('acquisition died')
+    except RuntimeError:
+        pass
+    assert w.close() is None
+    assert not (tmp_path_ / 'live.cbin').exists()
+
+
 def test_stream_empty_rejected(tmp_path_):
     w = StreamWriter(tmp_path_ / 'e.cbin', tmp_path_ / 'e.ch',
                      sample_rate=SR, n_channels=NC, dtype='int16')
