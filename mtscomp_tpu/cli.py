@@ -90,6 +90,12 @@ def mtscomp_parser():
     parser.add_argument('--workers', type=int, dest='n_workers',
                         help='worker processes for --parts '
                              '(default: number of parts)')
+    parser.add_argument('--rank', type=int, dest='rank',
+                        help='with --parts N: compress only this '
+                             "host's part (0-based) — each host of a "
+                             'cluster runs the same command with its '
+                             'own --rank, then one host runs mtsmerge '
+                             'on the part files')
     _shared_options(parser)
     parser.add_argument('--set-default', action='store_true',
                         help='set the specified parameters as the default')
@@ -115,9 +121,14 @@ def mtscomp(args=None):
         return
     if pargs.n_parts:
         from .io_host import default_compressed_paths
-        from .parallel.distributed import compress_multihost
+        from .parallel.distributed import (compress_multihost,
+                                           compress_part_rank)
         out, outmeta = default_compressed_paths(
             pargs.path, pargs.out, pargs.outmeta)
+        if pargs.rank is not None:
+            compress_part_rank(pargs.path, out, pargs.rank,
+                               pargs.n_parts, **config)
+            return
         compress_multihost(pargs.path, out, outmeta,
                            n_parts=pargs.n_parts,
                            n_workers=pargs.n_workers or pargs.n_parts,

@@ -166,6 +166,48 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     return cmeta
 
 
+def part_paths(out, first, last, part_dir=None):
+    """Canonical part file names for chunk range [first, last)."""
+    part_dir = Path(part_dir) if part_dir else Path(out).parent
+    cbin = part_dir / ('part_%06d_%06d.cbin' % (first, last))
+    return cbin, cbin.with_suffix('.ch')
+
+
+def compress_part_rank(path, out, rank, n_parts, sample_rate=None,
+                       n_channels=None, dtype=None, part_dir=None,
+                       **kwargs):
+    """Compress one host's share of an ``n_parts``-way split.
+
+    Every host of a cluster runs the same command with its own
+    ``rank``; the range plan is a pure function of the source geometry,
+    so the hosts need no coordination beyond shared storage. Part files
+    get the canonical names ``compress_multihost`` uses (valid existing
+    parts are reused — rerunning a crashed rank is a no-op for finished
+    work); one host finally merges with ``mtsmerge part_*.cbin``.
+    """
+    from ..api import Writer
+    w = Writer(**dict(kwargs, check_after_compress=False))
+    try:
+        w.open(path, sample_rate=sample_rate, n_channels=n_channels,
+               dtype=dtype)
+        n_chunks = w.n_chunks
+    finally:
+        w.close()
+    ranges = plan_ranges(n_chunks, n_parts)
+    if not 0 <= int(rank) < len(ranges):
+        raise ValueError("rank %d out of range: %d chunks plan into %d "
+                         "parts" % (rank, n_chunks, len(ranges)))
+    first, last = ranges[int(rank)]
+    cbin, ch = part_paths(out, first, last, part_dir)
+    cbin.parent.mkdir(exist_ok=True, parents=True)
+    if cbin.exists() and ch.exists() and _part_valid(cbin, ch):
+        logger.info("Rank %d: valid part %s already exists.", rank, cbin)
+        return cbin, ch
+    compress_range(path, cbin, ch, first, last, sample_rate=sample_rate,
+                   n_channels=n_channels, dtype=dtype, **kwargs)
+    return cbin, ch
+
+
 def _compress_range_task(task):
     """Picklable worker entry for process-parallel part compression."""
     (path, cbin, ch, first, last, sample_rate, n_channels, dtype,
@@ -201,8 +243,7 @@ def compress_multihost(path, out, outmeta, n_parts, part_dir=None,
     ranges = plan_ranges(n_chunks, n_parts)
     parts, todo = [], []
     for first, last in ranges:
-        cbin = part_dir / ('part_%06d_%06d.cbin' % (first, last))
-        ch = part_dir / ('part_%06d_%06d.ch' % (first, last))
+        cbin, ch = part_paths(out, first, last, part_dir)
         if not (cbin.exists() and ch.exists() and _part_valid(cbin, ch)):
             todo.append((path, cbin, ch, first, last, sample_rate,
                          n_channels, dtype, kwargs))

@@ -157,6 +157,41 @@ def test_multihost_process_parallel(tmp_path_, monkeypatch):
         r.close()
 
 
+def test_rank_based_cluster_flow(tmp_path_):
+    """Each 'host' runs the same command with its own --rank; one host
+    merges. No coordination beyond shared storage."""
+    from mtscomp_tpu.cli import mtscomp as cli_compress
+    from mtscomp_tpu.cli import mtsmerge as cli_merge
+    arr, raw = _make(tmp_path_)
+    compress(raw, tmp_path_ / 'full.cbin', tmp_path_ / 'full.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True)
+    for rank in (2, 0, 1):                      # any completion order
+        cli_compress([str(raw), str(tmp_path_ / 'm.cbin'),
+                      str(tmp_path_ / 'm.ch'), '-d', 'int16', '-s',
+                      str(SR), '-n', str(NC), '-a', 'ans', '-nc',
+                      '--parts', '3', '--rank', str(rank)])
+    # Rerunning a finished rank reuses its valid part (crash resume).
+    parts = sorted(tmp_path_.glob('part_*.cbin'))
+    assert len(parts) == 3
+    mtime = parts[0].stat().st_mtime_ns
+    cli_compress([str(raw), str(tmp_path_ / 'm.cbin'),
+                  str(tmp_path_ / 'm.ch'), '-d', 'int16', '-s', str(SR),
+                  '-n', str(NC), '-a', 'ans', '-nc',
+                  '--parts', '3', '--rank', '0'])
+    assert parts[0].stat().st_mtime_ns == mtime
+    cli_merge([str(p) for p in parts]
+              + ['-o', str(tmp_path_ / 'm.cbin'),
+                 '-m', str(tmp_path_ / 'm.ch')])
+    assert (tmp_path_ / 'm.cbin').read_bytes() == \
+        (tmp_path_ / 'full.cbin').read_bytes()
+    with pytest.raises(ValueError, match='rank'):
+        from mtscomp_tpu.parallel.distributed import compress_part_rank
+        compress_part_rank(raw, tmp_path_ / 'm.cbin', 7, 3,
+                           sample_rate=SR, n_channels=NC, dtype='int16',
+                           quiet=True)
+
+
 def test_cli_parts_workers(tmp_path_, monkeypatch):
     """mtscomp --parts N --workers W: process-parallel compress+merge."""
     from mtscomp_tpu.cli import mtscomp as cli_compress
