@@ -28,12 +28,12 @@ from .config import read_config, write_config, config_path, CONFIG_PATH  # noqa:
 from .io_host import load_raw_data  # noqa: E402,F401
 from .ops.delta import diff_along_axis, cumsum_along_axis  # noqa: E402,F401
 from .api import Writer, Reader, compress, decompress, check  # noqa: E402,F401
-from .stream import StreamWriter  # noqa: E402,F401
+from .stream import StreamWriter, StreamReader  # noqa: E402,F401
 from .transcode import transcode  # noqa: E402,F401
 
 __all__ = (
     'load_raw_data', 'Writer', 'Reader', 'compress', 'decompress',
-    'check', 'StreamWriter', 'transcode', 'read_config', 'write_config',
-    'Bunch',
+    'check', 'StreamWriter', 'StreamReader', 'transcode', 'read_config',
+    'write_config', 'Bunch',
     'add_default_handler', 'diff_along_axis', 'cumsum_along_axis',
 )

@@ -42,8 +42,9 @@ class StreamWriter:
     """Incrementally compress an unbounded stream of sample blocks."""
 
     def __init__(self, out, outmeta, sample_rate=None, n_channels=None,
-                 dtype=None, **kwargs):
+                 dtype=None, live_sidecar=False, **kwargs):
         self.quiet = kwargs.pop('quiet', True)
+        self.live_sidecar = bool(live_sidecar)
         config = read_config(**kwargs)
         self.config = config
         if not sample_rate:
@@ -122,6 +123,40 @@ class StreamWriter:
         self.sha1_compressed.update(payload)
         logger.debug("Streamed chunk %d (%d samples).",
                      len(self.chunk_bounds) - 2, chunk.shape[0])
+        if self.live_sidecar:
+            # Publish a snapshot sidecar so concurrent readers can tail
+            # the stream. Payload bytes are flushed to the OS first, so
+            # every chunk a published sidecar references is readable;
+            # the atomic replace means readers never see a torn file.
+            # Each snapshot (with its prefix hashes) is itself a fully
+            # valid compressed file of the samples so far.
+            self._fb.flush()
+            self._write_sidecar(streaming=True)
+
+    def _write_sidecar(self, streaming=False):
+        extra = {}
+        if self.algorithm == 'ans':
+            extra['ans_seg_log2'] = self.codec.seg_log2
+            if self.codec.table_mode != 'plane':
+                extra['ans_table_mode'] = self.codec.table_mode
+        if streaming:
+            extra['streaming'] = True
+        cmeta = build_cmeta(
+            algorithm=self.algorithm, comp_level=self.comp_level,
+            do_time_diff=self.do_time_diff,
+            do_spatial_diff=self.do_spatial_diff,
+            dtype=self.dtype, n_channels=self.n_channels,
+            sample_rate=self.sample_rate, chunk_bounds=self.chunk_bounds,
+            chunk_offsets=self.chunk_offsets, chunk_order=self.chunk_order,
+            sha1_compressed=self.sha1_compressed.hexdigest(),
+            sha1_uncompressed=self.sha1_uncompressed.hexdigest(),
+            shape=(self.n_samples, self.n_channels), extra=extra)
+        if streaming:
+            tmp = self.outmeta.with_name(self.outmeta.name + '.snapshot')
+            write_cmeta(tmp, cmeta)
+            tmp.replace(self.outmeta)
+        else:
+            write_cmeta(self.outmeta, cmeta)
 
     # -- finalize -----------------------------------------------------------
 
@@ -142,21 +177,7 @@ class StreamWriter:
             self.out.unlink(missing_ok=True)
             self._closed = True
             raise ValueError("Cannot finalize an empty stream.")
-        extra = {}
-        if self.algorithm == 'ans':
-            extra['ans_seg_log2'] = self.codec.seg_log2
-            if self.codec.table_mode != 'plane':
-                extra['ans_table_mode'] = self.codec.table_mode
-        write_cmeta(self.outmeta, build_cmeta(
-            algorithm=self.algorithm, comp_level=self.comp_level,
-            do_time_diff=self.do_time_diff,
-            do_spatial_diff=self.do_spatial_diff,
-            dtype=self.dtype, n_channels=self.n_channels,
-            sample_rate=self.sample_rate, chunk_bounds=self.chunk_bounds,
-            chunk_offsets=self.chunk_offsets, chunk_order=self.chunk_order,
-            sha1_compressed=self.sha1_compressed.hexdigest(),
-            sha1_uncompressed=self.sha1_uncompressed.hexdigest(),
-            shape=(self.n_samples, self.n_channels), extra=extra))
+        self._write_sidecar(streaming=False)
         raw = self.n_samples * self.n_channels * self.dtype.itemsize
         self._ratio = self.chunk_offsets[-1] / raw
         self._closed = True
@@ -175,4 +196,89 @@ class StreamWriter:
             # Abort: leave no half-written outputs behind.
             self._fb.close()
             self.out.unlink(missing_ok=True)
+            if self.live_sidecar:
+                self.outmeta.unlink(missing_ok=True)
             self._closed = True
+
+
+class StreamReader:
+    """Tail a recording while a ``StreamWriter(live_sidecar=True)``
+    writes it — possibly from another process.
+
+    Every published sidecar snapshot references only fully flushed
+    chunks and is replaced atomically, so this is just a ``Reader``
+    that re-opens when the sidecar changes::
+
+        r = StreamReader('live.cbin', 'live.ch')
+        while r.refresh() or not r.finalized:
+            plot(r[-3000:])           # the newest second, live
+        full = r[:]                   # recording complete
+
+    ``refresh()`` returns True when new samples appeared; ``finalized``
+    turns True once the writer has closed (the snapshot's ``streaming``
+    marker is dropped from the final sidecar). All ``Reader`` indexing
+    (slices, tuples, scalars) works on the samples available so far.
+    """
+
+    def __init__(self, cdata, cmeta=None, **kwargs):
+        from .format import cmeta_sidecar_path
+        self.cdata = Path(cdata)
+        self.cmeta = Path(cmeta) if cmeta is not None \
+            else cmeta_sidecar_path(self.cdata)
+        self._kwargs = dict(kwargs, quiet=kwargs.get('quiet', True))
+        self._reader = None
+        self._stamp = None
+        self.refresh()
+        if self._reader is None:
+            raise IOError("No readable sidecar at %s — is the stream's "
+                          "writer using live_sidecar=True?" % self.cmeta)
+
+    def refresh(self):
+        """Re-open if the sidecar changed; True when samples were added."""
+        try:
+            st = self.cmeta.stat()
+        except FileNotFoundError:
+            return False
+        stamp = (st.st_mtime_ns, st.st_size)
+        if stamp == self._stamp:
+            return False
+        from .api import Reader
+        r = Reader(**self._kwargs)
+        r.open(self.cdata, self.cmeta)
+        before = self._reader.shape[0] if self._reader is not None else 0
+        if self._reader is not None:
+            self._reader.close()
+        self._reader = r
+        self._stamp = stamp
+        return r.shape[0] > before
+
+    @property
+    def finalized(self):
+        """True once the writer closed (final sidecar published)."""
+        return not self._reader.cmeta.get('streaming', False)
+
+    @property
+    def shape(self):
+        return self._reader.shape
+
+    @property
+    def n_samples(self):
+        return self._reader.shape[0]
+
+    @property
+    def dtype(self):
+        return self._reader.dtype
+
+    def __getitem__(self, item):
+        return self._reader[item]
+
+    def close(self):
+        if self._reader is not None:
+            self._reader.close()
+            self._reader = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

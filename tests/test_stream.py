@@ -115,6 +115,69 @@ def test_stream_close_after_abort_is_benign(tmp_path_):
     assert not (tmp_path_ / 'live.cbin').exists()
 
 
+def test_stream_reader_tails_live_stream(tmp_path_):
+    """StreamReader follows a live_sidecar writer: snapshots publish
+    only whole chunks, refresh() sees growth, finalized flips on close,
+    and every snapshot is itself a valid compressed prefix file."""
+    import hashlib as hl
+    import json
+    from mtscomp_tpu import StreamReader
+    arr = to_int16(make_signal('colored', ns=5 * 2000 + 500, nc=NC))
+    w = StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm='ans', live_sidecar=True)
+    w.append(arr[:2 * 2000 + 700])            # 2 full chunks + 700 pending
+    r = StreamReader(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch')
+    try:
+        assert r.n_samples == 2 * 2000        # whole chunks only
+        assert not r.finalized
+        assert np.array_equal(r[:], arr[:2 * 2000])
+        assert np.array_equal(r[-500:], arr[2 * 2000 - 500:2 * 2000])
+        # The snapshot is a fully valid compressed file of the prefix.
+        meta = json.loads((tmp_path_ / 'live.ch').read_text())
+        assert meta['streaming'] is True
+        assert meta['sha1_uncompressed'] == \
+            hl.sha1(np.ascontiguousarray(arr[:2 * 2000])).hexdigest()
+        rd = decompress(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                        quiet=True)
+        try:
+            assert np.array_equal(rd[:], arr[:2 * 2000])
+        finally:
+            rd.close()
+        # No growth -> refresh() is False; growth -> True.
+        assert r.refresh() is False
+        w.append(arr[2 * 2000 + 700:])
+        assert r.refresh() is True
+        assert r.n_samples == 5 * 2000
+        w.close()
+        assert r.refresh() is True            # final (partial) chunk
+        assert r.finalized
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_stream_reader_requires_sidecar(tmp_path_):
+    from mtscomp_tpu import StreamReader
+    (tmp_path_ / 'x.cbin').write_bytes(b'')
+    with pytest.raises(IOError, match='live_sidecar'):
+        StreamReader(tmp_path_ / 'x.cbin', tmp_path_ / 'x.ch')
+
+
+def test_stream_live_abort_removes_sidecar(tmp_path_):
+    arr = to_int16(make_signal('randn', ns=3000, nc=NC))
+    try:
+        with StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                          sample_rate=SR, n_channels=NC, dtype='int16',
+                          live_sidecar=True) as w:
+            w.append(arr)
+            raise RuntimeError('boom')
+    except RuntimeError:
+        pass
+    assert not (tmp_path_ / 'live.cbin').exists()
+    assert not (tmp_path_ / 'live.ch').exists()
+
+
 def test_stream_empty_rejected(tmp_path_):
     w = StreamWriter(tmp_path_ / 'e.cbin', tmp_path_ / 'e.ch',
                      sample_rate=SR, n_channels=NC, dtype='int16')
