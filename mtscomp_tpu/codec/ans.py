@@ -188,7 +188,12 @@ def seg_freqs(parsed, p, start):
 
 
 def _segment_histograms(stream, seg):
-    """(n_segs, 256) int64 symbol histograms of consecutive segments."""
+    """(n_segs, 256) int64 symbol histograms of consecutive segments.
+
+    A per-segment uint8 bincount loop beats any key-building
+    vectorization here: bincount over uint8 slices is pure C with no
+    temporaries, and segment counts are small (tens).
+    """
     n = stream.size
     out = np.empty((-(-n // seg), 256), dtype=np.int64)
     for i, start in enumerate(range(0, n, seg)):
@@ -196,19 +201,19 @@ def _segment_histograms(stream, seg):
     return out
 
 
-def _quantize_cluster(counts):
-    """quantize_freqs that tolerates single-symbol clusters.
+def _quantize_clusters(sums):
+    """Batched quantize_freqs tolerating single-symbol clusters.
 
     A cluster whose segments are all one constant byte (e.g. zero pads)
     still needs a >= 2-symbol table; borrow one count for a neighbor
     symbol, mirroring the device pipeline's placeholder tables.
     """
-    f = rans.quantize_freqs(counts)
-    if f is None:
-        c = np.asarray(counts, dtype=np.int64).copy()
-        c[(int(np.argmax(c)) + 1) % 256] += 1
-        f = rans.quantize_freqs(c)
-    return f
+    sums = np.asarray(sums, dtype=np.int64).copy()
+    fix = (sums > 0).sum(axis=1) < 2
+    if fix.any():
+        rows = np.nonzero(fix)[0]
+        sums[rows, (np.argmax(sums[rows], axis=1) + 1) % 256] += 1
+    return rans.quantize_freqs_batch(sums)
 
 
 # Bits charged per symbol occurrence that a candidate table cannot code
@@ -260,9 +265,10 @@ def cluster_segment_tables(seg_hists, max_tables=16):
         assign = np.empty(n_segs, dtype=np.int64)
         assign[order] = (np.arange(n_segs) * T) // n_segs
         for _ in range(5):
-            tables = np.stack([
-                _quantize_cluster(seg_hists[assign == t].sum(axis=0))
-                for t in np.unique(assign)])
+            _, assign = np.unique(assign, return_inverse=True)
+            sums = np.zeros((int(assign.max()) + 1, 256), dtype=np.int64)
+            np.add.at(sums, assign, np.asarray(seg_hists, dtype=np.int64))
+            tables = _quantize_clusters(sums)
             bits = H @ penalties(tables).T          # (n_segs, T_eff)
             new_assign = np.argmin(bits, axis=1)
             if np.array_equal(new_assign, assign):

@@ -139,6 +139,49 @@ def quantize_freqs(counts, scale_bits=SCALE_BITS, min_freq=MIN_FREQ):
     return freqs.astype(np.uint16)
 
 
+def quantize_freqs_batch(counts_rows, scale_bits=SCALE_BITS,
+                         min_freq=MIN_FREQ):
+    """Row-vectorized :func:`quantize_freqs`: (K, 256) -> (K, 256).
+
+    Bit-identical to calling the scalar version per row (same stable
+    largest-remainder ordering, same one-unit steal tie-breaking);
+    exists because the segment-table clustering quantizes many
+    candidate tables per Lloyd iteration. Every row must have >= 2
+    present symbols (callers pre-handle constant rows).
+    """
+    counts = np.asarray(counts_rows, dtype=np.int64)
+    K = counts.shape[0]
+    totals = counts.sum(axis=1, keepdims=True)
+    assert np.all(totals > 0)
+    present = counts > 0
+    n_present = present.sum(axis=1)
+    assert np.all(n_present >= 2)
+    scale = 1 << scale_bits
+    assert scale % min_freq == 0
+    q = scale // min_freq
+    assert np.all(n_present * min_freq <= scale)
+    ideal = counts * q / totals
+    freqs = np.floor(ideal).astype(np.int64)
+    freqs = np.where(present, np.maximum(freqs, 1), 0)
+    remainder = q - freqs.sum(axis=1)
+    frac = np.where(present, ideal - np.floor(ideal), -1.0)
+    order = np.argsort(-frac, axis=1, kind='stable')
+    rank = np.empty_like(order)
+    np.put_along_axis(rank, order, np.broadcast_to(np.arange(256),
+                                                   (K, 256)), axis=1)
+    freqs += (rank < np.maximum(remainder, 0)[:, None])
+    over = freqs.sum(axis=1) - q
+    while np.any(over > 0):
+        rows = np.nonzero(over > 0)[0]
+        k = np.argmax(freqs[rows], axis=1)       # first max, like argmax
+        assert np.all(freqs[rows, k] > 1), "cannot rebalance table"
+        freqs[rows, k] -= 1
+        over[rows] -= 1
+    freqs *= min_freq
+    assert np.all(freqs.sum(axis=1) == scale)
+    return freqs.astype(np.uint16)
+
+
 def cumulative_freqs(freqs):
     """Exclusive prefix sum along the last axis (uint32)."""
     freqs = np.asarray(freqs)

@@ -256,6 +256,32 @@ def test_cluster_segment_tables_objective():
         assert int(nz.min()) >= rans.MIN_FREQ
 
 
+def test_quantize_freqs_batch_matches_scalar():
+    """The row-vectorized quantizer is bit-identical to the normative
+    scalar one (same apportionment ordering and steal tie-breaking)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for _ in range(60):
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            c = rng.integers(0, 1000, size=256)
+        elif kind == 1:                          # sparse alphabets
+            c = np.zeros(256, np.int64)
+            idx = rng.choice(256, size=int(rng.integers(2, 9)),
+                             replace=False)
+            c[idx] = rng.integers(1, 100000, size=idx.size)
+        else:                                    # heavy skew
+            c = rng.integers(0, 3, size=256)
+            c[int(rng.integers(0, 256))] = 10 ** 6
+        if (c > 0).sum() < 2:
+            c[:2] += 1
+        rows.append(c)
+    rows = np.stack(rows)
+    batch = rans.quantize_freqs_batch(rows)
+    for r in range(rows.shape[0]):
+        assert np.array_equal(batch[r], rans.quantize_freqs(rows[r]))
+
+
 def test_cluster_single_symbol_cluster():
     # A cluster of all-constant segments still yields a valid table.
     hists = np.zeros((4, 256), dtype=np.int64)
