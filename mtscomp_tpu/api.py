@@ -346,6 +346,7 @@ class Reader:
         self.cache_size = self.config.cache_size
         self.check_after_decompress = self.config.check_after_decompress
         self._device = self.config.device
+        self._chunk_decode_threads = max(1, int(self.config.n_threads))
 
     def open(self, cdata, cmeta=None):
         """Open the compressed file and parse its sidecar."""
@@ -402,8 +403,13 @@ class Reader:
         i0, i1 = self.chunk_bounds[chunk_idx:chunk_idx + 2]
         ns = i1 - i0
         try:
+            # Random access decodes one chunk at a time, so the native
+            # decoder may thread across the chunk's GROUPS; pooled bulk
+            # paths set _chunk_decode_threads to 1 (they already run
+            # one chunk per pool worker).
             chunkd = self.codec.decode(cbuffer, ns, self.n_channels,
-                                       self.dtype, order=self.chunk_order)
+                                       self.dtype, order=self.chunk_order,
+                                       n_threads=self._chunk_decode_threads)
         except IOError:
             raise
         except Exception:
@@ -492,12 +498,14 @@ class Reader:
     def start_thread_pool(self):
         if self.pool is None:
             self.pool = ThreadPoolExecutor(self.batch_size)
+            self._chunk_decode_threads = 1
         return self.pool
 
     def stop_thread_pool(self):
         if self.pool is not None:
             self.pool.shutdown()
             self.pool = None
+            self._chunk_decode_threads = max(1, int(self.config.n_threads))
 
     def _use_device(self):
         """Whether bulk decodes should go through the device pipeline."""

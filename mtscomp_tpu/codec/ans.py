@@ -463,7 +463,8 @@ class AnsCodec:
 
     # --- decode -----------------------------------------------------------
 
-    def decode(self, payload, n_samples, n_channels, dtype, order='F'):
+    def decode(self, payload, n_samples, n_channels, dtype, order='F',
+               n_threads=1):
         dtype = np.dtype(dtype)
         parsed = self.parse(payload)
         n_elems = parsed['n_elems']
@@ -476,14 +477,9 @@ class AnsCodec:
         n_head = parsed['n_head']
         n_coded = n_elems - n_head
         n_stream = parsed['n_stream']
-        planes = np.empty((n_coded, parsed['itemsize']), dtype=np.uint8)
         bufs = {}
         for p, plane in enumerate(parsed['planes']):
-            if plane['mode'] == MODE_CONST:
-                planes[:, p] = plane['value']
-            elif plane['mode'] == MODE_RAW:
-                planes[:, p] = plane['raw']
-            else:
+            if plane['mode'] == MODE_RANS:
                 bufs[p] = np.empty(n_stream, dtype=np.uint8)
         groups = parsed['groups']
         used_list = None
@@ -503,7 +499,8 @@ class AnsCodec:
                      [bufs[p][start:start + n]
                       for p, start, n in g['segments']])
                     for g, fq in zip(groups, freq_stacks)]
-                used_list = native.rans_decode_groups(native_groups)
+                used_list = native.rans_decode_groups(
+                    native_groups, n_threads=max(1, int(n_threads)))
         if used_list is not None:
             for group, used in zip(groups, used_list):
                 if used != group['words'].size:
@@ -521,6 +518,35 @@ class AnsCodec:
                         % (used, group['words'].size))
                 for (p, start, n), row in zip(group['segments'], rows):
                     bufs[p][start:start + n] = row
+        # Fused native finalize for the standard 2-byte aligned layout:
+        # combine planes + inverse zigzag + pad-drop + transpose in one
+        # blocked C pass (the host analogue of the device pipeline's
+        # fused u8 finalize kernel); bit-identical to the NumPy path.
+        if (parsed['aligned'] and parsed['zigzag'] and dtype.itemsize == 2
+                and dtype.kind in 'iu' and n_head == n_channels
+                and dtype.byteorder in '<='):
+            from .. import native
+            desc = []
+            for p in range(2):
+                pl = parsed['planes'][p]
+                if pl['mode'] == MODE_CONST:
+                    desc.append((2, pl['value']))
+                elif pl['mode'] == MODE_RAW:
+                    desc.append((1, np.ascontiguousarray(pl['raw'])))
+                else:
+                    desc.append((0, bufs[p]))
+            out = np.empty((n_samples, n_channels), dtype=dtype)
+            out[0] = parsed['head'].view(dtype)
+            if native.fuse2_i16(desc[0], desc[1], n_channels,
+                                parsed['tp'], parsed['tcs'], out[1:]):
+                return out
+
+        planes = np.empty((n_coded, parsed['itemsize']), dtype=np.uint8)
+        for p, plane in enumerate(parsed['planes']):
+            if plane['mode'] == MODE_CONST:
+                planes[:, p] = plane['value']
+            elif plane['mode'] == MODE_RAW:
+                planes[:, p] = plane['raw']
         for p, buf in bufs.items():
             if parsed['aligned']:
                 # Drop the per-channel zero pads.

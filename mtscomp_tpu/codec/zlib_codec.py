@@ -32,8 +32,14 @@ class ZlibCodec:
         """Compress a diffed chunk; returns the raw zlib stream."""
         return zlib.compress(chunkd.tobytes(order=order))
 
-    def decode(self, payload, n_samples, n_channels, dtype, order='F'):
-        """Inflate a payload back into the diffed chunk array."""
+    def decode(self, payload, n_samples, n_channels, dtype, order='F',
+               n_threads=1):
+        """Inflate a payload back into the diffed chunk array.
+
+        ``n_threads`` is accepted for codec-interface parity and
+        ignored: one zlib stream is inherently sequential (the very
+        limitation the ans format's grouped lanes remove).
+        """
         try:
             raw = zlib.decompress(payload)
         except Exception as e:

@@ -93,6 +93,14 @@ def _load_locked():
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_size_t), ctypes.c_int]
+    lib.mts_cumsum_axis0.restype = ctypes.c_int
+    lib.mts_cumsum_axis0.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int]
+    lib.mts_fuse2_i16.restype = ctypes.c_int
+    lib.mts_fuse2_i16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
     lib.mts_rans_decode_batch.restype = ctypes.c_int
     lib.mts_rans_decode_batch.argtypes = [
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -268,3 +276,47 @@ def rans_decode_groups(groups, n_threads=1):
     if rc != 0:
         return None
     return [int(words_used[g]) for g in range(n)]
+
+
+def cumsum_axis0_inplace(arr):
+    """In-place axis-0 modular cumsum of a C-contiguous 2-D int array.
+
+    Returns True on success; False when the library is unavailable or
+    the dtype/layout is unsupported (caller falls back to NumPy).
+    Bit-identical to ``np.cumsum(arr, axis=0, out=arr)`` for integer
+    dtypes (both wrap mod 2**bits).
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    if arr.ndim != 2 or not arr.flags.c_contiguous \
+            or arr.dtype.kind not in 'iu' \
+            or arr.dtype.itemsize not in (1, 2, 4, 8):
+        return False
+    rc = lib.mts_cumsum_axis0(arr.ctypes.data, arr.shape[0], arr.shape[1],
+                              arr.dtype.itemsize)
+    return rc == 0
+
+
+def fuse2_i16(lo, hi, C, tp, tcs, out_body):
+    """Fused combine+unzigzag+transpose for 2-byte aligned containers.
+
+    ``lo``/``hi``: per-plane (kind, operand) pairs — (0, padded uint8
+    stream), (1, unpadded raw uint8 bytes), (2, int constant value).
+    ``out_body`` is the (tcs, C) int16-compatible view at chunk row 1.
+    Returns True on success; False -> caller uses the NumPy path.
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    import numpy as np
+    args = []
+    for kind, operand in (lo, hi):
+        if kind == 2:
+            args += [None, 2, int(operand)]
+        else:
+            assert operand.dtype == np.uint8 and operand.flags.c_contiguous
+            args += [operand.ctypes.data, int(kind), 0]
+    assert out_body.flags.c_contiguous and out_body.dtype.itemsize == 2
+    rc = lib.mts_fuse2_i16(*args, C, tp, tcs, out_body.ctypes.data)
+    return rc == 0

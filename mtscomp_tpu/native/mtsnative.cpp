@@ -323,3 +323,72 @@ int mts_inflate_batch(int n, const uint8_t** in, const size_t* in_len,
 }
 
 }  // extern "C"
+
+// In-place cumulative sum along axis 0 of a C-contiguous (ns, nc)
+// integer array: row t += row t-1, walking memory row-major (NumPy's
+// cumsum reduces column-by-column with a huge stride here, which is
+// cache-hostile on wide channel counts; this loop vectorizes and runs
+// memory-bound). Unsigned arithmetic gives the defined mod-2^bits
+// wraparound the format's exactness contract requires — bit-identical
+// to NumPy's same-dtype cumsum.
+template <typename T>
+static void cumsum_axis0(T* buf, size_t ns, size_t nc) {
+  for (size_t t = 1; t < ns; ++t) {
+    T* prev = buf + (t - 1) * nc;
+    T* cur = buf + t * nc;
+    for (size_t c = 0; c < nc; ++c) cur[c] = (T)(cur[c] + prev[c]);
+  }
+}
+
+// Fused finalize for the standard 2-byte aligned container: combine the
+// two byte planes, invert zigzag and transpose channel-major plane
+// streams into the (time, channel) output — one blocked pass instead of
+// NumPy's plane-scatter + view-join + 4-temporary zigzag + F-order
+// reshape copy (the host analogue of the device pipeline's fused u8
+// finalize kernel). Plane kinds: 0 = padded channel-major (C, tp)
+// stream (RANS), 1 = unpadded channel-major (C, tcs) bytes (RAW),
+// 2 = constant byte. ``out`` points at chunk row 1 (the caller writes
+// the verbatim head row); rows are C int16 each.
+static inline const uint8_t* plane_at(const uint8_t* p, int kind,
+                                      size_t c, size_t tp, size_t tcs) {
+  return p + c * (kind == 1 ? tcs : tp);
+}
+
+extern "C" int mts_fuse2_i16(
+    const uint8_t* lo, int lo_kind, int lo_const,
+    const uint8_t* hi, int hi_kind, int hi_const,
+    size_t C, size_t tp, size_t tcs, int16_t* out) {
+  const size_t TB = 128, CB = 128;   // L1-resident transpose tiles
+  for (size_t t0 = 0; t0 < tcs; t0 += TB) {
+    size_t t1 = t0 + TB < tcs ? t0 + TB : tcs;
+    for (size_t c0 = 0; c0 < C; c0 += CB) {
+      size_t c1 = c0 + CB < C ? c0 + CB : C;
+      for (size_t t = t0; t < t1; ++t) {
+        int16_t* orow = out + t * C;
+        for (size_t c = c0; c < c1; ++c) {
+          uint16_t lv = lo_kind == 2
+              ? (uint16_t)lo_const
+              : (uint16_t)plane_at(lo, lo_kind, c, tp, tcs)[t];
+          uint16_t hv = hi_kind == 2
+              ? (uint16_t)hi_const
+              : (uint16_t)plane_at(hi, hi_kind, c, tp, tcs)[t];
+          uint16_t u = (uint16_t)(lv | (uint16_t)(hv << 8));
+          uint16_t s = (uint16_t)((u >> 1) ^ (uint16_t)(-(uint16_t)(u & 1)));
+          orow[c] = (int16_t)s;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+extern "C" int mts_cumsum_axis0(void* buf, size_t ns, size_t nc,
+                                int itemsize) {
+  switch (itemsize) {
+    case 1: cumsum_axis0(static_cast<uint8_t*>(buf), ns, nc); return 0;
+    case 2: cumsum_axis0(static_cast<uint16_t*>(buf), ns, nc); return 0;
+    case 4: cumsum_axis0(static_cast<uint32_t*>(buf), ns, nc); return 0;
+    case 8: cumsum_axis0(static_cast<uint64_t*>(buf), ns, nc); return 0;
+    default: return -1;
+  }
+}

