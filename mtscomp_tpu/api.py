@@ -414,10 +414,13 @@ class Reader:
             raise
         except Exception:
             raise IOError("Compressed chunk #%d is corrupted." % chunk_idx)
+        # inplace: codec.decode output is a private buffer (or a
+        # read-only view, which the helper detects and copies).
         chunki = cumsum_along_axis(
             chunkd, axis=1 if self.cmeta.do_spatial_diff else None)
         chunki = cumsum_along_axis(
-            chunki, axis=0 if self.cmeta.do_time_diff else None)
+            chunki, axis=0 if self.cmeta.do_time_diff else None,
+            inplace=True)
         assert chunki.dtype == self.dtype
         assert chunki.shape == (ns, self.n_channels)
         return np.ascontiguousarray(chunki)
@@ -686,6 +689,12 @@ class Reader:
             assert 0 <= a <= b <= arr.shape[0]
             out = arr[a:b:item.step, :]
             assert out.shape[0] == len(range(i0, i1, item.step or 1))
+            if len(chunks) == 1:
+                # Never hand out views of LRU-cached chunks: the
+                # reference always returns fresh arrays (concatenate
+                # with out=, mtscomp.py:815-819), so results must stay
+                # safely writable by callers.
+                out = out.copy()
             return out
         elif isinstance(item, tuple):
             if len(item) == 1:

@@ -17,6 +17,10 @@
 
 #include <zlib.h>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---- grouped interleaved rANS encoder (normative spec: models/rans.py) ----
@@ -119,6 +123,84 @@ struct DecodeTask {
   int error;
 };
 
+// Packed per-slot decode entry: sym << 24 | freq << 12 | cum. One L1
+// lookup yields everything the state update needs. freq fits 12 bits
+// because present symbols cap at SCALE - MIN_FREQ = 4088 (>= 2 present
+// symbols whenever a plane is RANS-coded).
+//
+// States fit uint32: the invariant keeps x < 2^32, and the update
+// f * (x >> 12) + (slot - cum) <= 4088 * (2^20 - 1) + 4095 < 2^32.
+
+#if defined(__x86_64__)
+__attribute__((target("avx512f,avx512bw,avx512dq,avx512vl")))
+static int decode_span_avx512(uint32_t* xr, const uint32_t* table,
+                              uint8_t* out, int jmax,
+                              const uint16_t* words, size_t n_words,
+                              size_t* pos_io) {
+  // 16 lanes per vector; lane order == scalar order, and vpexpandd
+  // hands the next words to needy lanes in ascending-lane order —
+  // exactly the decoder-order merged stream contract.
+  size_t pos = *pos_io;
+  const __m512i m4095 = _mm512_set1_epi32(4095);
+  int j = 0;
+  for (; j + 16 <= jmax; j += 16) {
+    __m512i x = _mm512_loadu_si512(reinterpret_cast<const void*>(xr + j));
+    __m512i slot = _mm512_and_epi32(x, m4095);
+    __m512i e = _mm512_i32gather_epi32(slot, table, 4);
+    __m128i syms = _mm512_cvtepi32_epi8(_mm512_srli_epi32(e, 24));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out + j), syms);
+    __m512i f = _mm512_and_epi32(_mm512_srli_epi32(e, 12), m4095);
+    __m512i cum = _mm512_and_epi32(e, m4095);
+    x = _mm512_add_epi32(_mm512_sub_epi32(slot, cum),
+                         _mm512_mullo_epi32(f, _mm512_srli_epi32(x, 12)));
+    __mmask16 need =
+        _mm512_cmplt_epu32_mask(x, _mm512_set1_epi32(65536));
+    const int cnt = __builtin_popcount(static_cast<unsigned>(need));
+    if (cnt) {
+      if (pos + static_cast<size_t>(cnt) > n_words) return 2;
+      __m256i w16;
+      if (pos + 16 <= n_words) {
+        w16 = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(words + pos));
+      } else {
+        alignas(32) uint16_t tmp[16] = {0};
+        std::memcpy(tmp, words + pos, (n_words - pos) * sizeof(uint16_t));
+        w16 = _mm256_load_si256(reinterpret_cast<const __m256i*>(tmp));
+      }
+      __m512i w32 = _mm512_cvtepu16_epi32(w16);
+      __m512i wexp = _mm512_maskz_expand_epi32(need, w32);
+      __m512i xre = _mm512_or_epi32(_mm512_slli_epi32(x, 16), wexp);
+      x = _mm512_mask_mov_epi32(x, need, xre);
+      pos += cnt;
+    }
+    _mm512_storeu_si512(reinterpret_cast<void*>(xr + j), x);
+  }
+  *pos_io = pos;
+  // Scalar tail lanes (jmax not a multiple of 16).
+  for (; j < jmax; ++j) {
+    uint32_t xx = xr[j];
+    const uint32_t slot = xx & 4095u;
+    const uint32_t e = table[slot];
+    out[j] = static_cast<uint8_t>(e >> 24);
+    xx = ((e >> 12) & 4095u) * (xx >> kScaleBits) + slot - (e & 4095u);
+    if (xx < kRansL) {
+      if (*pos_io >= n_words) return 2;
+      xx = (xx << 16) | words[(*pos_io)++];
+    }
+    xr[j] = xx;
+  }
+  return 0;
+}
+
+static bool cpu_has_avx512() {
+  static const bool v = __builtin_cpu_supports("avx512f") &&
+                        __builtin_cpu_supports("avx512bw") &&
+                        __builtin_cpu_supports("avx512dq") &&
+                        __builtin_cpu_supports("avx512vl");
+  return v;
+}
+#endif  // __x86_64__
+
 void decode_group(DecodeTask& t) {
   const int R = t.n_rows;
   int S = 0;
@@ -126,23 +208,27 @@ void decode_group(DecodeTask& t) {
     int s = (t.counts[r] + kLanes - 1) / kLanes;
     if (s > S) S = s;
   }
-  // Per-row dense slot -> symbol tables (4096 entries) + cumfreqs.
-  std::vector<uint8_t> slot2sym(static_cast<size_t>(R) * 4096);
-  std::vector<uint32_t> cum(static_cast<size_t>(R) * 256);
+  // Per-row packed slot tables (4096 x u32: sym | freq | cum).
+  std::vector<uint32_t> table(static_cast<size_t>(R) * 4096);
   for (int r = 0; r < R; ++r) {
     uint32_t c = 0;
-    uint8_t* s2s = &slot2sym[static_cast<size_t>(r) * 4096];
+    uint32_t* tb = &table[static_cast<size_t>(r) * 4096];
     for (int sym = 0; sym < 256; ++sym) {
       const uint32_t f = t.freqs[r][sym];
-      cum[r * 256 + sym] = c;
-      if (c + f > (1u << kScaleBits)) { t.error = 3; return; }  // corrupt
-      for (uint32_t k = 0; k < f; ++k) s2s[c + k] = static_cast<uint8_t>(sym);
+      if (c + f > (1u << kScaleBits) || f > 4095u) {  // corrupt table
+        t.error = 3;
+        return;
+      }
+      const uint32_t e = (static_cast<uint32_t>(sym) << 24) | (f << 12) | c;
+      for (uint32_t k = 0; k < f; ++k) tb[c + k] = e;
       c += f;
     }
     if (c != (1u << kScaleBits)) { t.error = 3; return; }
   }
-  std::vector<uint64_t> x(static_cast<size_t>(R) * kLanes);
-  for (size_t i = 0; i < x.size(); ++i) x[i] = t.states[i];
+#if defined(__x86_64__)
+  const bool use_avx512 = cpu_has_avx512();
+#endif
+  std::vector<uint32_t> x(t.states, t.states + static_cast<size_t>(R) * kLanes);
   size_t pos = 0;
   for (int s = 0; s < S; ++s) {
     const int base = s * kLanes;
@@ -150,18 +236,23 @@ void decode_group(DecodeTask& t) {
       const int hi = t.counts[r] - base;
       if (hi <= 0) continue;
       const int jmax = hi < kLanes ? hi : kLanes;
-      const uint8_t* s2s = &slot2sym[static_cast<size_t>(r) * 4096];
-      const uint16_t* freq = t.freqs[r];
-      const uint32_t* cumr = &cum[r * 256];
-      uint64_t* xr = &x[static_cast<size_t>(r) * kLanes];
+      const uint32_t* tb = &table[static_cast<size_t>(r) * 4096];
+      uint32_t* xr = &x[static_cast<size_t>(r) * kLanes];
       uint8_t* out = t.rows_out[r] + base;
+#if defined(__x86_64__)
+      if (use_avx512) {
+        const int rc = decode_span_avx512(xr, tb, out, jmax, t.words,
+                                          t.n_words, &pos);
+        if (rc) { t.error = rc; return; }
+        continue;
+      }
+#endif
       for (int j = 0; j < jmax; ++j) {
-        uint64_t xx = xr[j];
-        const uint32_t slot = static_cast<uint32_t>(xx) & 4095u;
-        const uint8_t sym = s2s[slot];
-        out[j] = sym;
-        xx = static_cast<uint64_t>(freq[sym]) * (xx >> kScaleBits) + slot -
-             cumr[sym];
+        uint32_t xx = xr[j];
+        const uint32_t slot = xx & 4095u;
+        const uint32_t e = tb[slot];
+        out[j] = static_cast<uint8_t>(e >> 24);
+        xx = ((e >> 12) & 4095u) * (xx >> kScaleBits) + slot - (e & 4095u);
         if (xx < kRansL) {
           if (pos >= t.n_words) { t.error = 2; return; }
           xx = (xx << 16) | t.words[pos++];

@@ -34,7 +34,7 @@ def diff_along_axis(chunk, axis=None):
     return out
 
 
-def cumsum_along_axis(chunk, axis=None):
+def cumsum_along_axis(chunk, axis=None, inplace=False):
     """Inverse of :func:`diff_along_axis`: in-dtype cumulative sum.
 
     The accumulation dtype equals the input dtype on purpose — modular
@@ -44,13 +44,19 @@ def cumsum_along_axis(chunk, axis=None):
     the sum runs in the native runtime, which walks memory row-major
     (NumPy's axis-0 cumsum strides column-by-column, cache-hostile at
     hundreds of channels; the native loop is ~10x faster on the
-    385-channel decode path and bit-identical).
+    385-channel decode path and bit-identical). ``inplace=True`` lets a
+    caller that owns the buffer (the decode path: codec output is
+    private) skip the defensive copy; the input may then be mutated and
+    returned.
     """
     if axis is None:
         return chunk
     assert 0 <= axis < chunk.ndim
     if axis == 0 and chunk.ndim == 2 and chunk.dtype.kind in 'iu':
         from .. import native
+        if inplace and chunk.flags.c_contiguous and chunk.flags.writeable:
+            if native.cumsum_axis0_inplace(chunk):
+                return chunk
         out = np.ascontiguousarray(chunk)
         out = out.copy() if out is chunk else out
         if native.cumsum_axis0_inplace(out):

@@ -909,7 +909,10 @@ class DeviceChunkCache:
             b = min(i1, c1) - c0
             parts.append(self._chunk(idx)[a:b])
         dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        return np.asarray(dev)
+        # np.array (not asarray): the download must be a fresh writable
+        # host array, never a read-only view of cached device memory
+        # (reference windows are writable, mtscomp.py:815-831).
+        return np.array(dev)
 
 
 def decompress_to_array(reader, first_chunk=0, last_chunk=None):

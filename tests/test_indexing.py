@@ -153,3 +153,14 @@ def test_lru_cache(reader_and_arr):
     info = r.read_chunk.cache_info()
     assert info.hits >= 1
     assert info.misses >= 1
+
+
+def test_window_results_are_safely_writable(reader_and_arr):
+    """Mutating a returned window must never corrupt later reads (the
+    reference always returns fresh arrays; views of the LRU-cached
+    chunks would alias)."""
+    r, arr = reader_and_arr
+    win = r[10:50]
+    win[:] = -1
+    again = np.asarray(r[10:50])
+    assert np.array_equal(again, np.asarray(arr[10:50], dtype=again.dtype))
