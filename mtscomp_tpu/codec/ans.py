@@ -331,14 +331,11 @@ class AnsCodec:
             and chunkd.shape[1] < 65536
         if split_head:
             head = np.ascontiguousarray(chunkd[0])
-            elements = chunkd[1:].ravel(order=order)
             n_head = head.size
         else:
             head = None
-            elements = chunkd.ravel(order=order)
             n_head = 0
-        planes = split_planes(elements, zigzag)
-        n_coded = elements.size
+        n_coded = n_elems - n_head
 
         # Channel-aligned segments (flag bit2): pad each channel's plane
         # stream to a 128-multiple so decoded rows ARE the (C, T) layout.
@@ -353,17 +350,40 @@ class AnsCodec:
             seg = self.seg
             n_stream = n_coded
 
+        # Fused native prep for the standard 2-byte aligned layout
+        # (zigzag + byte split + pad + transpose + histograms in one
+        # blocked pass — the encode mirror of the fused decode
+        # finalize); the generic NumPy pipeline handles everything else.
+        fast = None
+        if aligned and itemsize == 2:
+            from .. import native
+            fast = native.prepare2_i16(np.ascontiguousarray(chunkd[1:]),
+                                       tp)
+        if fast is None:
+            elements = (chunkd[1:] if split_head else chunkd
+                        ).ravel(order=order)
+            planes = split_planes(elements, zigzag)
+
         modes, plane_info, streams = [], [], {}
         multitable = False
         for p in range(itemsize):
-            plane = planes[:, p]
-            counts = np.bincount(plane, minlength=256)
+            if fast is not None:
+                stream, counts = fast[p], fast[2 + p]
+                plane = None
+            else:
+                plane = planes[:, p]
+                counts = np.bincount(plane, minlength=256)
             if counts.max() == counts.sum():
                 modes.append(MODE_CONST)
+                # The constant byte: argmax of a one-hot histogram ==
+                # the plane's single value.
                 plane_info.append(struct.pack('<BB', MODE_CONST,
-                                              int(plane[0])))
+                                              int(np.argmax(counts))))
                 continue
-            if aligned:
+            if fast is not None:
+                scounts = counts.copy()
+                scounts[0] += n_stream - n_coded
+            elif aligned:
                 # Coded stream includes the per-channel zero pads.
                 stream = np.zeros(n_stream, dtype=np.uint8)
                 stream.reshape(C, tp)[:, :tcs] = plane.reshape(C, tcs)
@@ -386,8 +406,9 @@ class AnsCodec:
                     ptables, tidx = ctables, cidx
             if cost >= n_coded:
                 modes.append(MODE_RAW)
-                plane_info.append(struct.pack('<B', MODE_RAW)
-                                  + plane.tobytes())
+                raw = (stream.reshape(C, tp)[:, :tcs].tobytes()
+                       if plane is None else plane.tobytes())
+                plane_info.append(struct.pack('<B', MODE_RAW) + raw)
             else:
                 modes.append(MODE_RANS)
                 streams[p] = np.ascontiguousarray(stream)

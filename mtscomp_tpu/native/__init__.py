@@ -96,6 +96,10 @@ def _load_locked():
     lib.mts_cumsum_axis0.restype = ctypes.c_int
     lib.mts_cumsum_axis0.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int]
+    lib.mts_prepare2_i16.restype = ctypes.c_int
+    lib.mts_prepare2_i16.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.mts_fuse2_i16.restype = ctypes.c_int
     lib.mts_fuse2_i16.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -320,3 +324,33 @@ def fuse2_i16(lo, hi, C, tp, tcs, out_body):
     assert out_body.flags.c_contiguous and out_body.dtype.itemsize == 2
     rc = lib.mts_fuse2_i16(*args, C, tp, tcs, out_body.ctypes.data)
     return rc == 0
+
+
+def prepare2_i16(body, tp):
+    """Fused encode prep for 2-byte aligned containers.
+
+    ``body``: the diffed chunk minus its head row — (tcs, C) int16/
+    uint16, C-contiguous. Returns ``(lo, hi, hist_lo, hist_hi)`` — the
+    two zero-padded channel-major (C*tp,) uint8 plane streams and the
+    per-plane 256-bin histograms of the DATA symbols (pads excluded) —
+    or None when the library is unavailable or the layout unsupported.
+    """
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    if body.ndim != 2 or not body.flags.c_contiguous \
+            or body.dtype.itemsize != 2 or body.dtype.kind not in 'iu' \
+            or body.dtype.byteorder not in '<=':
+        return None
+    tcs, C = body.shape
+    lo = np.zeros(C * tp, dtype=np.uint8)
+    hi = np.zeros(C * tp, dtype=np.uint8)
+    hist_lo = np.empty(256, dtype=np.uint32)
+    hist_hi = np.empty(256, dtype=np.uint32)
+    rc = lib.mts_prepare2_i16(body.ctypes.data, C, tp, tcs,
+                              lo.ctypes.data, hi.ctypes.data,
+                              hist_lo.ctypes.data, hist_hi.ctypes.data)
+    if rc != 0:  # pragma: no cover
+        return None
+    return lo, hi, hist_lo.astype(np.int64), hist_hi.astype(np.int64)

@@ -34,6 +34,10 @@ constexpr int kLanes = 128;
 constexpr uint32_t kScaleBits = 12;
 constexpr uint64_t kRansL = 1ull << 16;
 
+#if defined(__x86_64__)
+static bool cpu_has_avx512();
+#endif
+
 struct GroupTask {
   const uint8_t* const* rows;   // R pointers
   const int* counts;            // R
@@ -46,6 +50,102 @@ struct GroupTask {
   int error;
 };
 
+// Per-symbol packed encoder tables (the same division-free reciprocal
+// scheme as models/rans.py encoder_tables and the Pallas encode
+// kernel): pk = rcp_shift << 25 | cmpl << 12 | cum with cmpl =
+// 4096 - f, and rcp the 32 low bits of ceil(2^(32+shift)/f) - 2^32;
+// q = ((x - mulhi(x, rcp)) >> 1 + mulhi(x, rcp)) >> rcp_shift == x/f
+// exactly for all 32-bit x. The state update becomes
+// x + cum + q * cmpl — no vector division anywhere.
+static void build_enc_tables(const uint16_t* freq, uint32_t* pk,
+                             uint32_t* rcp) {
+  uint32_t c = 0;
+  for (int sym = 0; sym < 256; ++sym) {
+    const uint32_t f = freq[sym];
+    uint32_t shift = 0, r = 0;
+    if (f >= 2) {
+      while ((1u << shift) < f) ++shift;
+      const uint64_t m =
+          ((1ull << (32 + shift)) + f - 1) / f;        // in [2^32, 2^33)
+      r = static_cast<uint32_t>(m - (1ull << 32));
+    }
+    const uint32_t rcp_shift = shift > 0 ? shift - 1 : 0;
+    pk[sym] = (rcp_shift << 25) | ((4096u - f) << 12) | c;
+    rcp[sym] = r;
+    c += f;
+  }
+}
+
+#if defined(__x86_64__)
+__attribute__((target("avx512f,avx512bw,avx512dq,avx512vl")))
+static int encode_span_avx512(uint32_t* xr, const uint32_t* pk,
+                              const uint32_t* rcp, const uint8_t* syms,
+                              int jmax, uint16_t* scratch) {
+  // Backward-pass step body for one row: emit (pre-update, ascending
+  // lane order via compress-store) then the reciprocal state update.
+  int emitted = 0;
+  int j = 0;
+  const __m512i m4095 = _mm512_set1_epi32(4095);
+  const __m512i m16 = _mm512_set1_epi32(0xFFFF);
+  const __m512i lo32 = _mm512_set1_epi64(0xFFFFFFFFll);
+  for (; j + 16 <= jmax; j += 16) {
+    __m512i x = _mm512_loadu_si512(reinterpret_cast<const void*>(xr + j));
+    __m512i sym = _mm512_cvtepu8_epi32(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(syms + j)));
+    __m512i e = _mm512_i32gather_epi32(sym, pk, 4);
+    __m512i r = _mm512_i32gather_epi32(sym, rcp, 4);
+    __m512i cmpl = _mm512_and_epi32(_mm512_srli_epi32(e, 12),
+                                    _mm512_set1_epi32(0x1FFF));
+    __m512i f = _mm512_sub_epi32(_mm512_set1_epi32(4096), cmpl);
+    // Emit where x >= f << 20 (u32 compare; f << 20 <= 4088 << 20 < 2^32).
+    __m512i thr = _mm512_slli_epi32(f, 20);
+    __mmask16 emit = _mm512_cmpge_epu32_mask(x, thr);
+    const int cnt = __builtin_popcount(static_cast<unsigned>(emit));
+    if (cnt) {
+      __m512i low = _mm512_maskz_compress_epi32(
+          emit, _mm512_and_epi32(x, m16));
+      __m256i w16 = _mm512_cvtepi32_epi16(low);
+      _mm256_mask_storeu_epi16(scratch + emitted,
+                               static_cast<__mmask16>((1u << cnt) - 1),
+                               w16);
+      emitted += cnt;
+      x = _mm512_mask_srli_epi32(x, emit, x, 16);
+    }
+    // q = x / f via round-up reciprocal; mulhi32 from two 64-bit muls.
+    __m512i prod_e = _mm512_mul_epu32(x, r);
+    __m512i prod_o = _mm512_mul_epu32(_mm512_srli_epi64(x, 32),
+                                      _mm512_srli_epi64(r, 32));
+    __m512i hi_e = _mm512_srli_epi64(prod_e, 32);
+    __m512i hi = _mm512_mask_blend_epi32(
+        0xAAAA, hi_e, _mm512_andnot_epi64(lo32, prod_o));
+    __m512i xmt = _mm512_srli_epi32(_mm512_sub_epi32(x, hi), 1);
+    __m512i shift = _mm512_srli_epi32(e, 25);
+    __m512i q = _mm512_srlv_epi32(_mm512_add_epi32(xmt, hi), shift);
+    __m512i cum = _mm512_and_epi32(e, m4095);
+    x = _mm512_add_epi32(x, _mm512_add_epi32(
+            cum, _mm512_mullo_epi32(q, cmpl)));
+    _mm512_storeu_si512(reinterpret_cast<void*>(xr + j), x);
+  }
+  for (; j < jmax; ++j) {
+    const uint8_t sym = syms[j];
+    const uint32_t e = pk[sym];
+    const uint32_t cmpl = (e >> 12) & 0x1FFF;
+    const uint32_t f = 4096u - cmpl;
+    uint32_t xx = xr[j];
+    if (xx >= (f << 20)) {
+      scratch[emitted++] = static_cast<uint16_t>(xx & 0xFFFF);
+      xx >>= 16;
+    }
+    const uint32_t hi =
+        static_cast<uint32_t>((static_cast<uint64_t>(xx) * rcp[sym]) >> 32);
+    const uint32_t q = (((xx - hi) >> 1) + hi) >> (e >> 25);
+    xx = xx + (e & 4095u) + q * cmpl;
+    xr[j] = xx;
+  }
+  return emitted;
+}
+#endif  // __x86_64__
+
 void encode_group(GroupTask& t) {
   const int R = t.n_rows;
   int S = 0;
@@ -53,8 +153,19 @@ void encode_group(GroupTask& t) {
     int s = (t.counts[r] + kLanes - 1) / kLanes;
     if (s > S) S = s;
   }
-  std::vector<uint64_t> x(static_cast<size_t>(R) * kLanes, kRansL);
+  std::vector<uint32_t> x(static_cast<size_t>(R) * kLanes,
+                          static_cast<uint32_t>(kRansL));
   std::vector<uint32_t> cum(static_cast<size_t>(R) * 256);
+#if defined(__x86_64__)
+  const bool use_avx512 = cpu_has_avx512();
+  std::vector<uint32_t> pk, rcp;
+  if (use_avx512) {
+    pk.resize(static_cast<size_t>(R) * 256);
+    rcp.resize(static_cast<size_t>(R) * 256);
+    for (int r = 0; r < R; ++r)
+      build_enc_tables(t.freqs[r], &pk[r * 256], &rcp[r * 256]);
+  }
+#endif
   for (int r = 0; r < R; ++r) {
     uint32_t c = 0;
     for (int sym = 0; sym < 256; ++sym) {
@@ -62,50 +173,51 @@ void encode_group(GroupTask& t) {
       c += t.freqs[r][sym];
     }
   }
-  // Emit backward into per-step scratch, then concatenate ascending.
-  std::vector<std::vector<uint16_t>> step_words(S);
-  size_t total_words = 0;
+  // Assemble the stream right-to-left in one buffer: steps are
+  // processed descending but laid out ascending, so step s's words go
+  // immediately before the already-written words of step s+1.
+  std::vector<uint16_t> big(t.words_cap);
+  size_t wpos = t.words_cap;
+  std::vector<uint16_t> scratch(static_cast<size_t>(R) * kLanes);
   for (int s = S - 1; s >= 0; --s) {
-    auto& out = step_words[s];
+    size_t step_n = 0;
     for (int r = 0; r < R; ++r) {
       const int base = s * kLanes;
       const int hi = t.counts[r] - base;
       if (hi <= 0) continue;
       const int jmax = hi < kLanes ? hi : kLanes;
-      const uint8_t* row = t.rows[r];
+      const uint8_t* row = t.rows[r] + base;
+      uint32_t* xr = &x[static_cast<size_t>(r) * kLanes];
+#if defined(__x86_64__)
+      if (use_avx512) {
+        step_n += encode_span_avx512(xr, &pk[r * 256], &rcp[r * 256],
+                                     row, jmax, scratch.data() + step_n);
+        continue;
+      }
+#endif
       const uint16_t* freq = t.freqs[r];
       const uint32_t* cumr = &cum[r * 256];
-      uint64_t* xr = &x[static_cast<size_t>(r) * kLanes];
       for (int j = 0; j < jmax; ++j) {
-        const uint8_t sym = row[base + j];
-        const uint64_t f = freq[sym];
-        uint64_t xx = xr[j];
+        const uint8_t sym = row[j];
+        const uint32_t f = freq[sym];
+        uint32_t xx = xr[j];
         if (xx >= (f << 20)) {
-          out.push_back(static_cast<uint16_t>(xx & 0xFFFF));
+          scratch[step_n++] = static_cast<uint16_t>(xx & 0xFFFF);
           xx >>= 16;
         }
-        xr[j] = (xx / f) * (1ull << kScaleBits) + (xx % f) + cumr[sym];
+        xr[j] = (xx / f) * (1u << kScaleBits) + (xx % f) + cumr[sym];
       }
     }
-    total_words += out.size();
+    if (step_n > wpos) {  // stream exceeds caller capacity
+      t.error = 1;
+      return;
+    }
+    wpos -= step_n;
+    std::memcpy(&big[wpos], scratch.data(), step_n * sizeof(uint16_t));
   }
-  if (total_words > t.words_cap) {
-    t.error = 1;
-    return;
-  }
-  // NOTE: within a step the backward pass visited rows ascending; the
-  // decoder reads row-major ascending too, so per-step order is right.
-  size_t w = 0;
-  for (int s = 0; s < S; ++s) {
-    std::memcpy(t.words_out + w, step_words[s].data(),
-                step_words[s].size() * sizeof(uint16_t));
-    w += step_words[s].size();
-  }
-  t.words_len = w;
-  for (int r = 0; r < R; ++r)
-    for (int j = 0; j < kLanes; ++j)
-      t.states_out[r * kLanes + j] =
-          static_cast<uint32_t>(x[static_cast<size_t>(r) * kLanes + j]);
+  t.words_len = t.words_cap - wpos;
+  std::memcpy(t.words_out, &big[wpos], t.words_len * sizeof(uint16_t));
+  for (size_t i = 0; i < x.size(); ++i) t.states_out[i] = x[i];
   t.error = 0;
 }
 
@@ -469,6 +581,64 @@ extern "C" int mts_fuse2_i16(
         }
       }
     }
+  }
+  return 0;
+}
+
+// Encode-side mirror of mts_fuse2_i16: read the diffed chunk body
+// (tcs, C) int16 time-major, zigzag, split bytes, and transpose into
+// the two padded channel-major (C, tp) plane streams while
+// accumulating per-plane histograms — one blocked pass replacing the
+// F-order ravel + zigzag + plane-split + pad-copy + two bincounts.
+// Histograms count DATA symbols only (pads are accounted by the
+// caller, matching the host codec's counts/scounts split). The lo/hi
+// buffers must arrive zeroed (the pad regions are never written).
+extern "C" int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
+                                size_t tcs, uint8_t* lo, uint8_t* hi,
+                                uint32_t* hist_lo, uint32_t* hist_hi) {
+  // 4 histogram banks per plane: consecutive elements hit different
+  // banks, breaking the store-to-load dependency chain on hot bins
+  // (the hi plane is near-constant, so an unbanked histogram
+  // serializes one RMW per element).
+  std::vector<uint32_t> banks(8 * 256, 0);
+  uint32_t* bl = banks.data();
+  uint32_t* bh = banks.data() + 4 * 256;
+  const size_t TB = 128, CB = 128;
+  for (size_t c0 = 0; c0 < C; c0 += CB) {
+    size_t c1 = c0 + CB < C ? c0 + CB : C;
+    for (size_t t0 = 0; t0 < tcs; t0 += TB) {
+      size_t t1 = t0 + TB < tcs ? t0 + TB : tcs;
+      for (size_t t = t0; t < t1; ++t) {
+        const int16_t* row = chunk + t * C;
+        size_t c = c0;
+        for (; c + 4 <= c1; c += 4) {
+          for (int u4 = 0; u4 < 4; ++u4) {
+            const uint16_t v = static_cast<uint16_t>(row[c + u4]);
+            const uint16_t u = static_cast<uint16_t>(
+                (v << 1) ^ static_cast<uint16_t>(
+                               -static_cast<uint16_t>(v >> 15)));
+            lo[(c + u4) * tp + t] = static_cast<uint8_t>(u);
+            hi[(c + u4) * tp + t] = static_cast<uint8_t>(u >> 8);
+            ++bl[u4 * 256 + static_cast<uint8_t>(u)];
+            ++bh[u4 * 256 + static_cast<uint8_t>(u >> 8)];
+          }
+        }
+        for (; c < c1; ++c) {
+          const uint16_t v = static_cast<uint16_t>(row[c]);
+          const uint16_t u = static_cast<uint16_t>(
+              (v << 1) ^ static_cast<uint16_t>(
+                             -static_cast<uint16_t>(v >> 15)));
+          lo[c * tp + t] = static_cast<uint8_t>(u);
+          hi[c * tp + t] = static_cast<uint8_t>(u >> 8);
+          ++bl[static_cast<uint8_t>(u)];
+          ++bh[static_cast<uint8_t>(u >> 8)];
+        }
+      }
+    }
+  }
+  for (int sym = 0; sym < 256; ++sym) {
+    hist_lo[sym] = bl[sym] + bl[256 + sym] + bl[512 + sym] + bl[768 + sym];
+    hist_hi[sym] = bh[sym] + bh[256 + sym] + bh[512 + sym] + bh[768 + sym];
   }
   return 0;
 }
