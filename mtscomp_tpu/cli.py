@@ -188,6 +188,10 @@ def mtsdesc(args=None):
     )
     if r.cmeta.get('chopped'):
         info['chopped'] = True
+    if r.cmeta.get('streaming'):
+        info['streaming'] = 'in progress (sidecar snapshot)'
+    if r.cmeta.get('ans_table_mode'):
+        info['ans_tables'] = r.cmeta['ans_table_mode']
     part = r.cmeta.get('part')
     if part is not None:
         info['part'] = 'chunks [%d, %d) of %s' % (
