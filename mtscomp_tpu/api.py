@@ -467,7 +467,8 @@ class Reader:
             chunki = cumsum_along_axis(
                 chunkd, axis=1 if self.cmeta.do_spatial_diff else None)
             chunki = cumsum_along_axis(
-                chunki, axis=0 if self.cmeta.do_time_diff else None)
+                chunki, axis=0 if self.cmeta.do_time_diff else None,
+                inplace=True)
             out[i] = np.ascontiguousarray(chunki)
         return out
 

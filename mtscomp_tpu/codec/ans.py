@@ -484,10 +484,7 @@ class AnsCodec:
 
     # --- decode -----------------------------------------------------------
 
-    def decode(self, payload, n_samples, n_channels, dtype, order='F',
-               n_threads=1):
-        dtype = np.dtype(dtype)
-        parsed = self.parse(payload)
+    def _check_geometry(self, parsed, n_samples, n_channels, dtype):
         n_elems = parsed['n_elems']
         if n_elems != n_samples * n_channels:
             raise IOError("ANS chunk has %d elements, expected %d."
@@ -495,50 +492,102 @@ class AnsCodec:
         if parsed['itemsize'] != dtype.itemsize:
             raise IOError("ANS chunk itemsize %d does not match dtype %s."
                           % (parsed['itemsize'], dtype))
-        n_head = parsed['n_head']
-        n_coded = n_elems - n_head
-        n_stream = parsed['n_stream']
-        bufs = {}
-        for p, plane in enumerate(parsed['planes']):
-            if plane['mode'] == MODE_RANS:
-                bufs[p] = np.empty(n_stream, dtype=np.uint8)
-        groups = parsed['groups']
+
+    @staticmethod
+    def _alloc_bufs(parsed):
+        return {p: np.empty(parsed['n_stream'], dtype=np.uint8)
+                for p, plane in enumerate(parsed['planes'])
+                if plane['mode'] == MODE_RANS}
+
+    @staticmethod
+    def _native_groups(parsed, bufs):
+        """(states, words, freq_stack, row_views) per group — symbols
+        land directly in the plane buffers (zero-copy row views)."""
+        out = []
+        for g in parsed['groups']:
+            fq = np.stack([seg_freqs(parsed, p, start)
+                           for p, start, _ in g['segments']])
+            out.append((g['states'], g['words'], fq,
+                        [bufs[p][start:start + n]
+                         for p, start, n in g['segments']]))
+        return out
+
+    @staticmethod
+    def _audit_words(groups, used_list):
+        for group, used in zip(groups, used_list):
+            if used != group['words'].size:
+                raise IOError("ANS group consumed %d of %d payload words."
+                              % (used, group['words'].size))
+
+    def _decode_groups_numpy(self, parsed, bufs):
+        """Normative NumPy coder path (also re-derives precise errors
+        when the native decoder flags a corrupt stream)."""
+        for g in parsed['groups']:
+            freq_rows = np.stack([seg_freqs(parsed, p, start)
+                                  for p, start, _ in g['segments']])
+            rows, used = rans.rans_decode_group(
+                g['states'], g['words'], freq_rows,
+                [n for _, _, n in g['segments']])
+            self._audit_words([g], [used])
+            for (p, start, n), row in zip(g['segments'], rows):
+                bufs[p][start:start + n] = row
+
+    def decode(self, payload, n_samples, n_channels, dtype, order='F',
+               n_threads=1):
+        dtype = np.dtype(dtype)
+        parsed = self.parse(payload)
+        self._check_geometry(parsed, n_samples, n_channels, dtype)
+        bufs = self._alloc_bufs(parsed)
         used_list = None
-        freq_stacks = [np.stack([seg_freqs(parsed, p, start)
-                                 for p, start, _ in g['segments']])
-                       for g in groups]
-        if groups:
-            # Native C++ batch decoder: symbols land directly in the
-            # plane buffers (zero-copy row views). Falls back to the
-            # normative NumPy coder when the library is unavailable or
-            # flags a corrupt stream (the fallback re-derives the
-            # precise error).
+        if parsed['groups']:
             from .. import native
             if native.available():
-                native_groups = [
-                    (g['states'], g['words'], fq,
-                     [bufs[p][start:start + n]
-                      for p, start, n in g['segments']])
-                    for g, fq in zip(groups, freq_stacks)]
                 used_list = native.rans_decode_groups(
-                    native_groups, n_threads=max(1, int(n_threads)))
+                    self._native_groups(parsed, bufs),
+                    n_threads=max(1, int(n_threads)))
         if used_list is not None:
-            for group, used in zip(groups, used_list):
-                if used != group['words'].size:
-                    raise IOError(
-                        "ANS group consumed %d of %d payload words."
-                        % (used, group['words'].size))
+            self._audit_words(parsed['groups'], used_list)
         else:
-            for group, freq_rows in zip(groups, freq_stacks):
-                rows, used = rans.rans_decode_group(
-                    group['states'], group['words'], freq_rows,
-                    [n for _, _, n in group['segments']])
-                if used != group['words'].size:
-                    raise IOError(
-                        "ANS group consumed %d of %d payload words."
-                        % (used, group['words'].size))
-                for (p, start, n), row in zip(group['segments'], rows):
-                    bufs[p][start:start + n] = row
+            self._decode_groups_numpy(parsed, bufs)
+        return self._finalize(parsed, bufs, n_samples, n_channels, dtype,
+                              order)
+
+    def decode_batch(self, payloads, shapes, dtype, order='F',
+                     n_threads=1):
+        """Decode many chunk payloads with ONE native batch call.
+
+        All chunks' groups are handed to the C++ decoder together, so
+        its worker threads parallelize across the whole batch (the bulk
+        ``tofile`` hot path); returns the diffed chunks like
+        :meth:`decode` (the Reader applies the inverse delta).
+        """
+        dtype = np.dtype(dtype)
+        from .. import native
+        if not native.available():
+            return [self.decode(p, ns, nc, dtype, order=order)
+                    for p, (ns, nc) in zip(payloads, shapes)]
+        staged = []
+        all_groups = []
+        for payload, (ns, nc) in zip(payloads, shapes):
+            parsed = self.parse(payload)
+            self._check_geometry(parsed, ns, nc, dtype)
+            bufs = self._alloc_bufs(parsed)
+            all_groups.extend(self._native_groups(parsed, bufs))
+            staged.append((parsed, bufs, ns, nc))
+        used_list = native.rans_decode_groups(
+            all_groups, n_threads=max(1, int(n_threads)))
+        if used_list is None:  # pragma: no cover - corrupt stream
+            # Re-derive the precise per-chunk error via the slow path.
+            return [self.decode(p, ns, nc, dtype, order=order)
+                    for p, (ns, nc) in zip(payloads, shapes)]
+        self._audit_words([g for parsed, _, _, _ in staged
+                           for g in parsed['groups']], used_list)
+        return [self._finalize(parsed, bufs, ns, nc, dtype, order)
+                for parsed, bufs, ns, nc in staged]
+
+    def _finalize(self, parsed, bufs, n_samples, n_channels, dtype, order):
+        n_head = parsed['n_head']
+        n_coded = parsed['n_elems'] - n_head
         # Fused native finalize for the standard 2-byte aligned layout:
         # combine planes + inverse zigzag + pad-drop + transpose in one
         # blocked C pass (the host analogue of the device pipeline's

@@ -79,3 +79,38 @@ def test_fused_finalize_multitable(monkeypatch):
     monkeypatch.setattr(native, 'fuse2_i16', lambda *a, **k: False)
     assert np.array_equal(
         codec.decode(payload, *chunkd.shape, chunkd.dtype), got)
+
+
+def test_ans_decode_batch_matches_per_chunk(monkeypatch):
+    """decode_batch (one native call for all chunks' groups) equals
+    per-chunk decode(), including under segment tables."""
+    rng = np.random.default_rng(9)
+    stds = np.logspace(0.0, 1.5, 48)
+    codec = AnsCodec(table_mode='segment', seg_log2=12)
+    chunks = [(rng.normal(0, 1, (2000, 48)) * stds).astype(np.int16)
+              for _ in range(4)]
+    payloads = [codec.encode(c, order='F') for c in chunks]
+    shapes = [c.shape for c in chunks]
+    got = codec.decode_batch(payloads, shapes, np.int16, n_threads=4)
+    for g, c, p in zip(got, chunks, payloads):
+        assert np.array_equal(g, c)
+        assert np.array_equal(g, codec.decode(p, *c.shape, np.int16))
+
+
+def test_ans_tofile_uses_batch_path(tmp_path):
+    """Bulk mtsdecomp of an ans file byte-matches the raw input."""
+    from mtscomp_tpu import compress, decompress
+    rng = np.random.default_rng(10)
+    arr = np.cumsum(rng.normal(0, 5, (7000, 33)), axis=0).astype(np.int16)
+    arr.tofile(tmp_path / 'r.bin')
+    compress(tmp_path / 'r.bin', tmp_path / 'r.cbin', tmp_path / 'r.ch',
+             sample_rate=2000.0, n_channels=33, dtype='int16',
+             algorithm='ans', quiet=True, check_after_compress=False)
+    r = decompress(tmp_path / 'r.cbin', tmp_path / 'r.ch', quiet=True,
+                   device='none')
+    try:
+        r.tofile(tmp_path / 'out.bin')
+    finally:
+        r.close()
+    assert (tmp_path / 'out.bin').read_bytes() == \
+        (tmp_path / 'r.bin').read_bytes()
