@@ -551,8 +551,10 @@ class Reader:
             return decompress_to_array(self, first_chunk, last_chunk)
         ids = range(first_chunk, last_chunk + 1)
         if hasattr(self.codec, 'decode_batch'):
-            # Native batch inflate (and no LRU traffic — bulk reads
-            # would only thrash the random-access cache).
+            # Native batch decode (and no LRU traffic — bulk reads
+            # would only thrash the random-access cache). Both built-in
+            # codecs provide decode_batch; the per-chunk branch below
+            # is the contract for codecs that don't.
             decoded = self._decompress_chunks_batch(ids)
         else:
             decoded = dict(self._decompress_chunk(i) for i in ids)

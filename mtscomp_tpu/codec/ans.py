@@ -574,14 +574,15 @@ class AnsCodec:
             bufs = self._alloc_bufs(parsed)
             all_groups.extend(self._native_groups(parsed, bufs))
             staged.append((parsed, bufs, ns, nc))
-        used_list = native.rans_decode_groups(
-            all_groups, n_threads=max(1, int(n_threads)))
-        if used_list is None:  # pragma: no cover - corrupt stream
-            # Re-derive the precise per-chunk error via the slow path.
-            return [self.decode(p, ns, nc, dtype, order=order)
-                    for p, (ns, nc) in zip(payloads, shapes)]
-        self._audit_words([g for parsed, _, _, _ in staged
-                           for g in parsed['groups']], used_list)
+        if all_groups:     # RAW/CONST-only chunks have no rANS groups
+            used_list = native.rans_decode_groups(
+                all_groups, n_threads=max(1, int(n_threads)))
+            if used_list is None:  # pragma: no cover - corrupt stream
+                # Re-derive the precise per-chunk error via the slow path.
+                return [self.decode(p, ns, nc, dtype, order=order)
+                        for p, (ns, nc) in zip(payloads, shapes)]
+            self._audit_words([g for parsed, _, _, _ in staged
+                               for g in parsed['groups']], used_list)
         return [self._finalize(parsed, bufs, ns, nc, dtype, order)
                 for parsed, bufs, ns, nc in staged]
 

@@ -39,7 +39,12 @@ def build_library(force=False):
         if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
             return _LIB_PATH
     tmp = _HERE / ('libmtsnative.%d.tmp.so' % os.getpid())
-    cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared', '-fPIC',
+    # Baseline x86-64 codegen on purpose: hosts may SHARE this .so over
+    # a network checkout, so it must run on the oldest CPU among them.
+    # The hot kernels select wider ISAs at runtime instead (AVX-512
+    # target attributes on the rANS spans, target_clones on the
+    # transform passes).
+    cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC',
            str(src), '-o', str(tmp), '-lz', '-pthread']
     logger.debug("Building native library: %s", ' '.join(cmd))
     try:

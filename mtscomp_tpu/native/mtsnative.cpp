@@ -173,10 +173,11 @@ void encode_group(GroupTask& t) {
       c += t.freqs[r][sym];
     }
   }
-  // Assemble the stream right-to-left in one buffer: steps are
-  // processed descending but laid out ascending, so step s's words go
-  // immediately before the already-written words of step s+1.
-  std::vector<uint16_t> big(t.words_cap);
+  // Assemble the stream right-to-left directly in the caller's output
+  // buffer: steps are processed descending but laid out ascending, so
+  // step s's words go immediately before the already-written words of
+  // step s+1; one final memmove left-aligns the stream.
+  uint16_t* big = t.words_out;
   size_t wpos = t.words_cap;
   std::vector<uint16_t> scratch(static_cast<size_t>(R) * kLanes);
   for (int s = S - 1; s >= 0; --s) {
@@ -213,10 +214,10 @@ void encode_group(GroupTask& t) {
       return;
     }
     wpos -= step_n;
-    std::memcpy(&big[wpos], scratch.data(), step_n * sizeof(uint16_t));
+    std::memcpy(big + wpos, scratch.data(), step_n * sizeof(uint16_t));
   }
   t.words_len = t.words_cap - wpos;
-  std::memcpy(t.words_out, &big[wpos], t.words_len * sizeof(uint16_t));
+  std::memmove(t.words_out, big + wpos, t.words_len * sizeof(uint16_t));
   for (size_t i = 0; i < x.size(); ++i) t.states_out[i] = x[i];
   t.error = 0;
 }
@@ -557,7 +558,9 @@ static inline const uint8_t* plane_at(const uint8_t* p, int kind,
   return p + c * (kind == 1 ? tcs : tp);
 }
 
-extern "C" int mts_fuse2_i16(
+extern "C"
+__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
+int mts_fuse2_i16(
     const uint8_t* lo, int lo_kind, int lo_const,
     const uint8_t* hi, int hi_kind, int hi_const,
     size_t C, size_t tp, size_t tcs, int16_t* out) {
@@ -593,7 +596,9 @@ extern "C" int mts_fuse2_i16(
 // Histograms count DATA symbols only (pads are accounted by the
 // caller, matching the host codec's counts/scounts split). The lo/hi
 // buffers must arrive zeroed (the pad regions are never written).
-extern "C" int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
+extern "C"
+__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
+int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
                                 size_t tcs, uint8_t* lo, uint8_t* hi,
                                 uint32_t* hist_lo, uint32_t* hist_hi) {
   // 4 histogram banks per plane: consecutive elements hit different
@@ -643,7 +648,9 @@ extern "C" int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
   return 0;
 }
 
-extern "C" int mts_cumsum_axis0(void* buf, size_t ns, size_t nc,
+extern "C"
+__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
+int mts_cumsum_axis0(void* buf, size_t ns, size_t nc,
                                 int itemsize) {
   switch (itemsize) {
     case 1: cumsum_axis0(static_cast<uint8_t*>(buf), ns, nc); return 0;
