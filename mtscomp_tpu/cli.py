@@ -31,13 +31,21 @@ def _shared_options(parser):
     parser.add_argument('-v', '--debug', action='store_true', help='verbose')
     parser.add_argument('-p', '--cpus', type=int,
                         help='number of CPUs to use')
+    parser.add_argument('--device', type=str,
+                        choices=('auto', 'tpu', 'cpu', 'none'),
+                        help="accelerator use: 'auto' (default: device "
+                             "pipeline on real accelerators), 'tpu'/'cpu' "
+                             "(force backend), 'none' (host codec only — "
+                             "use on machines with slow accelerator "
+                             "links)")
 
 
 def _args_to_config(parser, args, compress=True):
     pargs = parser.parse_args(args)
     # no_check stays True when the flag was NOT given => defer to defaults.
     check_after = None if pargs.no_check is True else False
-    kwargs = dict(n_threads=pargs.cpus)
+    kwargs = dict(n_threads=pargs.cpus,
+                  device=getattr(pargs, 'device', None))
     if compress:
         kwargs.update(
             sample_rate=pargs.sample_rate,

@@ -553,17 +553,12 @@ static void cumsum_axis0(T* buf, size_t ns, size_t nc) {
 // stream (RANS), 1 = unpadded channel-major (C, tcs) bytes (RAW),
 // 2 = constant byte. ``out`` points at chunk row 1 (the caller writes
 // the verbatim head row); rows are C int16 each.
-static inline const uint8_t* plane_at(const uint8_t* p, int kind,
-                                      size_t c, size_t tp, size_t tcs) {
-  return p + c * (kind == 1 ? tcs : tp);
-}
-
-extern "C"
-__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
-int mts_fuse2_i16(
-    const uint8_t* lo, int lo_kind, int lo_const,
-    const uint8_t* hi, int hi_kind, int hi_const,
-    size_t C, size_t tp, size_t tcs, int16_t* out) {
+template <int LK, int HK>
+static void fuse2_core(const uint8_t* lo, int lo_const, const uint8_t* hi,
+                       int hi_const, size_t C, size_t tp, size_t tcs,
+                       int16_t* out) {
+  const size_t lstride = LK == 1 ? tcs : tp;
+  const size_t hstride = HK == 1 ? tcs : tp;
   const size_t TB = 128, CB = 128;   // L1-resident transpose tiles
   for (size_t t0 = 0; t0 < tcs; t0 += TB) {
     size_t t1 = t0 + TB < tcs ? t0 + TB : tcs;
@@ -572,19 +567,49 @@ int mts_fuse2_i16(
       for (size_t t = t0; t < t1; ++t) {
         int16_t* orow = out + t * C;
         for (size_t c = c0; c < c1; ++c) {
-          uint16_t lv = lo_kind == 2
-              ? (uint16_t)lo_const
-              : (uint16_t)plane_at(lo, lo_kind, c, tp, tcs)[t];
-          uint16_t hv = hi_kind == 2
-              ? (uint16_t)hi_const
-              : (uint16_t)plane_at(hi, hi_kind, c, tp, tcs)[t];
-          uint16_t u = (uint16_t)(lv | (uint16_t)(hv << 8));
-          uint16_t s = (uint16_t)((u >> 1) ^ (uint16_t)(-(uint16_t)(u & 1)));
-          orow[c] = (int16_t)s;
+          const uint16_t lv = LK == 2 ? static_cast<uint16_t>(lo_const)
+                                      : lo[c * lstride + t];
+          const uint16_t hv = HK == 2 ? static_cast<uint16_t>(hi_const)
+                                      : hi[c * hstride + t];
+          const uint16_t u = static_cast<uint16_t>(lv | (hv << 8));
+          const uint16_t sgn = static_cast<uint16_t>(-(u & 1));
+          orow[c] = static_cast<int16_t>(
+              static_cast<uint16_t>((u >> 1) ^ sgn));
         }
       }
     }
   }
+}
+
+template <int LK>
+static void fuse2_dispatch_hi(int hk, const uint8_t* lo, int lo_const,
+                              const uint8_t* hi, int hi_const, size_t C,
+                              size_t tp, size_t tcs, int16_t* out) {
+  if (hk == 0)
+    fuse2_core<LK, 0>(lo, lo_const, hi, hi_const, C, tp, tcs, out);
+  else if (hk == 1)
+    fuse2_core<LK, 1>(lo, lo_const, hi, hi_const, C, tp, tcs, out);
+  else
+    fuse2_core<LK, 2>(lo, lo_const, hi, hi_const, C, tp, tcs, out);
+}
+
+extern "C"
+__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
+int mts_fuse2_i16(
+    const uint8_t* lo, int lo_kind, int lo_const,
+    const uint8_t* hi, int hi_kind, int hi_const,
+    size_t C, size_t tp, size_t tcs, int16_t* out) {
+  // Compile-time plane-kind specialization (flatten inlines every
+  // instantiation into each ISA clone, so the inner loops vectorize).
+  if (lo_kind == 0)
+    fuse2_dispatch_hi<0>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
+                         out);
+  else if (lo_kind == 1)
+    fuse2_dispatch_hi<1>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
+                         out);
+  else
+    fuse2_dispatch_hi<2>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
+                         out);
   return 0;
 }
 
@@ -601,10 +626,10 @@ __attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
 int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
                                 size_t tcs, uint8_t* lo, uint8_t* hi,
                                 uint32_t* hist_lo, uint32_t* hist_hi) {
-  // 4 histogram banks per plane: consecutive elements hit different
-  // banks, breaking the store-to-load dependency chain on hot bins
-  // (the hi plane is near-constant, so an unbanked histogram
-  // serializes one RMW per element).
+  // Single fused pass (a split transpose-then-histogram variant was
+  // measured and lost: re-reading the streams costs more than the
+  // histogram RMW chains). 4 banks per plane break the store-to-load
+  // dependency on hot bins (the hi plane is near-constant).
   std::vector<uint32_t> banks(8 * 256, 0);
   uint32_t* bl = banks.data();
   uint32_t* bh = banks.data() + 4 * 256;
