@@ -626,42 +626,50 @@ __attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
 int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
                                 size_t tcs, uint8_t* lo, uint8_t* hi,
                                 uint32_t* hist_lo, uint32_t* hist_hi) {
-  // Single fused pass (a split transpose-then-histogram variant was
-  // measured and lost: re-reading the streams costs more than the
-  // histogram RMW chains). 4 banks per plane break the store-to-load
-  // dependency on hot bins (the hi plane is near-constant).
+  // Per tile: a hist-free transpose sweep the compiler can vectorize
+  // (contiguous stores along t, strided loads along C), then banked
+  // histograms over the just-written tile while it is L1-resident.
+  // Whole-stream second passes were measured and lost (DRAM re-read);
+  // hist-in-the-transpose-loop was measured and lost (the RMW chain
+  // blocks vectorization).
   std::vector<uint32_t> banks(8 * 256, 0);
   uint32_t* bl = banks.data();
   uint32_t* bh = banks.data() + 4 * 256;
-  const size_t TB = 128, CB = 128;
+  const size_t TB = 256, CB = 64;
   for (size_t c0 = 0; c0 < C; c0 += CB) {
     size_t c1 = c0 + CB < C ? c0 + CB : C;
     for (size_t t0 = 0; t0 < tcs; t0 += TB) {
       size_t t1 = t0 + TB < tcs ? t0 + TB : tcs;
-      for (size_t t = t0; t < t1; ++t) {
-        const int16_t* row = chunk + t * C;
-        size_t c = c0;
-        for (; c + 4 <= c1; c += 4) {
-          for (int u4 = 0; u4 < 4; ++u4) {
-            const uint16_t v = static_cast<uint16_t>(row[c + u4]);
-            const uint16_t u = static_cast<uint16_t>(
-                (v << 1) ^ static_cast<uint16_t>(
-                               -static_cast<uint16_t>(v >> 15)));
-            lo[(c + u4) * tp + t] = static_cast<uint8_t>(u);
-            hi[(c + u4) * tp + t] = static_cast<uint8_t>(u >> 8);
-            ++bl[u4 * 256 + static_cast<uint8_t>(u)];
-            ++bh[u4 * 256 + static_cast<uint8_t>(u >> 8)];
-          }
-        }
-        for (; c < c1; ++c) {
-          const uint16_t v = static_cast<uint16_t>(row[c]);
+      for (size_t c = c0; c < c1; ++c) {
+        const int16_t* col = chunk + c;
+        uint8_t* lrow = lo + c * tp;
+        uint8_t* hrow = hi + c * tp;
+        for (size_t t = t0; t < t1; ++t) {
+          const uint16_t v = static_cast<uint16_t>(col[t * C]);
           const uint16_t u = static_cast<uint16_t>(
               (v << 1) ^ static_cast<uint16_t>(
                              -static_cast<uint16_t>(v >> 15)));
-          lo[c * tp + t] = static_cast<uint8_t>(u);
-          hi[c * tp + t] = static_cast<uint8_t>(u >> 8);
-          ++bl[static_cast<uint8_t>(u)];
-          ++bh[static_cast<uint8_t>(u >> 8)];
+          lrow[t] = static_cast<uint8_t>(u);
+          hrow[t] = static_cast<uint8_t>(u >> 8);
+        }
+      }
+      for (size_t c = c0; c < c1; ++c) {
+        const uint8_t* lrow = lo + c * tp;
+        const uint8_t* hrow = hi + c * tp;
+        size_t t = t0;
+        for (; t + 4 <= t1; t += 4) {
+          ++bl[0 * 256 + lrow[t]];
+          ++bl[1 * 256 + lrow[t + 1]];
+          ++bl[2 * 256 + lrow[t + 2]];
+          ++bl[3 * 256 + lrow[t + 3]];
+          ++bh[0 * 256 + hrow[t]];
+          ++bh[1 * 256 + hrow[t + 1]];
+          ++bh[2 * 256 + hrow[t + 2]];
+          ++bh[3 * 256 + hrow[t + 3]];
+        }
+        for (; t < t1; ++t) {
+          ++bl[lrow[t]];
+          ++bh[hrow[t]];
         }
       }
     }
