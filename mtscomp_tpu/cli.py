@@ -31,13 +31,17 @@ def _shared_options(parser):
     parser.add_argument('-v', '--debug', action='store_true', help='verbose')
     parser.add_argument('-p', '--cpus', type=int,
                         help='number of CPUs to use')
+
+
+def _device_option(parser):
     parser.add_argument('--device', type=str,
                         choices=('auto', 'tpu', 'cpu', 'none'),
-                        help="accelerator use: 'auto' (default: device "
-                             "pipeline on real accelerators), 'tpu'/'cpu' "
-                             "(force backend), 'none' (host codec only — "
-                             "use on machines with slow accelerator "
-                             "links)")
+                        help="accelerator use: decode defaults to "
+                             "'auto' (device pipeline on real "
+                             "accelerators); encode uses the device "
+                             "only when 'tpu'/'cpu' is forced; 'none' "
+                             "keeps everything on the host codec (use "
+                             "on machines with slow accelerator links)")
 
 
 def _args_to_config(parser, args, compress=True):
@@ -105,6 +109,7 @@ def mtscomp_parser():
                              'own --rank, then one host runs mtsmerge '
                              'on the part files')
     _shared_options(parser)
+    _device_option(parser)
     parser.add_argument('--set-default', action='store_true',
                         help='set the specified parameters as the default')
     return parser
@@ -159,6 +164,7 @@ def mtsdecomp_parser():
     parser.add_argument('--overwrite', '-f', action='store_true',
                         help='overwrite existing output')
     _shared_options(parser)
+    _device_option(parser)
     return parser
 
 
