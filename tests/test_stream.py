@@ -197,3 +197,27 @@ def test_stream_abort_cleans_up(tmp_path_):
             raise RuntimeError("acquisition died")
     assert not (tmp_path_ / 'a.cbin').exists()
     assert not (tmp_path_ / 'a.ch').exists()
+
+
+def test_stream_reader_with_segment_tables(tmp_path_):
+    """Live tailing works for bit4 (segment-table) streams."""
+    from mtscomp_tpu import StreamReader
+    rng = np.random.default_rng(8)
+    stds = np.logspace(0.0, 1.6, NC)
+    arr = np.clip(np.cumsum(rng.normal(0, 1, (3 * 2000 + 250, NC)) * stds,
+                            axis=0), -30000, 30000).astype(np.int16)
+    w = StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm='ans', ans_table_mode='segment',
+                     live_sidecar=True)
+    w.append(arr[:2 * 2000 + 100])
+    r = StreamReader(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch')
+    try:
+        assert np.array_equal(r[:], arr[:2 * 2000])
+        w.append(arr[2 * 2000 + 100:])
+        w.close()
+        r.refresh()
+        assert r.finalized
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()

@@ -160,3 +160,23 @@ def test_transcode_chopped_source_keeps_provenance(tmp_path_):
         assert np.array_equal(r[:], arr[:2 * 2000])
     finally:
         r.close()
+
+
+def test_transcode_multitable_to_zlib_legacy_identity(tmp_path_):
+    """A bit4 (segment-table) file exports to the exact legacy bytes."""
+    rng = np.random.default_rng(6)
+    stds = np.logspace(0.0, 1.6, NC)
+    arr = np.clip(np.cumsum(rng.normal(0, 1, (3 * 2000 + 99, NC)) * stds,
+                            axis=0), -30000, 30000).astype(np.int16)
+    raw = write_arr(tmp_path_ / 'raw.bin', arr)
+    compress(raw, tmp_path_ / 'mt.cbin', tmp_path_ / 'mt.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', ans_table_mode='segment', ans_seg_log2=12,
+             quiet=True)
+    transcode(tmp_path_ / 'mt.cbin', tmp_path_ / 'mt.ch',
+              tmp_path_ / 'legacy.cbin', algorithm='zlib', quiet=True)
+    compress(raw, tmp_path_ / 'direct.cbin', tmp_path_ / 'direct.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='zlib', quiet=True)
+    assert (tmp_path_ / 'legacy.cbin').read_bytes() == \
+        (tmp_path_ / 'direct.cbin').read_bytes()
