@@ -51,8 +51,14 @@ def make_dataset(name, duration, seed=0):
 
 
 def mtscomp_perf(arr, sample_rate, algorithm='ans', n_threads=None,
-                 chunk_duration=1.0, device=True, read_windows=20):
-    """Time one compress/decompress cycle; returns a metrics dict."""
+                 chunk_duration=1.0, device=False, read_windows=20):
+    """Time one compress/decompress cycle; returns a metrics dict.
+
+    ``device=True`` times the device pipeline INCLUDING host<->device
+    transfers — representative on PCIe-attached accelerators, not on
+    tunneled dev attachments (use the staged measurements in
+    ``baseline_report`` for device kernel rates there).
+    """
     from .. import compress, decompress
     from ..parallel.pipeline import decompress_to_array
 
@@ -69,7 +75,8 @@ def mtscomp_perf(arr, sample_rate, algorithm='ans', n_threads=None,
                      check_after_compress=False)
     write_time = time.perf_counter() - t0
 
-    r = decompress(tmp / 'data.cbin', tmp / 'data.ch', quiet=True)
+    r = decompress(tmp / 'data.cbin', tmp / 'data.ch', quiet=True,
+                   device=None if device else 'none')
     try:
         # Bulk decode.
         t0 = time.perf_counter()
