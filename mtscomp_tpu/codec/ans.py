@@ -583,6 +583,16 @@ class AnsCodec:
                         for p, (ns, nc) in zip(payloads, shapes)]
             self._audit_words([g for parsed, _, _, _ in staged
                                for g in parsed['groups']], used_list)
+        if int(n_threads) > 1 and len(staged) > 1:
+            # Finalize chunks in parallel: outputs are disjoint arrays
+            # and the hot work (the native fused finalize) releases the
+            # GIL during the ctypes call.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    min(int(n_threads), len(staged))) as ex:
+                return list(ex.map(
+                    lambda s: self._finalize(s[0], s[1], s[2], s[3],
+                                             dtype, order), staged))
         return [self._finalize(parsed, bufs, ns, nc, dtype, order)
                 for parsed, bufs, ns, nc in staged]
 
