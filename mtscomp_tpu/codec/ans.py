@@ -686,6 +686,12 @@ class AnsCodec:
         off = _HEADER.size
         if not flags & 2:
             n_head = 0
+        if n_head > n_elems:
+            # Guard before any frombuffer: a negative n_coded would
+            # turn count=-1 into "read the whole remaining buffer" and
+            # desync the parser instead of raising.
+            raise IOError("ANS chunk head (%d elements) exceeds its %d "
+                          "total elements." % (n_head, n_elems))
         head = None
         if n_head:
             head = np.frombuffer(mv, np.uint8, n_head * itemsize, off)

@@ -94,9 +94,15 @@ class StreamWriter:
         samples = np.asarray(samples)
         if samples.ndim == 1:
             samples = samples.reshape(-1, self.n_channels)
-        assert samples.ndim == 2 and samples.shape[1] == self.n_channels
-        assert samples.dtype == self.dtype, \
-            "block dtype %s != stream dtype %s" % (samples.dtype, self.dtype)
+        # Real exceptions, not asserts: silently casting a mismatched
+        # block under python -O would write a self-consistent but WRONG
+        # recording that no later hash check can catch.
+        if samples.ndim != 2 or samples.shape[1] != self.n_channels:
+            raise ValueError("Block shape %s does not match %d channels."
+                             % (samples.shape, self.n_channels))
+        if samples.dtype != self.dtype:
+            raise ValueError("Block dtype %s != stream dtype %s."
+                             % (samples.dtype, self.dtype))
         pos, n = 0, samples.shape[0]
         while pos < n:
             take = min(self.chunk_size - self._fill, n - pos)
@@ -151,7 +157,10 @@ class StreamWriter:
             sha1_compressed=self.sha1_compressed.hexdigest(),
             sha1_uncompressed=self.sha1_uncompressed.hexdigest(),
             shape=(self.n_samples, self.n_channels), extra=extra)
-        if streaming:
+        if self.live_sidecar:
+            # Atomic replace for EVERY publish (snapshots and the final
+            # sidecar alike): concurrent tailers must never observe a
+            # truncated file mid-write.
             tmp = self.outmeta.with_name(self.outmeta.name + '.snapshot')
             write_cmeta(tmp, cmeta)
             tmp.replace(self.outmeta)
@@ -192,8 +201,11 @@ class StreamWriter:
     def __exit__(self, exc_type, *exc):
         if exc_type is None:
             self.close()
-        else:
-            # Abort: leave no half-written outputs behind.
+        elif not self._closed:
+            # Abort: leave no half-written outputs behind. A stream
+            # already finalized by an explicit close() is a complete,
+            # valid recording — never delete it because unrelated code
+            # raised later inside the with-block.
             self._fb.close()
             self.out.unlink(missing_ok=True)
             if self.live_sidecar:
@@ -234,7 +246,12 @@ class StreamReader:
                           "writer using live_sidecar=True?" % self.cmeta)
 
     def refresh(self):
-        """Re-open if the sidecar changed; True when samples were added."""
+        """Re-open if the sidecar changed; True when samples were added.
+
+        Tolerant of torn reads: a sidecar that fails to parse (mid-copy
+        on a non-atomic filesystem, truncated snapshot) keeps the
+        previous reader and returns False — the next poll retries.
+        """
         try:
             st = self.cmeta.stat()
         except FileNotFoundError:
@@ -244,7 +261,10 @@ class StreamReader:
             return False
         from .api import Reader
         r = Reader(**self._kwargs)
-        r.open(self.cdata, self.cmeta)
+        try:
+            r.open(self.cdata, self.cmeta)
+        except (OSError, ValueError, KeyError, AssertionError):
+            return False
         before = self._reader.shape[0] if self._reader is not None else 0
         if self._reader is not None:
             self._reader.close()

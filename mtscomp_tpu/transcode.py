@@ -25,6 +25,8 @@ CLI: ``mtsrecompress in.cbin [in.ch] -o out.cbin [-a zlib|ans]``.
 import hashlib
 from pathlib import Path
 
+import numpy as np
+
 from .codec import get_codec
 from .config import read_config
 from .format import write_cmeta
@@ -84,8 +86,10 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
                               disable=quiet)
                 for idx in it:
                     _, chunk = r._decompress_chunk(idx)
-                    # C-order chunk bytes == the raw file's byte order.
-                    sha_u.update(chunk.tobytes())
+                    # C-order chunk bytes == the raw file's byte order
+                    # (read_chunk returns C-contiguous arrays; hashing
+                    # the buffer directly avoids a tobytes copy).
+                    sha_u.update(np.ascontiguousarray(chunk))
                     chunkd = diff_along_axis(
                         chunk, axis=0 if time_diff else None)
                     chunkd = diff_along_axis(
@@ -105,6 +109,9 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
             tmp.unlink(missing_ok=True)
 
         cm = dict(src)
+        # A live snapshot sidecar is a valid source, but the output is
+        # a complete file — never inherit the in-progress marker.
+        cm.pop('streaming', None)
         cm['algorithm'] = codec.name
         cm['version'] = codec.format_version
         cm['do_time_diff'] = time_diff

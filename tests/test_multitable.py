@@ -294,3 +294,16 @@ def test_cluster_single_symbol_cluster():
     # Every segment's symbols are codable under its assigned table.
     for h, ti in zip(hists, tidx):
         assert np.all(tables[ti][h > 0] > 0)
+
+
+def test_parse_rejects_oversized_head():
+    """n_head > n_elems must raise IOError, not desync the parser."""
+    codec = AnsCodec()
+    chunkd = np.arange(400, dtype=np.int16).reshape(100, 4)
+    payload = bytearray(codec.encode(chunkd, order='F'))
+    # header: ... u32 n_elems at offset 8, u16 n_head at offset 16
+    struct.pack_into('<H', payload, 16, 65535)
+    body = bytes(payload[:-4])
+    fixed = body + struct.pack('<I', zlib.crc32(body))
+    with pytest.raises(IOError, match='head'):
+        codec.parse(fixed)

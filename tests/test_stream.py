@@ -221,3 +221,59 @@ def test_stream_reader_with_segment_tables(tmp_path_):
         assert np.array_equal(r[:], arr)
     finally:
         r.close()
+
+
+def test_stream_close_inside_with_block_preserved(tmp_path_):
+    """An exception AFTER an explicit close() must not delete the
+    finalized recording."""
+    arr = to_int16(make_signal('randn', ns=3000, nc=NC))
+    try:
+        with StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                          sample_rate=SR, n_channels=NC, dtype='int16',
+                          live_sidecar=True) as w:
+            w.append(arr)
+            w.close()
+            raise RuntimeError('post-processing died')
+    except RuntimeError:
+        pass
+    r = decompress(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_stream_append_type_errors(tmp_path_):
+    """Mismatched blocks raise (never silently cast, even under -O)."""
+    w = StreamWriter(tmp_path_ / 'x.cbin', tmp_path_ / 'x.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16')
+    with pytest.raises(ValueError, match='dtype'):
+        w.append(np.zeros((10, NC), dtype=np.int32))
+    with pytest.raises(ValueError, match='channels'):
+        w.append(np.zeros((10, NC + 1), dtype=np.int16))
+    w.append(np.zeros((10, NC), dtype=np.int16))
+    w.close()
+
+
+def test_stream_reader_tolerates_torn_sidecar(tmp_path_):
+    """A garbage sidecar mid-poll keeps the previous reader."""
+    from mtscomp_tpu import StreamReader
+    arr = to_int16(make_signal('randn', ns=2 * 2000, nc=NC))
+    w = StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     live_sidecar=True)
+    w.append(arr)
+    r = StreamReader(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch')
+    try:
+        assert r.n_samples == 2 * 2000
+        good = (tmp_path_ / 'live.ch').read_bytes()
+        (tmp_path_ / 'live.ch').write_bytes(good[:20])     # torn write
+        assert r.refresh() is False                        # kept old
+        assert r.n_samples == 2 * 2000
+        (tmp_path_ / 'live.ch').write_bytes(good)          # restored
+        r.refresh()
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+        w.close()
