@@ -664,3 +664,50 @@ def test_device_chunk_cache_windows(tmp_path_, monkeypatch):
         assert np.array_equal(r[50:60, 3:9], arr[50:60, 3:9])
     finally:
         r.close()
+
+
+def test_device_storm_fixed_geometry(tmp_path_):
+    """One geometry (compiles reused), many data shapes: the device
+    decode pipeline and device encoder must stay byte-exact across
+    data-dependent plane-mode combinations (RANS/RANS, RANS/CONST,
+    near-RAW, constant chunks, heterogeneous channels)."""
+    from mtscomp_tpu import Writer, compress, decompress
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchEncoder,
+                                               decompress_to_array)
+    rng = np.random.default_rng(77)
+    ns, nc = 3 * 1500, 24
+    kinds = {
+        'smooth': np.cumsum(rng.normal(0, 6, (ns, nc)), axis=0),
+        'tiny': rng.integers(-1, 2, (ns, nc)),
+        'const': np.full((ns, nc), 7),
+        'wide': rng.integers(-30000, 30000, (ns, nc)),
+        'hetero': np.cumsum(rng.normal(0, 1, (ns, nc))
+                            * np.logspace(0, 1.6, nc), axis=0),
+    }
+    for name, data in kinds.items():
+        arr = np.clip(data, -30000, 30000).astype(np.int16)
+        raw = tmp_path_ / ('%s.bin' % name)
+        write_arr(raw, arr)
+        compress(raw, tmp_path_ / ('%s.cbin' % name),
+                 tmp_path_ / ('%s.ch' % name), sample_rate=1500.0,
+                 n_channels=nc, dtype='int16', algorithm='ans',
+                 quiet=True, check_after_compress=False)
+        r = decompress(tmp_path_ / ('%s.cbin' % name),
+                       tmp_path_ / ('%s.ch' % name), quiet=True)
+        try:
+            got = decompress_to_array(r)
+            assert np.array_equal(got, arr), name
+        finally:
+            r.close()
+        # Device encode identity on the same data.
+        w = Writer(algorithm='ans', quiet=True)
+        w.open(raw, sample_rate=1500.0, n_channels=nc, dtype='int16')
+        chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
+        enc = DeviceBatchEncoder(w)
+        payloads = enc.encode_batch(np.stack(chunks))
+        if payloads is not None:
+            for chunk, payload in zip(chunks, payloads):
+                host = w.codec.encode(w._transform_chunk(chunk),
+                                      order=w.chunk_order)
+                assert payload == host, name
+        w.close()
