@@ -672,7 +672,11 @@ class Reader:
             i1 = self._validate_index(item.stop, self.n_samples)
             if i1 <= i0:
                 return fallback
-            win = self._device_window(i0, i1)
+            # Non-positive steps take the host path so both backends
+            # behave identically (the reference supports positive steps
+            # only, mtscomp.py:831).
+            win = self._device_window(i0, i1) \
+                if (item.step or 1) > 0 else None
             if win is not None:
                 out = win[::item.step or 1, :]
                 assert out.shape[0] == len(range(i0, i1, item.step or 1))

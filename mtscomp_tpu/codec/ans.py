@@ -225,6 +225,41 @@ _UNCODABLE_BITS = 1e6
 _TABLE_CANDIDATES = (1, 2, 4, 8, 16)
 
 
+def decide_plane(counts, n_pad, n_stream, n_coded, seg, table_mode,
+                 seg_hists_fn=None):
+    """Shared plane-mode decision: CONST / RAW / RANS (+ clustering).
+
+    THE single cost model for both the host codec and the device batch
+    encoder — the two must emit byte-identical containers, so the
+    decision logic lives here once. ``counts`` is the unpadded data
+    histogram; ``n_pad`` the zero pads the coded stream adds;
+    ``seg_hists_fn`` lazily provides the padded stream's per-segment
+    histograms for ``table_mode='segment'``. Returns ``(mode, ptables,
+    tidx)`` with ``ptables``/``tidx`` set only for ``MODE_RANS``.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    if counts.max() == counts.sum():
+        return MODE_CONST, None, None
+    scounts = counts.copy()
+    scounts[0] += n_pad
+    freqs = rans.quantize_freqs(scounts)
+    cost = _estimated_rans_bytes(scounts, freqs, n_stream, seg)
+    ptables, tidx = freqs[None], None
+    if table_mode == 'segment' and n_stream > seg \
+            and seg_hists_fn is not None:
+        ctables, cidx, cbits = cluster_segment_tables(seg_hists_fn())
+        n_segs = -(-n_stream // seg)
+        ccost = (ctables.shape[0] * 512 + 1
+                 + (n_segs if ctables.shape[0] > 1 else 0)
+                 + n_segs * (4 * rans.LANES) + cbits / 8.0)
+        if ctables.shape[0] > 1 and ccost < cost:
+            cost = ccost
+            ptables, tidx = ctables, cidx
+    if cost >= n_coded:
+        return MODE_RAW, None, None
+    return MODE_RANS, ptables, tidx
+
+
 def cluster_segment_tables(seg_hists, max_tables=16):
     """Cluster per-segment histograms into few quantized tables.
 
@@ -376,35 +411,23 @@ class AnsCodec:
             if counts.max() == counts.sum():
                 modes.append(MODE_CONST)
                 # The constant byte: argmax of a one-hot histogram ==
-                # the plane's single value.
+                # the plane's single value. (Checked before building
+                # the padded stream, which a CONST plane never needs.)
                 plane_info.append(struct.pack('<BB', MODE_CONST,
                                               int(np.argmax(counts))))
                 continue
-            if fast is not None:
-                scounts = counts.copy()
-                scounts[0] += n_stream - n_coded
-            elif aligned:
-                # Coded stream includes the per-channel zero pads.
-                stream = np.zeros(n_stream, dtype=np.uint8)
-                stream.reshape(C, tp)[:, :tcs] = plane.reshape(C, tcs)
-                scounts = counts.copy()
-                scounts[0] += n_stream - n_coded
-            else:
-                stream, scounts = plane, counts
-            freqs = rans.quantize_freqs(scounts)
-            cost = _estimated_rans_bytes(scounts, freqs, n_stream, seg)
-            ptables, tidx = freqs[None], None
-            if self.table_mode == 'segment' and n_stream > seg:
-                ctables, cidx, cbits = cluster_segment_tables(
-                    _segment_histograms(stream, seg))
-                n_segs_p = -(-n_stream // seg)
-                ccost = (ctables.shape[0] * 512 + 1
-                         + (n_segs_p if ctables.shape[0] > 1 else 0)
-                         + n_segs_p * (4 * rans.LANES) + cbits / 8.0)
-                if ctables.shape[0] > 1 and ccost < cost:
-                    cost = ccost
-                    ptables, tidx = ctables, cidx
-            if cost >= n_coded:
+            if fast is None:
+                if aligned:
+                    # Coded stream includes the per-channel zero pads.
+                    stream = np.zeros(n_stream, dtype=np.uint8)
+                    stream.reshape(C, tp)[:, :tcs] = plane.reshape(C, tcs)
+                else:
+                    stream = plane
+            mode, ptables, tidx = decide_plane(
+                counts, n_stream - n_coded, n_stream, n_coded, seg,
+                self.table_mode,
+                lambda s=stream: _segment_histograms(s, seg))
+            if mode == MODE_RAW:
                 modes.append(MODE_RAW)
                 raw = (stream.reshape(C, tp)[:, :tcs].tobytes()
                        if plane is None else plane.tobytes())

@@ -253,16 +253,32 @@ class DeviceBatchDecoder:
         self.do_spatial_diff = bool(reader.cmeta.do_spatial_diff)
 
     def supported(self, parsed_list, n_samples):
-        """Uniform geometry/modes across the batch, integer dtype."""
+        """Uniform geometry/modes across the batch, integer dtype.
+
+        Containers that fail here take the host path, which raises the
+        decoders' documented IOErrors for genuinely malformed inputs
+        (dtype/itemsize mismatch, foreign head geometry) instead of
+        producing wrong bytes or raw broadcast errors.
+        """
         if self.dtype.kind not in 'iu':
             return False
         first = parsed_list[0]
+        if first['itemsize'] != self.dtype.itemsize:
+            return False
+        if first['n_head'] not in (0, self.reader.n_channels):
+            return False
         for parsed in parsed_list:
             if parsed['modes'] != first['modes']:
                 return False
             if parsed['seg'] != first['seg']:
                 return False
             if parsed['aligned'] != first['aligned']:
+                return False
+            if parsed['zigzag'] != first['zigzag']:
+                return False
+            if parsed['n_stream'] != first['n_stream']:
+                return False
+            if parsed['itemsize'] != first['itemsize']:
                 return False
             if parsed['n_elems'] != n_samples * self.reader.n_channels:
                 return False
@@ -371,18 +387,15 @@ class DeviceBatchDecoder:
                     freqs[i, r] = table
                     counts[i, r] = n
                     counts_b[i, r] = n
-                    # Multi-table planes (flags bit4): key on the table
-                    # identity, not just the plane.
-                    tidx = parsed['planes'][p].get('tidx')
-                    ti = 0 if tidx is None else int(
-                        tidx[start // parsed['seg']])
-                    key = (b, p, ti)
+                    # Key on the table CONTENT: identical tables across
+                    # chunks (the common case) pack once per batch.
+                    hi_val = (int(parsed['planes'][1]['value'])
+                              if build_elems and len(modes) > 1 else 0)
+                    key = (table.tobytes(), hi_val)
                     if key not in table_cache:
                         if build_elems:
                             from ..ops.pallas_rans import pack_elem_table
-                            hi = parsed['planes'][1]['value'] \
-                                if len(modes) > 1 else 0
-                            et = pack_elem_table(table, hi, np.int16)
+                            et = pack_elem_table(table, hi_val, np.int16)
                         else:
                             et = None
                         table_cache[key] = (
@@ -403,6 +416,11 @@ class DeviceBatchDecoder:
                     counts_b, const_vals, raw_vals, heads, elem_pk)
         small_alpha = alpha_max <= 128
         one_fixup = not needs_fixup2
+        if mesh is not None and G == 0:
+            # No rANS groups (all planes CONST/RAW): the group arrays
+            # have a placeholder leading dim of 1 that cannot shard;
+            # plain jit decodes such batches trivially anyway.
+            mesh = None
         if mesh is None:
             fn = _build_decode_fn(
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
@@ -660,37 +678,19 @@ class DeviceBatchEncoder:
 
         # Host: tables + per-plane modes (must be uniform across the
         # batch for one device call; callers fall back otherwise).
-        # Decisions mirror AnsCodec.encode exactly so containers stay
-        # byte-identical to the host codec's.
+        # The decision logic is ans_mod.decide_plane — the SAME code
+        # the host codec runs, so containers stay byte-identical.
         modes = np.empty((B, P), dtype=np.int64)
         plane_tables = {}
         for b in range(B):
             for p in range(P):
-                counts = hists[b, p]
-                if counts.max() == counts.sum():
-                    modes[b, p] = ans_mod.MODE_CONST
-                    continue
-                if aligned:
-                    # Coded stream includes the per-channel zero pads.
-                    counts = counts.copy()
-                    counts[0] += n_pad
-                freqs = rans.quantize_freqs(counts)
-                cost = ans_mod._estimated_rans_bytes(
-                    counts, freqs, n_stream, seg)
-                ptables, tidx = freqs[None], None
-                if ch_hists is not None:
-                    ctables, cidx, cbits = ans_mod.cluster_segment_tables(
-                        _seg_hists(b, p))
-                    ccost = (ctables.shape[0] * 512 + 1
-                             + (n_segs if ctables.shape[0] > 1 else 0)
-                             + n_segs * (4 * rans.LANES) + cbits / 8.0)
-                    if ctables.shape[0] > 1 and ccost < cost:
-                        cost = ccost
-                        ptables, tidx = ctables, cidx
-                if cost >= n_coded:
-                    modes[b, p] = ans_mod.MODE_RAW
-                else:
-                    modes[b, p] = ans_mod.MODE_RANS
+                seg_fn = ((lambda b=b, p=p: _seg_hists(b, p))
+                          if ch_hists is not None else None)
+                mode, ptables, tidx = ans_mod.decide_plane(
+                    hists[b, p], n_pad, n_stream, n_coded, seg,
+                    'segment' if seg_mode else 'plane', seg_fn)
+                modes[b, p] = mode
+                if mode == ans_mod.MODE_RANS:
                     plane_tables[(b, p)] = (ptables, tidx)
         if not (modes == modes[0]).all():
             return None  # mixed modes: host path handles it
@@ -967,7 +967,20 @@ def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
     last = readers[0].n_chunks - 1 if last_chunk is None else last_chunk
     n_chunks = last - first_chunk + 1
     parsed_all, ns = [], None
-    mergeable = all(r.algorithm == 'ans' for r in readers)
+    r0 = readers[0]
+    # Probes must agree on everything the decoder derives from
+    # readers[0]: dtype/order/diff flags/channel count — a mismatch
+    # would decode the other probes with the wrong metadata. Fallback,
+    # never corrupt.
+    mergeable = all(
+        r.algorithm == 'ans'
+        and r.n_chunks > last
+        and r.dtype == r0.dtype
+        and r.n_channels == r0.n_channels
+        and r.chunk_order == r0.chunk_order
+        and bool(r.cmeta.do_time_diff) == bool(r0.cmeta.do_time_diff)
+        and bool(r.cmeta.do_spatial_diff) == bool(r0.cmeta.do_spatial_diff)
+        for r in readers)
     if mergeable:
         for r in readers:
             bounds = r.chunk_bounds
