@@ -711,3 +711,51 @@ def test_device_storm_fixed_geometry(tmp_path_):
                                       order=w.chunk_order)
                 assert payload == host, name
         w.close()
+
+
+def test_decompress_multi_mismatched_probes_fall_back(tmp_path_):
+    """Probes differing in diff flags or dtype must not merge into one
+    device batch (they would decode with probe 0's metadata)."""
+    from mtscomp_tpu.parallel.pipeline import decompress_multi
+    arrs, readers = [], []
+    try:
+        for i, extra in enumerate([{}, {'do_time_diff': False}]):
+            arr = to_int16(make_signal('colored', ns=2 * 2000, nc=12))
+            path = write_arr(tmp_path_ / ('p%d.bin' % i), arr)
+            compress(path, tmp_path_ / ('p%d.cbin' % i),
+                     tmp_path_ / ('p%d.ch' % i), sample_rate=2000.0,
+                     n_channels=12, dtype='int16', algorithm='ans',
+                     quiet=True, ans_seg_log2=12, **extra)
+            arrs.append(arr)
+            readers.append(decompress(tmp_path_ / ('p%d.cbin' % i),
+                                      tmp_path_ / ('p%d.ch' % i),
+                                      quiet=True))
+        outs = decompress_multi(readers)
+        for out, arr in zip(outs, arrs):
+            assert np.array_equal(out, arr)
+    finally:
+        for r in readers:
+            r.close()
+
+
+def test_device_path_rejects_foreign_itemsize(tmp_path_):
+    """A sidecar whose dtype disagrees with the containers must raise
+    the documented IOError on the device path too (never decode
+    garbage)."""
+    import json
+    arr = to_int16(make_signal('colored', ns=2 * 2000, nc=12))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=2000.0, n_channels=12, dtype='int16',
+             algorithm='ans', quiet=True, ans_seg_log2=12)
+    meta = json.loads((tmp_path_ / 'd.ch').read_text())
+    meta['dtype'] = 'int32'
+    meta['n_channels'] = 6               # keep n_elems consistent
+    (tmp_path_ / 'd.ch').write_text(json.dumps(meta))
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch', quiet=True,
+                   device='cpu')
+    try:
+        with pytest.raises(IOError):
+            r.to_array()
+    finally:
+        r.close()
