@@ -640,7 +640,11 @@ class AnsCodec:
                 else:
                     desc.append((0, bufs[p]))
             out = np.empty((n_samples, n_channels), dtype=dtype)
-            out[0] = parsed['head'].view(dtype)
+            # Head bytes are stored little-endian; view with the
+            # LE twin and let the assignment cast for '>' dtypes.
+            out[0] = parsed['head'].view(
+                dtype.newbyteorder('<')
+                if dtype.byteorder == '>' else dtype)
             if native.fuse2_i16(desc[0], desc[1], n_channels,
                                 parsed['tp'], parsed['tcs'], out[1:]):
                 return out
@@ -664,7 +668,11 @@ class AnsCodec:
                 raise IOError("ANS chunk head has %d elements, expected "
                               "%d channels." % (n_head, n_channels))
             out = np.empty((n_samples, n_channels), dtype=dtype)
-            out[0] = parsed['head'].view(dtype)
+            # Head bytes are stored little-endian; view with the
+            # LE twin and let the assignment cast for '>' dtypes.
+            out[0] = parsed['head'].view(
+                dtype.newbyteorder('<')
+                if dtype.byteorder == '>' else dtype)
             out[1:] = flat.reshape((n_samples - 1, n_channels), order=order)
             return out
         return flat.reshape((n_samples, n_channels), order=order)

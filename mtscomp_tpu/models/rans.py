@@ -63,9 +63,14 @@ def zigzag_encode(values):
 
     Input may be any integer dtype; it is reinterpreted as the signed type
     of the same width first (wrapped diffs of unsigned data are "small"
-    in the signed sense). Returns the unsigned dtype of the same width.
+    in the signed sense). Returns the NATIVE-order unsigned dtype of the
+    same width (big-endian inputs are value-normalized first — the
+    raw-byte reinterpretation the views below perform would otherwise
+    collide distinct values).
     """
     v = np.asarray(values)
+    if v.dtype.byteorder == '>':
+        v = v.astype(v.dtype.newbyteorder('='))
     bits = v.dtype.itemsize * 8
     s = v.view(np.dtype('int%d' % bits)) if v.dtype.kind == 'u' else v
     u = s.view(np.dtype('uint%d' % bits))
@@ -81,6 +86,10 @@ def zigzag_decode(codes, dtype):
     s = (u >> 1).astype(u.dtype)
     out = (s ^ (-(u & 1)).astype(u.dtype)).view(
         np.dtype('int%d' % (u.dtype.itemsize * 8)))
+    dtype = np.dtype(dtype)
+    if dtype.byteorder == '>':
+        # Values (not bytes) round-trip for non-native input dtypes.
+        return out.view(dtype.newbyteorder('=')).astype(dtype)
     return out.view(dtype)
 
 
@@ -250,20 +259,13 @@ def encoder_tables(freqs):
     return pk.astype(np.uint32), rcp.astype(np.uint32)
 
 
-def _lane_counts(row_counts):
-    """Per-(row, lane) symbol counts given per-row symbol counts."""
-    n = np.asarray(row_counts, dtype=np.int64)[:, None]
-    j = np.arange(LANES, dtype=np.int64)[None, :]
-    return np.maximum(0, -(-(n - j) // LANES))          # ceil((n-j)/LANES)
-
-
 def group_steps(row_counts):
     """Scan length for a group: max over rows of ceil(count / LANES)."""
     return int(max((-(-int(c) // LANES) for c in row_counts), default=0))
 
 
 def rans_encode_group(rows, freqs_rows):
-    """Encode R segment rows (R <= 8) into one merged-stream group.
+    """Encode R segment rows (R <= GROUP_ROWS) into one merged-stream group.
 
     rows : list of uint8 arrays (the segments' symbols, row r has n_r).
     freqs_rows : (R, 256) per-row frequency tables.
@@ -329,6 +331,9 @@ def rans_decode_group(states, words, freqs_rows, row_counts):
 
     x = states.copy()
     out = np.empty((R, S * LANES), dtype=np.uint8)
+    # Inclusive per-row cumsums for the slot lookup, hoisted out of the
+    # step loop (bit-exact; the loop only reads them).
+    inc_rows = np.cumsum(freqs_rows, axis=1)
     pos = 0
     for s in range(S):
         active = (s * LANES + lane_j) < n
@@ -337,8 +342,7 @@ def rans_decode_group(states, words, freqs_rows, row_counts):
         # uses the coarse-table + single-fixup equivalent).
         sym = np.empty((R, LANES), dtype=np.int64)
         for r in range(R):
-            sym[r] = np.searchsorted(
-                np.cumsum(freqs_rows[r]), slot[r], side='right')
+            sym[r] = np.searchsorted(inc_rows[r], slot[r], side='right')
         out[:, s * LANES:(s + 1) * LANES] = sym
         f = np.take_along_axis(freqs_rows, sym, axis=1)
         c = np.take_along_axis(cum_rows, sym, axis=1)

@@ -50,6 +50,13 @@ def build_library(force=False):
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _LIB_PATH)
+    except subprocess.CalledProcessError as e:  # pragma: no cover
+        # Surface the compiler's message: a silent fallback to the
+        # pure-Python coder costs ~10x and is hard to diagnose.
+        logger.warning("Native library build failed (falling back to "
+                       "Python codecs):\n%s",
+                       (e.stderr or b'').decode(errors='replace'))
+        raise
     finally:
         tmp.unlink(missing_ok=True)
     return _LIB_PATH
@@ -139,7 +146,7 @@ def deflate_batch(buffers, n_threads=1):
     outs = []
     keepalive = []
     for i, buf in enumerate(buffers):
-        b = bytes(buf) if not isinstance(buf, (bytes, bytearray)) else buf
+        b = buf if isinstance(buf, bytes) else bytes(buf)
         keepalive.append(b)
         in_ptrs[i] = ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
         in_lens[i] = len(b)
@@ -168,7 +175,7 @@ def inflate_batch(payloads, out_sizes, n_threads=1):
     outs = []
     keepalive = []
     for i, (buf, size) in enumerate(zip(payloads, out_sizes)):
-        b = bytes(buf) if not isinstance(buf, (bytes, bytearray)) else buf
+        b = buf if isinstance(buf, bytes) else bytes(buf)
         keepalive.append(b)
         in_ptrs[i] = ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
         in_lens[i] = len(b)
@@ -273,7 +280,8 @@ def rans_decode_groups(groups, n_threads=1):
         words_p[g] = words.ctypes.data
         n_words[g] = words.size
         for r, out in enumerate(row_outs):
-            assert out.dtype == np.uint8 and out.flags.c_contiguous
+            if out.dtype != np.uint8 or not out.flags.c_contiguous:
+                return None     # caller falls back to the NumPy coder
             row_freqs[ri] = freq_rows[r:r + 1].ctypes.data
             row_counts[ri] = out.size
             row_out[ri] = out.ctypes.data
@@ -300,7 +308,8 @@ def cumsum_axis0_inplace(arr):
         return False
     if arr.ndim != 2 or not arr.flags.c_contiguous \
             or arr.dtype.kind not in 'iu' \
-            or arr.dtype.itemsize not in (1, 2, 4, 8):
+            or arr.dtype.itemsize not in (1, 2, 4, 8) \
+            or arr.dtype.byteorder not in '<=|':
         return False
     rc = lib.mts_cumsum_axis0(arr.ctypes.data, arr.shape[0], arr.shape[1],
                               arr.dtype.itemsize)
@@ -324,9 +333,11 @@ def fuse2_i16(lo, hi, C, tp, tcs, out_body):
         if kind == 2:
             args += [None, 2, int(operand)]
         else:
-            assert operand.dtype == np.uint8 and operand.flags.c_contiguous
+            if operand.dtype != np.uint8 or not operand.flags.c_contiguous:
+                return False
             args += [operand.ctypes.data, int(kind), 0]
-    assert out_body.flags.c_contiguous and out_body.dtype.itemsize == 2
+    if not out_body.flags.c_contiguous or out_body.dtype.itemsize != 2:
+        return False
     rc = lib.mts_fuse2_i16(*args, C, tp, tcs, out_body.ctypes.data)
     return rc == 0
 

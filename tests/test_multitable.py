@@ -307,3 +307,23 @@ def test_parse_rejects_oversized_head():
     fixed = body + struct.pack('<I', zlib.crc32(body))
     with pytest.raises(IOError, match='head'):
         codec.parse(fixed)
+
+
+def test_big_endian_dtype_roundtrip():
+    """'>i2' input must round-trip by VALUE through the ans codec (the
+    zigzag views need explicit byteorder normalization; confirmed lossy
+    before the fix: 384 and 256 collided)."""
+    rng = np.random.default_rng(21)
+    chunkd = rng.integers(-30000, 30000, (500, 6)).astype('>i2')
+    assert int(chunkd[0, 0]) == int(chunkd.astype('<i2')[0, 0])
+    codec = AnsCodec()
+    payload = codec.encode(chunkd, order='F')
+    back = codec.decode(payload, 500, 6, np.dtype('>i2'), order='F')
+    assert back.dtype == np.dtype('>i2')
+    assert np.array_equal(back, chunkd)
+    # The specific collision pair from the bug report.
+    z = rans.zigzag_encode(np.array([384, 256], dtype='>i2'))
+    assert z[0] != z[1]
+    assert np.array_equal(
+        rans.zigzag_decode(z, np.dtype('>i2')),
+        np.array([384, 256], dtype='>i2'))
