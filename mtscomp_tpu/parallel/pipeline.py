@@ -262,6 +262,8 @@ class DeviceBatchDecoder:
         """
         if self.dtype.kind not in 'iu':
             return False
+        if self.dtype.byteorder not in '<=|':
+            return False     # JAX has no non-native dtypes; host path
         first = parsed_list[0]
         if first['itemsize'] != self.dtype.itemsize:
             return False
@@ -504,6 +506,7 @@ class DeviceBatchEncoder:
 
     def supported(self, n_samples):
         return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
+                and self.dtype.byteorder in '<=|'
                 and n_samples > 1
                 and self.writer.n_channels < 65536)
 
