@@ -658,9 +658,12 @@ class Reader:
         cmeta['chopped'] = True
         # A chopped file no longer covers the range its part provenance
         # claims — keeping part/part_of would let merge_parts accept a
-        # silently truncated 'complete' set.
+        # silently truncated 'complete' set. A chop of a live snapshot
+        # is likewise a complete standalone file, not an in-progress
+        # stream.
         cmeta.pop('part', None)
         cmeta.pop('part_of', None)
+        cmeta.pop('streaming', None)
         write_cmeta(outmeta, cmeta)
 
     # -- NumPy protocol -----------------------------------------------------------

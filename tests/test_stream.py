@@ -277,3 +277,28 @@ def test_stream_reader_tolerates_torn_sidecar(tmp_path_):
     finally:
         r.close()
         w.close()
+
+
+def test_chop_of_live_snapshot_drops_streaming_marker(tmp_path_):
+    from mtscomp_tpu import Reader
+    arr = to_int16(make_signal('colored', ns=3 * 2000, nc=NC))
+    w = StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     live_sidecar=True)
+    w.append(arr)                  # 3 chunks published, stream still open
+    r = Reader(quiet=True)
+    r.open(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch')
+    try:
+        r.chop(2, tmp_path_ / 'chopped.cbin')
+    finally:
+        r.close()
+        w.close()
+    import json
+    meta = json.loads((tmp_path_ / 'chopped.ch').read_text())
+    assert meta['chopped'] is True and 'streaming' not in meta
+    rd = decompress(tmp_path_ / 'chopped.cbin', tmp_path_ / 'chopped.ch',
+                    quiet=True)
+    try:
+        assert np.array_equal(rd[:], arr[:2 * 2000])
+    finally:
+        rd.close()
