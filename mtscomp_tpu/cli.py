@@ -123,6 +123,14 @@ def mtscomp(args=None):
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
     if pargs.set_default:
         write_config(**config)
+    if pargs.rank is not None and not pargs.n_parts:
+        raise ValueError("--rank requires --parts N (every host passes "
+                         "the same part count plus its own rank).")
+    if pargs.chunk_range and (pargs.n_parts or pargs.n_workers
+                              or pargs.rank is not None):
+        raise ValueError("--range and --parts/--workers/--rank are "
+                         "mutually exclusive: --range compresses ONE "
+                         "explicit chunk range.")
     if pargs.chunk_range:
         from .parallel.distributed import compress_range
         if not (pargs.out and pargs.outmeta):
@@ -232,7 +240,11 @@ def mtsmerge(args=None):
     parser.add_argument('-m', '--outmeta', type=str,
                         help='path to the merged metadata file (.ch; '
                              'default: out with .ch suffix)')
-    _shared_options(parser)
+    # No -nc/-p here: the merge ALWAYS verifies each part's SHA1 during
+    # the byte copy (safety property, not an option) and is a single
+    # sequential stream — advertising dead flags misleads.
+    parser.add_argument('-v', '--debug', action='store_true',
+                        help='verbose')
     pargs = parser.parse_args(args or sys.argv[1:])
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
     from pathlib import Path
@@ -296,9 +308,9 @@ def mtschop(args=None):
                     'decompressing it.')
     parser.add_argument('cdata', type=str,
                         help='path to the input compressed binary file (.cbin)')
-    parser.add_argument('-n', '--n_chunks', type=int,
+    parser.add_argument('-n', '--n_chunks', type=int, required=True,
                         help='number of chunks to chop')
-    parser.add_argument('-o', '--out', type=str,
+    parser.add_argument('-o', '--out', type=str, required=True,
                         help='path to the output chopped compressed file (.cbin)')
     _shared_options(parser)
     pargs = parser.parse_args(args or sys.argv[1:])

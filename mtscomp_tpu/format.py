@@ -33,7 +33,7 @@ def compute_chunk_bounds(n_samples, sample_rate, chunk_duration):
     """
     chunk_size = int(np.round(chunk_duration * sample_rate))
     assert chunk_size > 0
-    bounds = list(range(0, n_samples, chunk_size))
+    bounds = list(range(0, n_samples, chunk_size)) or [0]
     if bounds[-1] < n_samples:
         bounds.append(n_samples)
     assert bounds[0] == 0 and bounds[-1] == n_samples

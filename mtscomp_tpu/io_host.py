@@ -34,6 +34,9 @@ def load_raw_data(path=None, n_channels=None, dtype=None, offset=None, mmap=True
     offset = int(offset or 0)
     item_size = np.dtype(dtype).itemsize
     payload = os.path.getsize(str(path)) - offset
+    if payload < 0:
+        raise ValueError("Offset %d is beyond the end of %s (%d bytes)."
+                         % (offset, path, payload + offset))
     n_samples = payload // (item_size * n_channels)
     if n_samples * n_channels * item_size != payload:
         raise ValueError(

@@ -155,6 +155,7 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     cmeta = dict(first)
     cmeta.pop('part', None)
     cmeta.pop('part_of', None)
+    cmeta.pop('streaming', None)   # merged output is a complete file
     cmeta['chunk_bounds'] = bounds
     cmeta['chunk_offsets'] = offsets
     cmeta['shape'] = (bounds[-1], int(first['n_channels']))
