@@ -304,9 +304,10 @@ def cumsum_time(d, use_pallas=None, interpret=False):
     if use_pallas is None:
         use_pallas = (d.dtype == jnp.int16
                       and jax.default_backend() == 'tpu')
-    from .pallas_rans import force_interpret
     if use_pallas and jax.default_backend() != 'tpu':
-        interpret = True if force_interpret() else interpret
+        # Explicit use_pallas on a non-TPU backend means interpret mode
+        # (Mosaic cannot lower there).
+        interpret = True
     if not use_pallas:
         return cumsum_time_jnp(d)
     B, T, C = d.shape

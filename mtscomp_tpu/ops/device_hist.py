@@ -24,15 +24,20 @@ import jax.numpy as jnp
 BLOCK = 1 << 17          # values per scan block (f32-exact: < 2^24)
 
 
-@functools.partial(jax.jit, static_argnames=('length',))
-def histogram256(v, length=256):
+@jax.jit
+def histogram256(v):
     """Exact per-row byte histograms: (N, n) uint8 -> (N, 256) int32."""
-    assert length == 256
     N, n = v.shape
-    nb = max(1, -(-n // BLOCK))
-    pad = nb * BLOCK - n
+    # Block size adapts to the row length (128-aligned): short rows
+    # (e.g. per-channel histograms for segment tables) must not pad to
+    # the full 2^17 scan block — that would both waste ~BLOCK/n of the
+    # MXU work on zeros and materialize BLOCK-sized one-hot operands
+    # per row.
+    block = min(BLOCK, max(128, -(-n // 128) * 128))
+    nb = max(1, -(-n // block))
+    pad = nb * block - n
     vp = jnp.pad(v, ((0, 0), (0, pad)))          # pads land in bin 0
-    vb = jnp.moveaxis(vp.reshape(N, nb, BLOCK), 1, 0)
+    vb = jnp.moveaxis(vp.reshape(N, nb, block), 1, 0)
 
     def body(acc, blk):
         hi = jax.nn.one_hot(blk >> 4, 16, dtype=jnp.bfloat16)

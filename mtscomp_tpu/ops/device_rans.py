@@ -1,14 +1,15 @@
 """Batched grouped-rANS decode as a JAX program (runs on TPU under jit).
 
-Decodes N independent *groups* (8 segment rows x 128 lanes each, see
-models/rans.py) simultaneously: one scan step advances all N*8*128 lanes
+Decodes N independent *groups* (GROUP_ROWS=32 segment rows x 128 lanes
+each, see models/rans.py) simultaneously: one scan step advances all
+N*32*128 lanes
 and consumes each group's merged word stream strictly front-to-back.
 Bit-exact against the normative NumPy coder (tested); the Pallas kernel
 in ``ops/pallas_rans.py`` is the hand-tuned version of the same step.
 
 Static shapes per call signature:
 
-- ``states``  (N, 8, 128) uint32 — decoder start states (inactive rows L)
+- ``states``  (N, 32, 128) uint32 — decoder start states (inactive rows L)
 - ``words``   (N, W)      uint16 — merged renorm payload, zero-padded
 - ``freqs``   (N, 8, 256) int32  — per-row frequency tables
 - ``counts``  (N, 8)      int32  — symbols per row (0 for absent rows)
@@ -108,10 +109,11 @@ def encode_groups(symbols, enc_pk, enc_rcp, counts, *, n_steps):
 
     Returns ``(states, words_dense, emit)`` where ``states`` are the
     (N, R, 128) uint32 decoder start states and ``words_dense`` /
-    ``emit`` are (N, S, R*128) uint16/bool in DECODER order (step
-    ascending, row-major): compact ``words_dense[emit]`` per group (in
-    order) to obtain the merged stream. Bit-identical to the normative
-    encoder for the same inputs.
+    ``emit`` are (S, N, R*128) uint16/bool — lax.scan stacks the step
+    axis LEADING — in DECODER order (step ascending, row-major within a
+    step): compact the step-major words per group (in order) to obtain
+    the merged stream. Bit-identical to the normative encoder for the
+    same inputs.
     """
     N, R, SK = symbols.shape
     K = LANES
@@ -181,7 +183,8 @@ def pack_groups(groups, freq_of_plane):
     span several chunks). ``freq_of_plane``: callable (group_index, p) ->
     (256,) table for plane p of that group's chunk.
 
-    Returns (states, words, freqs, counts, n_steps, word_sizes).
+    Returns ``(states, words, freqs, counts, n_steps)``; per-group
+    stream lengths are read from ``g['words'].size``.
     """
     N = len(groups)
     S = 0

@@ -15,9 +15,11 @@ with every data-dependent lookup mapped onto ops Mosaic lowers well:
   exact — values <= 128 fit bf16) plus a sublane Hillis-Steele scan of
   row totals, and each lane pulls its word from a window of the stream
   in two phases: each target row's words span at most two consecutive
-  128-word stream rows, which are brought to the row by one-hot MXU
-  row-selects (HIGHEST precision: u16 words need f32 mantissa), then a
-  per-lane shuffle picks within them.
+  128-word stream rows, which are brought to the row by BYTE-SPLIT
+  one-hot MXU matmuls (the u16 words split into two u8 halves whose
+  one-hot products are bf16-exact — operands in {0,1,255,256}, sums
+  < 2^24 — so default-precision matmuls suffice; see the fetch code),
+  then a per-lane shuffle picks within them.
 - **state math**: int32 with logical shifts (values are mod-2^32; the
   unsigned ``x < 2^16`` test becomes ``x >> 16 == 0``).
 
