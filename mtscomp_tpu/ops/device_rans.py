@@ -28,12 +28,26 @@ from ..models.rans import SCALE_BITS, SCALE, RANS_L, LANES, GROUP_ROWS
 
 
 def derive_tables(freqs):
-    """cumfreq and dense slot->symbol tables from (N, R, 256) freqs."""
+    """cumfreq and dense slot->symbol tables from (N, R, 256) freqs.
+
+    Both branches compute ``count of uppers <= slot`` per slot — the
+    TPU form as a vector compare-reduce (VPU-friendly), the host form
+    as a per-row binary search (the broadcast compare is ~1M scalar
+    ops per table row on CPU). Bit-identical, including f=0 ties.
+    """
     cum = jnp.cumsum(freqs, axis=-1) - freqs           # exclusive prefix
     slots = jnp.arange(SCALE, dtype=jnp.int32)
     upper = cum + freqs                                # (N, R, 256)
-    slot2sym = jnp.sum(slots[None, None, :, None] >= upper[:, :, None, :],
-                       axis=-1).astype(jnp.int32)      # (N, R, 4096)
+    if jax.default_backend() == 'tpu':
+        slot2sym = jnp.sum(
+            slots[None, None, :, None] >= upper[:, :, None, :],
+            axis=-1).astype(jnp.int32)                 # (N, R, 4096)
+    else:
+        flat = upper.reshape(-1, 256)
+        slot2sym = jax.vmap(
+            lambda u: jnp.searchsorted(u, slots, side='right'))(flat)
+        slot2sym = slot2sym.reshape(upper.shape[0], upper.shape[1],
+                                    SCALE).astype(jnp.int32)
     return cum, slot2sym
 
 
