@@ -12,7 +12,8 @@ planes (LSB first); float elements skip zigzag. Each *coded* plane's
 byte stream is cut into **segments** of ``2**seg_log2`` symbols; each
 segment is one 128-lane interleaved rANS row; consecutive segments (in
 plane-major order, across plane boundaries) are packed into **groups**
-of up to 8 rows sharing one merged renorm-word stream in decoder order.
+of up to 32 rows sharing one merged renorm-word stream in decoder
+order.
 
 Chunk container layout (all little-endian)::
 
@@ -47,7 +48,7 @@ Chunk container layout (all little-endian)::
       u32 n_groups
       u32 n_words[g] for g in range(n_groups)
       per group g:
-        u32 state[R_g * 128]      (R_g = rows in group, 8 except last)
+        u32 state[R_g * 128]      (R_g = rows in group, 32 except last)
         u16 word[n_words[g]]
 
 Segments are derived, not stored: RANS planes in index order contribute

@@ -11,10 +11,10 @@ Static shapes per call signature:
 
 - ``states``  (N, 32, 128) uint32 — decoder start states (inactive rows L)
 - ``words``   (N, W)      uint16 — merged renorm payload, zero-padded
-- ``freqs``   (N, 8, 256) int32  — per-row frequency tables
-- ``counts``  (N, 8)      int32  — symbols per row (0 for absent rows)
+- ``freqs``   (N, 32, 256) int32 — per-row frequency tables
+- ``counts``  (N, 32)     int32  — symbols per row (0 for absent rows)
 
-Output: (N, S, 8, 128) uint8 symbols; entry (n, s, r, j) is row r's
+Output: (N, S, 32, 128) uint8 symbols; entry (n, s, r, j) is row r's
 symbol ``s*128 + j`` (garbage where inactive).
 """
 
@@ -55,7 +55,7 @@ def derive_tables(freqs):
 def decode_groups(states, words, freqs, counts, *, n_steps):
     """Decode all groups for ``n_steps`` steps.
 
-    Returns ``(syms, words_used)``: (N, S, 8, 128) uint8 symbols and the
+    Returns ``(syms, words_used)``: (N, S, 32, 128) uint8 symbols and the
     (N,) int32 count of stream words each group consumed — callers
     compare it against the group's stored stream length (the corruption
     check the sequential decoders perform inline).
