@@ -3,9 +3,10 @@
 Functional equivalent of the reference's ``benchmark.py`` (mtscomp_perf,
 dataset x parameter grid, tabulated report; reference benchmark.py:16-99)
 rebuilt for this framework: synthetic dataset generators replace the
-on-disk sample files, the grid includes both algorithms and the device
-pipeline, and results are plain dicts (JSON-friendly) rather than
-joblib-cached pickles.
+on-disk sample files, the grid covers both algorithms on the host
+paths (pass device=True to mtscomp_perf to time the device pipeline
+including transfers), and results are plain dicts (JSON-friendly)
+rather than joblib-cached pickles.
 
 Usage::
 
@@ -15,6 +16,7 @@ Usage::
 """
 
 import itertools
+import shutil
 import tempfile
 import time
 from pathlib import Path
@@ -96,6 +98,7 @@ def mtscomp_perf(arr, sample_rate, algorithm='ans', n_threads=None,
         window_time = (time.perf_counter() - t0) / read_windows
     finally:
         r.close()
+        shutil.rmtree(tmp, ignore_errors=True)
 
     nbytes = arr.nbytes
     return {

@@ -106,6 +106,13 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
             if pr[0] != next_chunk:
                 raise ValueError("part ranges not contiguous: expected "
                                  "chunk %d, got %d" % (next_chunk, pr[0]))
+            if pr[1] - pr[0] != len(m['chunk_bounds']) - 1:
+                # Never trust the declared range over the actual chunk
+                # count: a mismatch would make the coverage guard pass
+                # on a silently truncated part.
+                raise ValueError(
+                    "part declares chunks [%d, %d) but contains %d "
+                    "chunks" % (pr[0], pr[1], len(m['chunk_bounds']) - 1))
             next_chunk = pr[1]
         else:
             next_chunk += len(m['chunk_bounds']) - 1

@@ -90,7 +90,10 @@ class StreamWriter:
 
     def append(self, samples):
         """Add a ``(n, n_channels)`` block; full chunks are written out."""
-        assert not self._closed, "StreamWriter is closed"
+        if self._closed:
+            # Real exception (not an assert): under python -O a closed
+            # writer would silently buffer-and-drop samples.
+            raise ValueError("StreamWriter is closed.")
         samples = np.asarray(samples)
         if samples.ndim == 1:
             samples = samples.reshape(-1, self.n_channels)
@@ -263,7 +266,8 @@ class StreamReader:
         r = Reader(**self._kwargs)
         try:
             r.open(self.cdata, self.cmeta)
-        except (OSError, ValueError, KeyError, AssertionError):
+        except (OSError, ValueError, KeyError, AttributeError,
+                AssertionError):
             return False
         before = self._reader.shape[0] if self._reader is not None else 0
         if self._reader is not None:

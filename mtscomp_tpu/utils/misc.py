@@ -33,9 +33,15 @@ _ANSI = {'D': '90', 'I': '0', 'W': '33', 'E': '31', 'C': '31'}
 
 
 class _ColorFormatter(logging.Formatter):
-    """Compact formatter: time, level initial, caller file:line, message."""
+    """Compact formatter: time, level initial, caller file:line, message.
+
+    Never mutates the shared LogRecord (other handlers attached to the
+    logger format the same record object).
+    """
 
     def format(self, record):
+        import copy
+        record = copy.copy(record)
         record.levelname = record.levelname[:1]
         src = op.splitext(op.basename(record.pathname))[0]
         record.caller = ('%s:%d' % (src, record.lineno)).ljust(22)
@@ -45,9 +51,19 @@ class _ColorFormatter(logging.Formatter):
 
 
 def add_default_handler(level='INFO', logger=logger):
-    """Attach a stream handler with the compact colorized format."""
+    """Attach a stream handler with the compact colorized format.
+
+    Also lowers the LOGGER's level when the handler asks for more
+    detail than it currently passes — otherwise Logger.isEnabledFor
+    drops DEBUG/TRACE records before any handler sees them and
+    ``--debug`` / MTSCOMP_TRACE would be silently dead.
+    """
     handler = logging.StreamHandler()
     handler.setLevel(level)
+    want = level if isinstance(level, int) \
+        else logging.getLevelName(level)
+    if isinstance(want, int) and want < logger.getEffectiveLevel():
+        logger.setLevel(want)
     handler.setFormatter(_ColorFormatter(
         fmt='%(asctime)s.%(msecs)03d [%(levelname)s] %(caller)s %(message)s',
         datefmt='%H:%M:%S'))

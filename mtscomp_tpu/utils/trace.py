@@ -25,6 +25,14 @@ _stats = defaultdict(lambda: [0, 0.0])      # name -> [count, seconds]
 def enable_tracing(on=True):
     global _enabled
     _enabled = bool(on)
+    if _enabled and logger.getEffectiveLevel() > TRACE:
+        # Phase durations log at the sub-DEBUG trace level; tracing is
+        # an explicit opt-in, so make those records pass the logger.
+        logger.setLevel(TRACE)
+
+
+if _enabled and logger.getEffectiveLevel() > TRACE:
+    logger.setLevel(TRACE)
 
 
 def reset_stats():
