@@ -23,6 +23,16 @@ from pathlib import Path
 import numpy as np
 
 
+def _tmpdir():
+    """Temp dir removed at process exit (benchmarks must not leak
+    hundreds of MB into /tmp per run)."""
+    import atexit
+    import shutil
+    d = Path(tempfile.mkdtemp())
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def main():
     try:
         import jax
@@ -33,9 +43,8 @@ def main():
         pass
     # Keep the user config out of the measurement.
     import mtscomp_tpu.config as cfg
-    cfg.CONFIG_PATH = Path(tempfile.mkdtemp()) / '.mtscomp'
+    cfg.CONFIG_PATH = _tmpdir() / '.mtscomp'
     from mtscomp_tpu import compress, decompress
-    from mtscomp_tpu.parallel.pipeline import decompress_to_array
 
     try:
         import jax
@@ -48,7 +57,7 @@ def main():
     arr = np.cumsum(rng.normal(0.0, 6.0, size=(T * seconds, C)),
                     axis=0).astype(np.int16)
 
-    tmp = Path(tempfile.mkdtemp())
+    tmp = _tmpdir()
     raw = tmp / 'bench.bin'
     arr.tofile(raw)
 
@@ -71,7 +80,9 @@ def main():
         parsed = [r.codec.parse(_read_payload(r, i))
                   for i in range(r.n_chunks)]
         dec = DeviceBatchDecoder(r)
-        assert dec.supported(parsed, T)
+        if not dec.supported(parsed, T):   # real check, -O-proof
+            raise RuntimeError("bench containers unsupported by the "
+                               "device batch decoder")
         fn, dev_args = dec.pack(parsed, T)
         out, used = fn(*dev_args)         # warm-up / compile
         from mtscomp_tpu.parallel.pipeline import check_words_used
@@ -102,7 +113,7 @@ def main():
             return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
 
         run_once()
-        reps = int(os.environ.get('BENCH_REPS', '5' if on_accel else '1'))
+        reps = int(os.environ.get('BENCH_REPS', '8' if on_accel else '1'))
         times = []
         for _ in range(reps):
             t1 = time.time()
@@ -150,7 +161,7 @@ def _device_encode_rate(arr, T, C, SR, on_accel):
         B = min(4, arr.shape[0] // T)
         if B < 1:
             return 0.0
-        tmp = Path(tempfile.mkdtemp())
+        tmp = _tmpdir()
         raw = tmp / 'enc.bin'
         arr[:B * T].tofile(raw)
         w = Writer(algorithm='ans', quiet=True)
@@ -180,7 +191,7 @@ def _device_encode_rate(arr, T, C, SR, on_accel):
 
             run_once()
             times = []
-            for _ in range(5 if on_accel else 1):
+            for _ in range(8 if on_accel else 1):
                 t2 = time.time()
                 run_once()
                 times.append(time.time() - t2)

@@ -64,6 +64,9 @@ class ZlibCodec:
 
     def decode_batch(self, payloads, shapes, dtype, order='F', n_threads=1):
         """Inflate several payloads; ``shapes`` is a list of (ns, nc)."""
+        if len(payloads) != len(shapes):
+            raise ValueError("decode_batch got %d payloads but %d shapes."
+                             % (len(payloads), len(shapes)))
         from ..native import inflate_batch
         sizes = [ns * nc * np.dtype(dtype).itemsize for ns, nc in shapes]
         raws = inflate_batch(payloads, sizes, n_threads=n_threads)

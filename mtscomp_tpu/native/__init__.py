@@ -307,6 +307,7 @@ def cumsum_axis0_inplace(arr):
     if lib is None:
         return False
     if arr.ndim != 2 or not arr.flags.c_contiguous \
+            or not arr.flags.writeable \
             or arr.dtype.kind not in 'iu' \
             or arr.dtype.itemsize not in (1, 2, 4, 8) \
             or arr.dtype.byteorder not in '<=|':

@@ -17,20 +17,25 @@ import numpy as np
 
 
 def diff_along_axis(chunk, axis=None):
-    """First-order diff along ``axis``; row/column 0 is kept verbatim.
+    """First-order diff along ``axis``; slice 0 is kept verbatim.
 
-    ``axis=None`` is the identity (used when a diff direction is disabled).
+    ``axis=None`` is the identity (used when a diff direction is
+    disabled). Works for any ndim/axis, like the reference
+    (mtscomp.py:143-159).
     """
     if axis is None:
         return chunk
     assert 0 <= axis < chunk.ndim
     out = np.empty_like(chunk, subok=False)
-    if axis == 0:
-        out[:1, :] = chunk[:1, :]
-        np.subtract(chunk[1:, :], chunk[:-1, :], out=out[1:, :])
-    else:
-        out[:, :1] = chunk[:, :1]
-        np.subtract(chunk[:, 1:], chunk[:, :-1], out=out[:, 1:])
+
+    def ax(sl):
+        full = [slice(None)] * chunk.ndim
+        full[axis] = sl
+        return tuple(full)
+
+    out[ax(slice(0, 1))] = chunk[ax(slice(0, 1))]
+    np.subtract(chunk[ax(slice(1, None))], chunk[ax(slice(None, -1))],
+                out=out[ax(slice(1, None))])
     return out
 
 
@@ -54,13 +59,20 @@ def cumsum_along_axis(chunk, axis=None, inplace=False):
     assert 0 <= axis < chunk.ndim
     if axis == 0 and chunk.ndim == 2 and chunk.dtype.kind in 'iu':
         from .. import native
-        if inplace and chunk.flags.c_contiguous and chunk.flags.writeable:
-            if native.cumsum_axis0_inplace(chunk):
-                return chunk
-        out = np.ascontiguousarray(chunk)
-        out = out.copy() if out is chunk else out
-        if native.cumsum_axis0_inplace(out):
-            return out
+        if native.available():
+            if inplace and chunk.flags.c_contiguous \
+                    and chunk.flags.writeable:
+                if native.cumsum_axis0_inplace(chunk):
+                    return chunk
+            out = np.ascontiguousarray(chunk)
+            # shares_memory, not `is`: ascontiguousarray of an ndarray
+            # SUBCLASS (np.memmap!) returns a distinct object aliasing
+            # the same bytes — mutating it would corrupt the caller's
+            # backing file (or segfault on a read-only mapping).
+            if np.shares_memory(out, chunk):
+                out = out.copy()
+            if native.cumsum_axis0_inplace(out):
+                return out
     out = np.empty_like(chunk, subok=False)
     np.cumsum(chunk, axis=axis, out=out)
     return out

@@ -114,3 +114,31 @@ def test_ans_tofile_uses_batch_path(tmp_path):
         r.close()
     assert (tmp_path / 'out.bin').read_bytes() == \
         (tmp_path / 'r.bin').read_bytes()
+
+
+def test_cumsum_never_mutates_memmap(tmp_path):
+    """ascontiguousarray of an ndarray SUBCLASS aliases the same bytes;
+    the fast path must copy (mutating would corrupt the caller's file,
+    or segfault on a read-only mapping)."""
+    a = np.arange(40, dtype=np.int16).reshape(10, 4)
+    a.tofile(tmp_path / 'm.bin')
+    want = np.cumsum(a, axis=0, dtype=np.int16)
+    for mode in ('r+', 'r'):
+        m = np.memmap(tmp_path / 'm.bin', dtype=np.int16, mode=mode,
+                      shape=(10, 4))
+        got = cumsum_along_axis(m, axis=0)
+        assert np.array_equal(got, want)
+        assert np.array_equal(np.asarray(m), a), 'memmap was mutated'
+
+
+def test_diff_cumsum_general_axes():
+    """Any ndim/axis, like the reference's diff_along_axis."""
+    from mtscomp_tpu.ops.delta import diff_along_axis
+    x = np.random.default_rng(0).integers(-100, 100,
+                                          (4, 5, 6)).astype(np.int16)
+    for ax in range(3):
+        d = diff_along_axis(x, axis=ax)
+        ref = np.concatenate([np.take(x, [0], axis=ax),
+                              np.diff(x, axis=ax)], axis=ax)
+        assert np.array_equal(d, ref)
+        assert np.array_equal(cumsum_along_axis(d, axis=ax), x)
