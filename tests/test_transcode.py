@@ -180,3 +180,38 @@ def test_transcode_multitable_to_zlib_legacy_identity(tmp_path_):
              algorithm='zlib', quiet=True)
     assert (tmp_path_ / 'legacy.cbin').read_bytes() == \
         (tmp_path_ / 'direct.cbin').read_bytes()
+
+
+def test_transcode_storm(tmp_path_):
+    """Random configs through every transcode direction stay exact."""
+    rng = np.random.default_rng(33)
+    for trial in range(6):
+        nc = int(rng.integers(3, 40))
+        ns = int(rng.integers(500, 6000))
+        kind = trial % 3
+        if kind == 0:
+            arr = rng.integers(-30000, 30000, (ns, nc)).astype(np.int16)
+        elif kind == 1:
+            arr = np.full((ns, nc), int(rng.integers(-5, 6)),
+                          dtype=np.int16)
+        else:
+            stds = np.exp(rng.uniform(0, 3.5, nc))
+            arr = np.clip(np.cumsum(rng.normal(0, 1, (ns, nc)) * stds,
+                                    axis=0), -30000, 30000).astype(np.int16)
+        raw = write_arr(tmp_path_ / 'raw.bin', arr)
+        src_algo = ('zlib', 'ans')[trial % 2]
+        dst_algo = ('ans', 'zlib')[trial % 2]
+        compress(raw, tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                 sample_rate=1000.0, n_channels=nc, dtype='int16',
+                 algorithm=src_algo, quiet=True,
+                 chunk_duration=float(rng.choice([0.3, 1.0, 2.5])))
+        transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                  tmp_path_ / 'out.cbin', algorithm=dst_algo,
+                  overwrite=True, quiet=True,
+                  ans_table_mode=str(rng.choice(['plane', 'segment'])))
+        r = decompress(tmp_path_ / 'out.cbin', tmp_path_ / 'out.ch',
+                       quiet=True)
+        try:
+            assert np.array_equal(r[:], arr), trial
+        finally:
+            r.close()
