@@ -556,14 +556,15 @@ static void cumsum_axis0(T* buf, size_t ns, size_t nc) {
 template <int LK, int HK>
 static void fuse2_core(const uint8_t* lo, int lo_const, const uint8_t* hi,
                        int hi_const, size_t C, size_t tp, size_t tcs,
-                       int16_t* out) {
+                       int16_t* out, size_t tr0, size_t tr1, size_t cr0,
+                       size_t cr1) {
   const size_t lstride = LK == 1 ? tcs : tp;
   const size_t hstride = HK == 1 ? tcs : tp;
   const size_t TB = 128, CB = 128;   // L1-resident transpose tiles
-  for (size_t t0 = 0; t0 < tcs; t0 += TB) {
-    size_t t1 = t0 + TB < tcs ? t0 + TB : tcs;
-    for (size_t c0 = 0; c0 < C; c0 += CB) {
-      size_t c1 = c0 + CB < C ? c0 + CB : C;
+  for (size_t t0 = tr0; t0 < tr1; t0 += TB) {
+    size_t t1 = t0 + TB < tr1 ? t0 + TB : tr1;
+    for (size_t c0 = cr0; c0 < cr1; c0 += CB) {
+      size_t c1 = c0 + CB < cr1 ? c0 + CB : cr1;
       for (size_t t = t0; t < t1; ++t) {
         int16_t* orow = out + t * C;
         for (size_t c = c0; c < c1; ++c) {
@@ -584,32 +585,138 @@ static void fuse2_core(const uint8_t* lo, int lo_const, const uint8_t* hi,
 template <int LK>
 static void fuse2_dispatch_hi(int hk, const uint8_t* lo, int lo_const,
                               const uint8_t* hi, int hi_const, size_t C,
-                              size_t tp, size_t tcs, int16_t* out) {
+                              size_t tp, size_t tcs, int16_t* out,
+                              size_t tr0, size_t tr1, size_t cr0,
+                              size_t cr1) {
   if (hk == 0)
-    fuse2_core<LK, 0>(lo, lo_const, hi, hi_const, C, tp, tcs, out);
+    fuse2_core<LK, 0>(lo, lo_const, hi, hi_const, C, tp, tcs, out, tr0,
+                      tr1, cr0, cr1);
   else if (hk == 1)
-    fuse2_core<LK, 1>(lo, lo_const, hi, hi_const, C, tp, tcs, out);
+    fuse2_core<LK, 1>(lo, lo_const, hi, hi_const, C, tp, tcs, out, tr0,
+                      tr1, cr0, cr1);
   else
-    fuse2_core<LK, 2>(lo, lo_const, hi, hi_const, C, tp, tcs, out);
+    fuse2_core<LK, 2>(lo, lo_const, hi, hi_const, C, tp, tcs, out, tr0,
+                      tr1, cr0, cr1);
 }
 
-extern "C"
+// Vectorized range dispatch (ISA clones; flatten inlines the template
+// instantiations so each clone vectorizes the inner loops).
 __attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
-int mts_fuse2_i16(
+static void fuse2_generic(const uint8_t* lo, int lo_kind, int lo_const,
+                          const uint8_t* hi, int hi_kind, int hi_const,
+                          size_t C, size_t tp, size_t tcs, int16_t* out,
+                          size_t tr0, size_t tr1, size_t cr0, size_t cr1) {
+  if (tr0 >= tr1 || cr0 >= cr1) return;
+  if (lo_kind == 0)
+    fuse2_dispatch_hi<0>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
+                         out, tr0, tr1, cr0, cr1);
+  else if (lo_kind == 1)
+    fuse2_dispatch_hi<1>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
+                         out, tr0, tr1, cr0, cr1);
+  else
+    fuse2_dispatch_hi<2>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
+                         out, tr0, tr1, cr0, cr1);
+}
+
+#if defined(__x86_64__)
+// 16x16 uint16 transpose: the classic AVX2 unpack tree (epi16 pairs,
+// epi32 stride-2, epi64 j/j+4, then cross-lane permute).
+__attribute__((target("avx2"), always_inline)) inline
+static void transpose16x16_u16(const __m256i in[16], __m256i out[16]) {
+  __m256i a[16], b[16], c[16];
+  for (int i = 0; i < 8; ++i) {
+    a[2 * i] = _mm256_unpacklo_epi16(in[2 * i], in[2 * i + 1]);
+    a[2 * i + 1] = _mm256_unpackhi_epi16(in[2 * i], in[2 * i + 1]);
+  }
+  for (int k = 0; k < 4; ++k) {
+    b[4 * k + 0] = _mm256_unpacklo_epi32(a[4 * k + 0], a[4 * k + 2]);
+    b[4 * k + 1] = _mm256_unpackhi_epi32(a[4 * k + 0], a[4 * k + 2]);
+    b[4 * k + 2] = _mm256_unpacklo_epi32(a[4 * k + 1], a[4 * k + 3]);
+    b[4 * k + 3] = _mm256_unpackhi_epi32(a[4 * k + 1], a[4 * k + 3]);
+  }
+  for (int k = 0; k < 2; ++k) {
+    for (int j = 0; j < 4; ++j) {
+      c[8 * k + 2 * j + 0] =
+          _mm256_unpacklo_epi64(b[8 * k + j], b[8 * k + j + 4]);
+      c[8 * k + 2 * j + 1] =
+          _mm256_unpackhi_epi64(b[8 * k + j], b[8 * k + j + 4]);
+    }
+  }
+  for (int j = 0; j < 8; ++j) {
+    out[j] = _mm256_permute2x128_si256(c[j], c[j + 8], 0x20);
+    out[j + 8] = _mm256_permute2x128_si256(c[j], c[j + 8], 0x31);
+  }
+}
+
+// SIMD bulk of the finalize: combine + inverse zigzag on channel-major
+// rows, 16x16 transpose in registers, contiguous stores into the
+// (time, channel) output. Handles full 16x16 blocks only; the caller
+// covers the edge strips with the scalar core. NULL plane pointer
+// means a constant plane.
+__attribute__((target("avx2")))
+static void fuse2_avx2(const uint8_t* lo, size_t lstride, int lo_const,
+                       const uint8_t* hi, size_t hstride, int hi_const,
+                       size_t C, size_t tcs, int16_t* out, size_t T16,
+                       size_t C16) {
+  __m256i in[16], tr[16];
+  const __m256i one = _mm256_set1_epi16(1);
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i lconst = _mm256_set1_epi16(static_cast<short>(lo_const));
+  const __m256i hconst = _mm256_set1_epi16(static_cast<short>(hi_const));
+  for (size_t t0 = 0; t0 < T16; t0 += 16) {
+    for (size_t c0 = 0; c0 < C16; c0 += 16) {
+      for (int c = 0; c < 16; ++c) {
+        __m256i lv = lo == nullptr
+            ? lconst
+            : _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                  reinterpret_cast<const __m128i*>(
+                      lo + (c0 + c) * lstride + t0)));
+        __m256i hv = hi == nullptr
+            ? hconst
+            : _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                  reinterpret_cast<const __m128i*>(
+                      hi + (c0 + c) * hstride + t0)));
+        __m256i u = _mm256_or_si256(lv, _mm256_slli_epi16(hv, 8));
+        __m256i sgn = _mm256_sub_epi16(zero, _mm256_and_si256(u, one));
+        in[c] = _mm256_xor_si256(_mm256_srli_epi16(u, 1), sgn);
+      }
+      transpose16x16_u16(in, tr);
+      for (int t = 0; t < 16; ++t)
+        _mm256_storeu_si256(
+            reinterpret_cast<__m256i*>(out + (t0 + t) * C + c0), tr[t]);
+    }
+  }
+}
+
+static bool cpu_has_avx2() {
+  static const bool v = __builtin_cpu_supports("avx2");
+  return v;
+}
+#endif  // __x86_64__
+
+extern "C" int mts_fuse2_i16(
     const uint8_t* lo, int lo_kind, int lo_const,
     const uint8_t* hi, int hi_kind, int hi_const,
     size_t C, size_t tp, size_t tcs, int16_t* out) {
-  // Compile-time plane-kind specialization (flatten inlines every
-  // instantiation into each ISA clone, so the inner loops vectorize).
-  if (lo_kind == 0)
-    fuse2_dispatch_hi<0>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
-                         out);
-  else if (lo_kind == 1)
-    fuse2_dispatch_hi<1>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
-                         out);
-  else
-    fuse2_dispatch_hi<2>(hi_kind, lo, lo_const, hi, hi_const, C, tp, tcs,
-                         out);
+#if defined(__x86_64__)
+  if (cpu_has_avx2() && tcs >= 16 && C >= 16) {
+    const size_t T16 = tcs & ~static_cast<size_t>(15);
+    const size_t C16 = C & ~static_cast<size_t>(15);
+    fuse2_avx2(lo_kind == 2 ? nullptr : lo,
+               lo_kind == 1 ? tcs : tp, lo_const,
+               hi_kind == 2 ? nullptr : hi,
+               hi_kind == 1 ? tcs : tp, hi_const, C, tcs, out, T16, C16);
+    // Edge strips: trailing channels over all times, then trailing
+    // times over the SIMD-covered channels.
+    fuse2_generic(lo, lo_kind, lo_const, hi, hi_kind, hi_const, C, tp,
+                  tcs, out, 0, tcs, C16, C);
+    fuse2_generic(lo, lo_kind, lo_const, hi, hi_kind, hi_const, C, tp,
+                  tcs, out, T16, tcs, 0, C16);
+    return 0;
+  }
+#endif
+  fuse2_generic(lo, lo_kind, lo_const, hi, hi_kind, hi_const, C, tp, tcs,
+                out, 0, tcs, 0, C);
   return 0;
 }
 
