@@ -630,13 +630,22 @@ class Reader:
         truncated tables, nulled SHA1s and ``chopped=True`` (reference:
         mtscomp.py:750-796).
         """
-        assert n_chunks > 0
+        # Real exceptions, not asserts: user input must stay validated
+        # under ``python -O`` (same hardening as StreamWriter).
+        n_chunks = int(n_chunks)
+        if n_chunks <= 0:
+            raise ValueError(
+                "The number of chunks to keep must be positive (got %d)."
+                % n_chunks)
         if n_chunks >= self.n_chunks:  # pragma: no cover
             logger.warning("Cannot chop more chunks than the file contains.")
             return
-        assert out is not None, "The output path must be specified."
+        if out is None:
+            raise ValueError("The output path must be specified.")
         out = Path(out)
-        assert out.suffix == '.cbin'
+        if out.suffix != '.cbin':
+            raise ValueError(
+                "The output path must end in .cbin (got %s)." % out)
         if out.exists():  # pragma: no cover
             raise IOError("File %s already exists." % out)
         out.parent.mkdir(exist_ok=True, parents=True)

@@ -126,6 +126,14 @@ def mtscomp(args=None):
     if pargs.rank is not None and not pargs.n_parts:
         raise ValueError("--rank requires --parts N (every host passes "
                          "the same part count plus its own rank).")
+    if pargs.rank is not None and pargs.n_workers:
+        # Mirror the --range mutual-exclusion guard: each rank
+        # compresses exactly one part, so --workers silently doing
+        # nothing would mislead.
+        raise ValueError("--workers has no effect with --rank (each "
+                         "rank compresses exactly one part); drop "
+                         "--workers, or drop --rank to run all parts "
+                         "on this host.")
     if pargs.chunk_range and (pargs.n_parts or pargs.n_workers
                               or pargs.rank is not None):
         raise ValueError("--range and --parts/--workers/--rank are "
@@ -240,6 +248,12 @@ def mtsmerge(args=None):
     parser.add_argument('-m', '--outmeta', type=str,
                         help='path to the merged metadata file (.ch; '
                              'default: out with .ch suffix)')
+    parser.add_argument('--expect-chunks', type=int, dest='expect_chunks',
+                        help='total chunk count of the source recording; '
+                             'the merge fails unless the parts cover '
+                             'exactly this many chunks (needed for '
+                             'hand-assembled merges of plain, non-ranged '
+                             'files, which carry no part provenance)')
     # No -nc/-p here: the merge ALWAYS verifies each part's SHA1 during
     # the byte copy (safety property, not an option) and is a single
     # sequential stream — advertising dead flags misleads.
@@ -252,7 +266,8 @@ def mtsmerge(args=None):
     from .parallel.distributed import merge_parts
     pairs = [(Path(p), cmeta_sidecar_path(p)) for p in pargs.parts]
     outmeta = pargs.outmeta or cmeta_sidecar_path(pargs.out)
-    merge_parts(pairs, pargs.out, outmeta)
+    merge_parts(pairs, pargs.out, outmeta,
+                expected_n_chunks=pargs.expect_chunks)
 
 
 # -- mtsrecompress -------------------------------------------------------------

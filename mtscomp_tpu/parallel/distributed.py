@@ -125,6 +125,16 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     if total is not None and next_chunk != total:
         raise ValueError("parts cover %d of %d source chunks — refusing "
                          "to merge an incomplete set" % (next_chunk, total))
+    if total is None:
+        # Hand-assembled merge of plain (non-ranged) files: nothing
+        # records the source's chunk count, so a missing middle/tail
+        # file would produce a sidecar indistinguishable from a
+        # complete recording. Warn loudly; callers that know the count
+        # should pass expected_n_chunks (mtsmerge: --expect-chunks).
+        logger.warning(
+            "merge_parts: no part provenance in any sidecar and no "
+            "expected_n_chunks given — cannot verify the %d merged "
+            "chunks cover the whole source recording.", next_chunk)
 
     out = Path(out)
     out.parent.mkdir(exist_ok=True, parents=True)

@@ -96,6 +96,11 @@ class StreamWriter:
             raise ValueError("StreamWriter is closed.")
         samples = np.asarray(samples)
         if samples.ndim == 1:
+            if samples.size % self.n_channels:
+                # Same descriptive error as the 2-D mismatch below, not
+                # numpy's raw reshape error.
+                raise ValueError("Block shape %s does not match %d channels."
+                                 % (samples.shape, self.n_channels))
             samples = samples.reshape(-1, self.n_channels)
         # Real exceptions, not asserts: silently casting a mismatched
         # block under python -O would write a self-consistent but WRONG
@@ -243,6 +248,7 @@ class StreamReader:
         self._kwargs = dict(kwargs, quiet=kwargs.get('quiet', True))
         self._reader = None
         self._stamp = None
+        self._refresh_failures = 0
         self.refresh()
         if self._reader is None:
             raise IOError("No readable sidecar at %s — is the stream's "
@@ -266,9 +272,25 @@ class StreamReader:
         r = Reader(**self._kwargs)
         try:
             r.open(self.cdata, self.cmeta)
-        except (OSError, ValueError, KeyError, AttributeError,
-                AssertionError):
+        except (OSError, ValueError, KeyError) as e:
+            # Parse-shaped failures only: a torn snapshot is transient,
+            # but a genuine reader bug (AttributeError etc.) must NOT be
+            # swallowed as "stale sidecar, retry forever". Count
+            # consecutive failures so a permanently malformed sidecar
+            # eventually surfaces instead of looking like silence.
+            self._refresh_failures += 1
+            logger.debug("StreamReader.refresh: sidecar not (yet) "
+                         "readable (%s: %s) — attempt %d.",
+                         type(e).__name__, e, self._refresh_failures)
+            if self._refresh_failures >= 10:
+                logger.warning(
+                    "StreamReader: sidecar %s failed to parse %d "
+                    "consecutive times (%s: %s) — it may be permanently "
+                    "malformed, not a torn snapshot.",
+                    self.cmeta, self._refresh_failures,
+                    type(e).__name__, e)
             return False
+        self._refresh_failures = 0
         before = self._reader.shape[0] if self._reader is not None else 0
         if self._reader is not None:
             self._reader.close()

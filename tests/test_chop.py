@@ -45,3 +45,53 @@ def test_chop_equivalence(tmp_path_, algorithm):
     rc = decompress(chopped, tmp_path_ / 'chopped.ch')
     assert np.array_equal(rc[:], trunc)
     rc.close()
+
+
+def test_chop_validates_arguments(tmp_path_):
+    """User-input validation survives python -O (exceptions, not asserts)."""
+    arr = to_int16(make_signal('randn', ns=5000, nc=7))
+    path = write_arr(tmp_path_ / 'data.bin', arr)
+    out, outmeta = tmp_path_ / 'data.cbin', tmp_path_ / 'data.ch'
+    compress(path, out, outmeta, sample_rate=1000.0, n_channels=7,
+             dtype=arr.dtype, quiet=True)
+    r = decompress(out, outmeta)
+    try:
+        import pytest
+        with pytest.raises(ValueError, match='positive'):
+            r.chop(0, tmp_path_ / 'c.cbin')
+        with pytest.raises(ValueError, match='positive'):
+            r.chop(-1, tmp_path_ / 'c.cbin')
+        with pytest.raises(ValueError, match='output path'):
+            r.chop(2, None)
+        with pytest.raises(ValueError, match='cbin'):
+            r.chop(2, tmp_path_ / 'c.bin')
+    finally:
+        r.close()
+
+
+def test_chop_validation_survives_python_O(tmp_path_):
+    """The same validation errors fire under ``python -O`` (no asserts)."""
+    import subprocess, sys, os
+    arr = to_int16(make_signal('randn', ns=5000, nc=7))
+    path = write_arr(tmp_path_ / 'data.bin', arr)
+    out, outmeta = tmp_path_ / 'data.cbin', tmp_path_ / 'data.ch'
+    compress(path, out, outmeta, sample_rate=1000.0, n_channels=7,
+             dtype=arr.dtype, quiet=True)
+    code = (
+        "from mtscomp_tpu import decompress\n"
+        "r = decompress(%r, %r, quiet=True)\n"
+        "for args in [(0, 'c.cbin'), (2, None), (2, 'c.bin')]:\n"
+        "    try:\n"
+        "        r.chop(*args)\n"
+        "    except ValueError:\n"
+        "        pass\n"
+        "    else:\n"
+        "        raise SystemExit('chop(%%r) did not raise' %% (args,))\n"
+        "r.close()\n" % (str(out), str(outmeta)))
+    env = dict(os.environ)
+    env['PYTHONPATH'] = env.get('PYTHONPATH', '') + os.pathsep + \
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, '-O', '-c', code],
+                          capture_output=True, text=True, env=env,
+                          cwd=str(tmp_path_))
+    assert proc.returncode == 0, proc.stderr + proc.stdout

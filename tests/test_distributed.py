@@ -224,3 +224,59 @@ def test_chop_drops_part_provenance(tmp_path_):
     meta = json.loads((tmp_path_ / 'chopped.ch').read_text())
     assert meta['chopped'] is True
     assert 'part' not in meta and 'part_of' not in meta
+
+
+def test_merge_plain_files_coverage(tmp_path_, caplog):
+    """Hand-assembled merges of plain (non-ranged) files: warn without
+    provenance; --expect-chunks / expected_n_chunks asserts coverage."""
+    import logging
+    arr, raw = _make(tmp_path_, ns=4 * 2000)
+    # Two plain compressed halves (no part provenance in the sidecars).
+    h1 = write_arr(tmp_path_ / 'h1.bin', arr[:2 * 2000])
+    h2 = write_arr(tmp_path_ / 'h2.bin', arr[2 * 2000:])
+    a = (tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch')
+    b = (tmp_path_ / 'b.cbin', tmp_path_ / 'b.ch')
+    compress(h1, *a, sample_rate=SR, n_channels=NC, dtype='int16',
+             quiet=True)
+    compress(h2, *b, sample_rate=SR, n_channels=NC, dtype='int16',
+             quiet=True)
+    assert 'part' not in json.loads(a[1].read_text())
+
+    # No provenance, no expected count: merge succeeds but warns loudly.
+    with caplog.at_level(logging.WARNING, logger='mtscomp_tpu'):
+        merge_parts([a, b], tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch')
+    assert any('cannot verify' in rec.message for rec in caplog.records)
+
+    # Expected count catches a missing tail file.
+    with pytest.raises(ValueError, match='refusing'):
+        merge_parts([a], tmp_path_ / 'm2.cbin', tmp_path_ / 'm2.ch',
+                    expected_n_chunks=4)
+    # And passes when coverage is complete.
+    merge_parts([a, b], tmp_path_ / 'm3.cbin', tmp_path_ / 'm3.ch',
+                expected_n_chunks=4)
+    r = decompress(tmp_path_ / 'm3.cbin', tmp_path_ / 'm3.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_mtsmerge_expect_chunks_cli(tmp_path_):
+    from mtscomp_tpu.cli import mtsmerge
+    arr, raw = _make(tmp_path_, ns=3 * 2000)
+    a = (tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch')
+    compress_range(raw, *a, 0, 2, sample_rate=SR, n_channels=NC,
+                   dtype='int16', quiet=True)
+    # Declared count conflicts with the parts' own part_of provenance.
+    with pytest.raises(ValueError):
+        mtsmerge([str(a[0]), '-o', str(tmp_path_ / 'm.cbin'),
+                  '--expect-chunks', '2'])
+
+
+def test_cli_workers_with_rank_rejected(tmp_path_):
+    """--workers is dead with --rank (one part per rank): explicit error."""
+    from mtscomp_tpu.cli import mtscomp as mtscomp_cli
+    arr, raw = _make(tmp_path_, ns=2 * 2000)
+    with pytest.raises(ValueError, match='--workers'):
+        mtscomp_cli([str(raw), '-s', str(SR), '-n', str(NC), '-d', 'int16',
+                     '--parts', '2', '--rank', '0', '--workers', '2'])

@@ -252,6 +252,11 @@ def test_stream_append_type_errors(tmp_path_):
         w.append(np.zeros((10, NC), dtype=np.int32))
     with pytest.raises(ValueError, match='channels'):
         w.append(np.zeros((10, NC + 1), dtype=np.int16))
+    # 1-D block whose length is not a multiple of n_channels: the same
+    # descriptive error, not numpy's raw reshape error.
+    with pytest.raises(ValueError, match='channels'):
+        w.append(np.zeros(NC + 1, dtype=np.int16))
+    w.append(np.zeros(2 * NC, dtype=np.int16))       # valid flat block
     w.append(np.zeros((10, NC), dtype=np.int16))
     w.close()
 
@@ -274,6 +279,46 @@ def test_stream_reader_tolerates_torn_sidecar(tmp_path_):
         (tmp_path_ / 'live.ch').write_bytes(good)          # restored
         r.refresh()
         assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+        w.close()
+
+
+def test_stream_reader_refresh_error_discipline(tmp_path_, caplog):
+    """Reader bugs surface; persistent parse failures warn after retries."""
+    import logging
+    from mtscomp_tpu import StreamReader
+    from mtscomp_tpu.api import Reader
+    arr = to_int16(make_signal('randn', ns=2000, nc=NC))
+    w = StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     live_sidecar=True)
+    w.append(arr)
+    r = StreamReader(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch')
+    try:
+        # A genuine reader bug (AttributeError) must NOT be swallowed
+        # as a torn sidecar.
+        orig_open = Reader.open
+
+        def boom(self, *a, **k):
+            raise AttributeError('reader bug')
+        Reader.open = boom
+        (tmp_path_ / 'live.ch').write_bytes(b'{}')   # force a re-open
+        try:
+            with pytest.raises(AttributeError, match='reader bug'):
+                r.refresh()
+        finally:
+            Reader.open = orig_open
+
+        # A permanently malformed sidecar warns after 10 consecutive
+        # parse failures instead of staying silent forever.
+        (tmp_path_ / 'live.ch').write_bytes(b'not json')
+        with caplog.at_level(logging.DEBUG, logger='mtscomp_tpu'):
+            for _ in range(10):
+                assert r.refresh() is False
+        assert any('consecutive' in rec.message
+                   for rec in caplog.records
+                   if rec.levelno >= logging.WARNING)
     finally:
         r.close()
         w.close()
