@@ -33,6 +33,12 @@ from .io_host import load_raw_data, pread_exact, default_compressed_paths
 from .ops.delta import diff_along_axis, cumsum_along_axis
 from .utils.misc import Bunch, clip, logger, progress
 
+# Below this recording size, 'auto' never routes through the device:
+# the accelerator backend init alone (~1 s on PCIe, ~20 s through dev
+# relays) outweighs any decode/encode win, and the gate is checked
+# BEFORE JAX is touched so small-file operations stay instant.
+AUTO_DEVICE_MIN_BYTES = 1 << 28
+
 
 class Writer:
     """Compress a raw multichannel binary file into ``.cbin`` + ``.ch``.
@@ -149,16 +155,47 @@ class Writer:
         """Whether batches should encode through the device pipeline.
 
         The device encoder is fully kernelized (MXU histograms + the
-        Pallas encode kernel, ~1.8 GB/s of symbols on v5e) and
-        byte-identical to the host codec. It stays opt-in
-        (device='tpu'/'cpu') because compress() reads from host disk:
-        end-to-end it is host-link bound, and on hosts with slow
-        accelerator links (e.g. dev relays) the native C++ encoder
-        wins. Deployments with fast PCIe/device-resident data should
-        pass device='tpu'.
+        Pallas encode kernel) and byte-identical to the host codec.
+        ``device='tpu'/'cpu'`` forces it; ``'none'`` forbids it. In
+        ``'auto'`` mode the choice follows the *measured* accelerator
+        link (:func:`parallel.pipeline.link_profile`): compress() reads
+        from host disk, so end-to-end device encode is bound by the
+        host->device upload — a PCIe part (GB/s) beats the multicore
+        C++ encoder, a relay-attached dev chip (~10 MB/s) loses to a
+        single host core. The decode side applies the same profile to
+        random-access windows.
         """
-        return (self.algorithm == 'ans'
-                and self.config.device in ('tpu', 'cpu'))
+        if self.algorithm != 'ans':
+            return False
+        device = self.config.device
+        if device in ('tpu', 'cpu'):
+            return True
+        if device != 'auto':
+            return False
+        # Small jobs never amortize the device path's fixed costs
+        # (backend init alone is ~1 s on PCIe, ~20 s through relays);
+        # gate on size BEFORE touching JAX so `mtscomp small.bin`
+        # stays instant everywhere.
+        if (self.n_samples * self.n_channels * self.dtype.itemsize
+                < AUTO_DEVICE_MIN_BYTES):
+            return False
+        try:
+            import jax
+        except ImportError:  # pragma: no cover
+            return False
+        if jax.default_backend() == 'cpu':
+            # Host-resident XLA "device": no link advantage and the
+            # native C++ encoder is faster; only explicit device='cpu'
+            # (tests, kernels-on-CPU validation) routes through it.
+            return False
+        from .parallel.pipeline import link_profile
+        import multiprocessing
+        lat, bw = link_profile()
+        from .native import available as native_available
+        host_rate = (300e6 * min(multiprocessing.cpu_count(), 8)
+                     if native_available() else 15e6)
+        dev_rate = min(bw, 4e9)     # upload-bound, kernel ~5 GB/s
+        return dev_rate > host_rate
 
     def compress_batch(self, first_chunk, last_chunk):
         """Compress chunks ``[first_chunk, last_chunk)``; returns idx->result."""
@@ -511,25 +548,68 @@ class Reader:
             self.pool = None
             self._chunk_decode_threads = max(1, int(self.config.n_threads))
 
-    def _use_device(self):
-        """Whether bulk decodes should go through the device pipeline."""
+    def _use_device(self, window=None):
+        """Whether decodes should go through the device pipeline.
+
+        ``window=None`` asks about bulk decodes; ``window=(i0, i1)``
+        asks about one random-access read. In ``auto`` mode both route
+        through the device only when the *measured* link
+        (:func:`parallel.pipeline.link_profile`) beats the host
+        codec's estimated decode time — every decoded byte a caller
+        sees crosses that link, so fetch bandwidth bounds the device
+        path end-to-end (windows additionally pay one sync per call).
+        The same default therefore stays device-resident on PCIe parts
+        and falls back to the host path on relay-attached dev chips,
+        where a cached 1-s window read measured ~100x slower through
+        the device (652 ms vs 6 ms).
+        """
         if self.algorithm != 'ans' or self._device == 'none':
             return False
         if self._device in ('tpu', 'cpu'):
             return True
-        # auto: prefer the device pipeline on real accelerators always,
-        # on CPU backends only when the data amortizes the compile.
+        # auto: small recordings never amortize the device path's
+        # fixed costs (backend init ~1 s on PCIe, ~20 s through
+        # relays) — decided BEFORE touching JAX so small-file reads
+        # stay instant everywhere.
+        if (self.n_samples * self.n_channels * self.dtype.itemsize
+                < AUTO_DEVICE_MIN_BYTES):
+            return False
         try:
             import jax
         except ImportError:  # pragma: no cover
             return False
-        if jax.default_backend() != 'cpu':
-            return True
-        return self.n_samples * self.n_channels >= (1 << 22)
+        if jax.default_backend() == 'cpu':
+            return self.n_samples * self.n_channels >= (1 << 22)
+        from .parallel.pipeline import link_profile
+        from .native import available as native_available
+        lat, bw = link_profile()
+        # Host decode rate: ~250 MB/s/core with the native codec
+        # (conservative); the numpy fallback is ~20x slower. Coarse,
+        # but the links it must separate differ by ~100x.
+        host_rate = 250e6 if native_available() else 12e6
+        itemsize = self.dtype.itemsize
+        if window is None:
+            # Bulk decodes materialize every decoded byte on the host
+            # (tofile/to_array), so the device only wins when the
+            # download link outruns the host codec — true on PCIe
+            # (GB/s), false through dev relays (~10-40 MB/s), where
+            # the fetch would dominate end-to-end by ~10x.
+            return bw > host_rate
+        i0, i1 = window
+        first, last = self._chunks_for_interval(i0, max(i0, i1 - 1))
+        chunk_bytes = ((self.chunk_bounds[last + 1]
+                        - self.chunk_bounds[first])
+                       * self.n_channels * itemsize)
+        window_bytes = (i1 - i0) * self.n_channels * itemsize
+        # Window reads additionally pay one sync per call; the decode
+        # work covers whole chunks either way.
+        host_cost = chunk_bytes / host_rate
+        dev_cost = lat + window_bytes / bw + chunk_bytes / 5e9
+        return dev_cost < host_cost
 
     def _device_window(self, i0, i1):
         """Random-access window via the device chunk cache (None = host)."""
-        if not self._use_device():
+        if not self._use_device(window=(i0, i1)):
             return None
         try:
             if self._dev_cache is None:

@@ -276,6 +276,13 @@ def compress_multihost(path, out, outmeta, n_parts, part_dir=None,
         # N workers don't each spawn cpu_count C++ threads.
         nt = kwargs.get('n_threads') or multiprocessing.cpu_count()
         kw = dict(kwargs, n_threads=max(1, int(nt) // nw))
+        # device='auto' must stay HOST in spawned workers: the auto
+        # probe initializes the JAX backend, and N fresh processes
+        # racing to claim one accelerator can deadlock single-tenant
+        # attachments (and never makes sense — the device path batches
+        # internally). Explicit device='tpu'/'cpu' is honored as given.
+        if kw.get('device', 'auto') in (None, 'auto'):
+            kw['device'] = 'none'
         todo = [t[:-1] + (kw,) for t in todo]
         ctx = multiprocessing.get_context('spawn')
         with concurrent.futures.ProcessPoolExecutor(

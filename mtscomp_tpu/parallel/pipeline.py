@@ -26,10 +26,130 @@ from ..utils.misc import logger
 from ..utils.trace import phase
 
 
+_CACHE_SET = False
+
+
 def _jax():
     import jax
     import jax.numpy as jnp
+    global _CACHE_SET
+    if not _CACHE_SET:
+        _CACHE_SET = True
+        try:
+            # Persistent compile cache for every device path: the fused
+            # decode/encode programs take 20-40 s to compile on TPU
+            # (worse through relays); CLI invocations are fresh
+            # processes every time. Never override a user setting.
+            if jax.config.jax_compilation_cache_dir is None:
+                import os
+                jax.config.update(
+                    'jax_compilation_cache_dir',
+                    os.path.expanduser('~/.cache/mtscomp_tpu/jax'))
+                jax.config.update(
+                    'jax_persistent_cache_min_compile_time_secs', 0.5)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
     return jax, jnp
+
+
+_LINK_PROFILE = None
+
+
+def link_profile(refresh=False):
+    """Measured ``(sync_latency_s, device->host_bytes_per_s)`` of this
+    process's accelerator attachment; cached after the first call.
+
+    The same TPU chip can sit behind a ~us PCIe link or a ~30 ms
+    dev-relay tunnel; random-access routing (``Reader._use_device``)
+    must know which, because a window read pays one sync plus the
+    window download. Measured, not configured: a tiny reduction fetch
+    bounds the round-trip latency and a 1 MB array fetch bounds the
+    device->host bandwidth (``block_until_ready`` is unreliable through
+    relays, so completion is always observed via the fetch itself).
+    CPU backends report (0, inf): arrays are host-resident already.
+    """
+    global _LINK_PROFILE
+    if _LINK_PROFILE is not None and not refresh:
+        return _LINK_PROFILE
+    if not refresh:
+        cached = _load_link_cache()
+        if cached is not None:
+            _LINK_PROFILE = cached
+            return _LINK_PROFILE
+    jax, jnp = _jax()
+    if jax.default_backend() == 'cpu':
+        _LINK_PROFILE = (0.0, float('inf'))
+        return _LINK_PROFILE
+    small = jnp.zeros((8, LANES), jnp.float32)
+    float(jnp.sum(small))                   # compile + first-fetch
+    lat = min(_timed(lambda: float(jnp.sum(small))) for _ in range(3))
+    # The fetch must hit the wire every rep: jax.Array caches its host
+    # copy after the first materialization (zeros measured ~TB/s that
+    # way), so each rep fetches a FRESH device buffer — host random
+    # payload (incompressible to any relay-side compression), xor'd on
+    # device so the fetched buffer never aliases the uploaded one.
+    payload = np.random.default_rng(0).integers(
+        0, 1 << 32, size=(1 << 16,), dtype=np.uint32)     # 256 KB
+    fetches = []
+    for i in range(2):
+        dev = jax.device_put(payload) ^ np.uint32(i + 1)
+        fetches.append(_timed(lambda d=dev: np.asarray(d)))
+    bw = payload.nbytes / max(min(fetches) - lat, 1e-7)
+    _LINK_PROFILE = (lat, bw)
+    logger.debug("Accelerator link profile: sync %.2f ms, fetch %.0f MB/s.",
+                 lat * 1e3, bw / 1e6)
+    _store_link_cache(_LINK_PROFILE)
+    return _LINK_PROFILE
+
+
+_LINK_CACHE_TTL = 24 * 3600.0
+
+
+def _link_cache_path():
+    import os
+    return os.path.join(os.path.expanduser('~/.cache/mtscomp_tpu'),
+                        'link_profile.json')
+
+
+def _load_link_cache():
+    """Probing costs a full backend init (~20 s through dev relays) —
+    one measured profile serves every process on the machine for a day.
+    A stale entry only costs speed, never correctness (both routes are
+    byte-exact)."""
+    import json
+    import os
+    import time
+    try:
+        path = _link_cache_path()
+        if time.time() - os.stat(path).st_mtime > _LINK_CACHE_TTL:
+            return None
+        with open(path) as f:
+            d = json.load(f)
+        return (float(d['latency_s']), float(d['bytes_per_s']))
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _store_link_cache(profile):
+    import json
+    import os
+    try:
+        path = _link_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = '%s.%d.tmp' % (path, os.getpid())
+        with open(tmp, 'w') as f:
+            json.dump({'latency_s': profile[0],
+                       'bytes_per_s': profile[1]}, f)
+        os.replace(tmp, path)
+    except OSError:  # pragma: no cover - cache is best-effort
+        pass
+
+
+def _timed(fn):
+    import time
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 @functools.lru_cache(maxsize=32)

@@ -759,3 +759,96 @@ def test_device_path_rejects_foreign_itemsize(tmp_path_):
             r.to_array()
     finally:
         r.close()
+
+
+def test_auto_routing_follows_link_profile(tmp_path_, monkeypatch):
+    """auto mode routes random-access windows by the MEASURED link:
+    relay-grade attachments (30 ms sync, ~10 MB/s fetch) take the host
+    path, PCIe-grade links stay on the device; bulk decodes always
+    qualify on an accelerator backend. Writer auto follows the same
+    profile for encode."""
+    import jax
+    import mtscomp_tpu.api as api_mod
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel import pipeline as pl
+    # The small-file gate (no device below ~256 MB) is pinned open so
+    # the link-profile decision itself is under test.
+    monkeypatch.setattr(api_mod, 'AUTO_DEVICE_MIN_BYTES', 0)
+    # Realistic chunk mass (1-s chunks of 120 ch @ 16 kHz ~= 3.8 MB):
+    # the decision separates ~100x-different links, not byte-counting.
+    sr, nc = 16000, 120
+    arr = to_int16(make_signal('colored', ns=4 * sr, nc=nc))
+    path = write_arr(tmp_path_ / 'l.bin', arr)
+    compress(path, tmp_path_ / 'l.cbin', tmp_path_ / 'l.ch',
+             sample_rate=float(sr), n_channels=nc, dtype='int16',
+             algorithm='ans', quiet=True)
+    r = decompress(tmp_path_ / 'l.cbin', tmp_path_ / 'l.ch', quiet=True)
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    try:
+        # Relay-grade link: every decoded byte crosses the slow link,
+        # so both bulk and window reads must use the host path.
+        monkeypatch.setattr(pl, '_LINK_PROFILE', (0.030, 10e6))
+        assert r._use_device() is False                 # bulk
+        assert r._use_device(window=(0, sr)) is False
+        assert r._use_device(window=(0, 4 * sr)) is False
+        # PCIe-grade link: the device wins both.
+        monkeypatch.setattr(pl, '_LINK_PROFILE', (0.0002, 10e9))
+        assert r._use_device() is True                  # bulk
+        assert r._use_device(window=(0, sr)) is True
+        # __getitem__ still returns correct data whichever path runs.
+        monkeypatch.setattr(pl, '_LINK_PROFILE', (0.030, 10e6))
+        assert np.array_equal(r[700:2300], arr[700:2300])
+    finally:
+        r.close()
+    # Writer auto: relay -> host encode; PCIe -> device encode.
+    w = Writer(algorithm='ans', quiet=True)
+    try:
+        w.open(path, sample_rate=1000.0, n_channels=16, dtype='int16')
+        monkeypatch.setattr(pl, '_LINK_PROFILE', (0.030, 10e6))
+        assert w._use_device() is False
+        monkeypatch.setattr(pl, '_LINK_PROFILE', (0.0002, 10e9))
+        assert w._use_device() is True
+    finally:
+        w.close()
+
+
+def test_link_profile_cpu_backend(monkeypatch):
+    """CPU backend: arrays are host-resident; profile is (0, inf) and
+    auto behaves as before (size-gated bulk, no per-window probing).
+    The on-disk cache (written only by accelerator probes) must not
+    shadow the CPU answer."""
+    from mtscomp_tpu.parallel import pipeline as pl
+    monkeypatch.setattr(pl, '_LINK_PROFILE', None)
+    monkeypatch.setattr(pl, '_load_link_cache', lambda: None)
+    lat, bw = pl.link_profile()
+    assert lat == 0.0 and bw == float('inf')
+
+
+def test_auto_small_files_never_touch_jax(tmp_path_, monkeypatch):
+    """Below AUTO_DEVICE_MIN_BYTES the auto decision is made before any
+    JAX call — small CLI invocations must not pay accelerator backend
+    init (~20 s through dev relays)."""
+    import jax
+    from mtscomp_tpu import Writer
+    arr = to_int16(make_signal('colored', ns=2000, nc=8))
+    path = write_arr(tmp_path_ / 's.bin', arr)
+    compress(path, tmp_path_ / 's.cbin', tmp_path_ / 's.ch',
+             sample_rate=1000.0, n_channels=8, dtype='int16',
+             algorithm='ans', quiet=True)
+
+    def boom():
+        raise AssertionError('JAX touched for a small file')
+    monkeypatch.setattr(jax, 'default_backend', boom)
+    r = decompress(tmp_path_ / 's.cbin', tmp_path_ / 's.ch', quiet=True)
+    try:
+        assert r._use_device() is False
+        assert r._use_device(window=(0, 100)) is False
+        assert np.array_equal(r[100:300], arr[100:300])
+    finally:
+        r.close()
+    w = Writer(algorithm='ans', quiet=True)
+    try:
+        w.open(path, sample_rate=1000.0, n_channels=8, dtype='int16')
+        assert w._use_device() is False
+    finally:
+        w.close()

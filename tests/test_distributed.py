@@ -280,3 +280,45 @@ def test_cli_workers_with_rank_rejected(tmp_path_):
     with pytest.raises(ValueError, match='--workers'):
         mtscomp_cli([str(raw), '-s', str(SR), '-n', str(NC), '-d', 'int16',
                      '--parts', '2', '--rank', '0', '--workers', '2'])
+
+
+def test_spawned_workers_never_auto_probe_device(tmp_path_, monkeypatch):
+    """device='auto' tasks shipped to spawned workers carry
+    device='none': the auto probe initializes the JAX backend, and N
+    fresh worker processes racing to claim one single-tenant
+    accelerator can deadlock (observed on the axon relay). Explicit
+    device requests pass through untouched."""
+    import concurrent.futures
+    from mtscomp_tpu.parallel import distributed as dist
+    arr, raw = _make(tmp_path_, ns=3 * 2000)
+    captured = []
+
+    class FakePool:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def map(self, fn, tasks):
+            for t in tasks:
+                captured.append(t[-1])
+                yield fn(t)
+    monkeypatch.setattr(concurrent.futures, 'ProcessPoolExecutor',
+                        FakePool)
+    dist.compress_multihost(raw, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                            n_parts=2, n_workers=2,
+                            part_dir=tmp_path_ / 'parts', sample_rate=SR,
+                            n_channels=NC, dtype='int16',
+                            algorithm='ans', quiet=True, device='auto')
+    assert captured and all(kw['device'] == 'none' for kw in captured)
+    captured.clear()
+    dist.compress_multihost(raw, tmp_path_ / 'm2.cbin',
+                            tmp_path_ / 'm2.ch', n_parts=2, n_workers=2,
+                            part_dir=tmp_path_ / 'parts2', sample_rate=SR,
+                            n_channels=NC, dtype='int16',
+                            algorithm='ans', quiet=True, device='cpu')
+    assert captured and all(kw['device'] == 'cpu' for kw in captured)
