@@ -191,10 +191,15 @@ def seg_freqs(parsed, p, start):
 def _segment_histograms(stream, seg):
     """(n_segs, 256) int64 symbol histograms of consecutive segments.
 
-    A per-segment uint8 bincount loop beats any key-building
-    vectorization here: bincount over uint8 slices is pure C with no
-    temporaries, and segment counts are small (tens).
+    The native banked counter handles the common case (~5x bincount);
+    the fallback per-segment uint8 bincount loop beats any
+    key-building vectorization: bincount over uint8 slices is pure C
+    with no temporaries, and segment counts are small (tens).
     """
+    from ..native import hist_u8_segments
+    native = hist_u8_segments(stream, seg)
+    if native is not None:
+        return native
     n = stream.size
     out = np.empty((-(-n // seg), 256), dtype=np.int64)
     for i, start in enumerate(range(0, n, seg)):
@@ -302,8 +307,11 @@ def cluster_segment_tables(seg_hists, max_tables=16):
         assign[order] = (np.arange(n_segs) * T) // n_segs
         for _ in range(5):
             _, assign = np.unique(assign, return_inverse=True)
-            sums = np.zeros((int(assign.max()) + 1, 256), dtype=np.int64)
-            np.add.at(sums, assign, np.asarray(seg_hists, dtype=np.int64))
+            # Cluster sums as a one-hot matmul: counts are far below
+            # 2^53, so the float64 product is exact (np.add.at's
+            # scatter loop measured ~20x slower here).
+            onehot = assign == np.arange(int(assign.max()) + 1)[:, None]
+            sums = (onehot.astype(np.float64) @ H).astype(np.int64)
             tables = _quantize_clusters(sums)
             bits = H @ penalties(tables).T          # (n_segs, T_eff)
             new_assign = np.argmin(bits, axis=1)

@@ -180,12 +180,52 @@ def quantize_freqs_batch(counts_rows, scale_bits=SCALE_BITS,
                                                    (K, 256)), axis=1)
     freqs += (rank < np.maximum(remainder, 0)[:, None])
     over = freqs.sum(axis=1) - q
-    while np.any(over > 0):
-        rows = np.nonzero(over > 0)[0]
-        k = np.argmax(freqs[rows], axis=1)       # first max, like argmax
-        assert np.all(freqs[rows, k] > 1), "cannot rebalance table"
-        freqs[rows, k] -= 1
-        over[rows] -= 1
+    if np.any(over > 0):
+        # Closed form of the scalar one-unit steal loop ("decrement the
+        # first current maximum, repeat ``over`` times"): the loop
+        # levels values down sweep by sweep — cap every value at level
+        # L, where L is the lowest level whose capping cost does not
+        # exceed ``over``, then spend the remaining decrements at level
+        # L in index order (exactly the order repeated first-argmax
+        # visits elements within one level). Bit-identical to the loop,
+        # O(K * 256 log 256) instead of O(K * over).
+        D = np.maximum(over, 0)
+        desc = np.sort(freqs, axis=1)[:, ::-1].astype(np.int64)
+        csum = np.cumsum(desc, axis=1)
+        j = np.arange(1, 257)
+        # cost(L) = sum(max(f - L, 0)), i.e. the decrements capping all
+        # values at level L costs; at the candidate levels L = desc[m]:
+        # cost = csum[m] - (m+1) * desc[m] (ties contribute zero).
+        cost_at = csum - j[None, :] * desc
+        # The sweep stops inside the piece (desc[m], desc[m-1]] for the
+        # FIRST m with cost(desc[m]) >= D; there the slope is exactly m
+        # (first-index argmax ⇒ desc[m-1] > desc[m] at that m).
+        ge = cost_at >= D[:, None]
+        m = np.argmax(ge, axis=1)
+        rows_i = np.arange(K)
+        hit = ge[rows_i, m] & (D > 0)
+        n_above = np.maximum(m, 1)
+        lift = (cost_at[rows_i, m] - D + n_above - 1) // n_above
+        L = desc[rows_i, m] + np.maximum(lift, 0)
+        capped = np.minimum(freqs, L[:, None])
+        r = D - (freqs - capped).sum(axis=1)
+        # Remaining r decrements hit the first r elements (index order)
+        # whose value reached L — the order repeated first-argmax
+        # visits elements within one level.
+        at_L = capped == L[:, None]
+        seen = np.cumsum(at_L, axis=1)
+        capped -= at_L & (seen <= r[:, None])
+        ok = hit & (r >= 0) & (r <= at_L.sum(axis=1)) \
+            & (capped >= present).all(axis=1)
+        freqs = np.where(ok[:, None], capped, freqs)
+        # Rows the closed form could not place (leveling below the
+        # global minimum — pathological tables) fall back to the
+        # reference loop; bit-identity either way.
+        for i in np.nonzero((D > 0) & ~ok)[0]:  # pragma: no cover
+            while freqs[i].sum() > q:
+                k = int(np.argmax(freqs[i]))
+                assert freqs[i, k] > 1, "cannot rebalance table"
+                freqs[i, k] -= 1
     freqs *= min_freq
     assert np.all(freqs.sum(axis=1) == scale)
     return freqs.astype(np.uint16)

@@ -112,6 +112,9 @@ def _load_locked():
     lib.mts_prepare2_i16.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.mts_hist_u8_segments.restype = ctypes.c_int
+    lib.mts_hist_u8_segments.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
     lib.mts_fuse2_i16.restype = ctypes.c_int
     lib.mts_fuse2_i16.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -341,6 +344,32 @@ def fuse2_i16(lo, hi, C, tp, tcs, out_body):
         return False
     rc = lib.mts_fuse2_i16(*args, C, tp, tcs, out_body.ctypes.data)
     return rc == 0
+
+
+def hist_u8_segments(stream, seg):
+    """Per-segment 256-bin histograms of a contiguous uint8 stream.
+
+    Returns ``(n_segs, 256)`` int64 (bit-equal to numpy bincount per
+    ``seg``-sized slice), or None when the library is unavailable.
+    Banked counting runs ~5x faster than the bincount loop, which
+    matters because segment-table clustering histograms the whole
+    coded stream once per RANS plane.
+    """
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    n = stream.size
+    if n == 0 or seg <= 0:
+        return None
+    n_segs = -(-n // seg)
+    out = np.empty((n_segs, 256), dtype=np.uint32)
+    rc = lib.mts_hist_u8_segments(stream.ctypes.data, n, seg,
+                                  out.ctypes.data)
+    if rc != 0:  # pragma: no cover
+        return None
+    return out.astype(np.int64)
 
 
 def prepare2_i16(body, tp):

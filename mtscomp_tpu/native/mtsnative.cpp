@@ -788,6 +788,40 @@ int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
   return 0;
 }
 
+// Per-segment symbol histograms of a u8 stream: out[s*256 + sym] counts
+// symbol occurrences in segment s ([s*seg, min((s+1)*seg, n))). Four
+// count banks break the store-forwarding RMW chain (same trick as the
+// prepare2 pass above); segments are tens of KB, so the per-segment
+// bank reset/reduce is noise. Feeds the segment-table clustering
+// (codec/ans.py decide_plane) — counting only, bit-trivially equal to
+// numpy bincount per slice.
+extern "C"
+__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
+int mts_hist_u8_segments(const uint8_t* p, size_t n, size_t seg,
+                         uint32_t* out) {
+  if (seg == 0) return -1;
+  const size_t n_segs = (n + seg - 1) / seg;
+  std::vector<uint32_t> banks(4 * 256);
+  for (size_t s = 0; s < n_segs; ++s) {
+    std::fill(banks.begin(), banks.end(), 0);
+    const uint8_t* q = p + s * seg;
+    const size_t m = (s + 1) * seg <= n ? seg : n - s * seg;
+    size_t t = 0;
+    for (; t + 4 <= m; t += 4) {
+      ++banks[0 * 256 + q[t]];
+      ++banks[1 * 256 + q[t + 1]];
+      ++banks[2 * 256 + q[t + 2]];
+      ++banks[3 * 256 + q[t + 3]];
+    }
+    for (; t < m; ++t) ++banks[q[t]];
+    uint32_t* o = out + s * 256;
+    for (int sym = 0; sym < 256; ++sym)
+      o[sym] = banks[sym] + banks[256 + sym] + banks[512 + sym] +
+               banks[768 + sym];
+  }
+  return 0;
+}
+
 extern "C"
 __attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
 int mts_cumsum_axis0(void* buf, size_t ns, size_t nc,
