@@ -179,11 +179,16 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         brow_c = brow[:, 0:1]
         oh0 = (wrow_iota == brow_c).astype(jnp.float32)
         oh1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
-        # (R, WROWS)^T @ (R, 128): contract the R axis. Byte-split
-        # matmuls: u16 words exceed bf16's mantissa, but each byte half
-        # is bf16-exact — two single-pass matmuls beat one HIGHEST
-        # (~6-pass emulated) matmul.
+        # (2R, WROWS)^T @ (2R, 128): contract the stacked row axis —
+        # both split halves scatter in ONE pair of matmuls (same FLOPs
+        # as separate oh0/oh1 products, half the MXU issues; per-op
+        # overhead dominates at these shapes). Byte-split because u16
+        # words exceed bf16's mantissa; each byte half is bf16-exact,
+        # and two single-pass matmuls beat one HIGHEST (~6-pass
+        # emulated) matmul.
         dn = (((0,), (0,)), ((), ()))
+        oh = jnp.concatenate([oh0, oh1], axis=0)
+        parts = jnp.concatenate([part0, part1], axis=0)
 
         def scat(oh, part):
             lo = (part & 255).astype(jnp.float32)
@@ -195,7 +200,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                         oh, hi, dn, preferred_element_type=jnp.float32
                     ).astype(jnp.int32) << 8))
 
-        window = scat(oh0, part0) + scat(oh1, part1)
+        window = scat(oh, parts)
         flatg = (base_row + win_row) * LANES + win_col
         touched = (flatg >= wstart) & (flatg < wstart + ks)
         cur = words_ref[0, pl.ds(base_row, WROWS), :]
