@@ -124,6 +124,7 @@ def main():
         r.close()
 
     dev_enc_gbps = _device_encode_rate(arr, T, C, SR, on_accel)
+    e2e_mbps, e2e_path = _e2e_rate(tmp, arr)
 
     gbps = arr.nbytes / 1e9 / dt
     print(json.dumps({
@@ -134,9 +135,39 @@ def main():
         "compression_ratio": round(1.0 / ratio, 2),
         "encode_mbps": round(enc_mbps, 1),
         "device_encode_gbps": round(dev_enc_gbps, 2),
+        "e2e_decomp_mbps": round(e2e_mbps, 1),
+        "e2e_decomp_path": e2e_path,
         "byte_exact": True,
     }))
     return 0
+
+
+def _e2e_rate(tmp, arr):
+    """End-to-end decompress: compressed file on disk -> raw file on
+    disk, wall clock, through the default (auto-routed) pipeline — the
+    production-shaped companion to the staged steady-state number
+    (reference README.md:177 is end-to-end). Auto picks the device on
+    fast links and the host codec through relays, where hauling the
+    decoded stream over a ~35 MB/s tunnel would only measure the
+    tunnel; the chosen route is reported alongside the rate.
+    """
+    from mtscomp_tpu import decompress
+    r = decompress(tmp / 'bench.cbin', tmp / 'bench.ch', quiet=True,
+                   check_after_decompress=False)
+    try:
+        path = 'device' if r._use_device() else 'host'
+        out = tmp / 'bench_e2e.bin'
+        t0 = time.time()
+        r.tofile(out, overwrite=True)
+        dt = time.time() - t0
+        got = np.fromfile(out, dtype=arr.dtype).reshape(arr.shape)
+        if not np.array_equal(got, arr):  # pragma: no cover
+            return 0.0, 'mismatch'
+        return arr.nbytes / 1e6 / dt, path
+    except Exception:  # pragma: no cover - bench must never hard-fail
+        return 0.0, 'error'
+    finally:
+        r.close()
 
 
 def _device_encode_rate(arr, T, C, SR, on_accel):

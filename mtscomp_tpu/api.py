@@ -69,7 +69,7 @@ class Writer:
         self.codec = get_codec(
             self.algorithm, seg_log2=config.get('ans_seg_log2', 16),
             channel_aligned=config.get('ans_channel_segments', True),
-            table_mode=config.get('ans_table_mode', 'plane'))
+            table_mode=config.get('ans_table_mode', 'segment'))
         self.data = None
         self._pool = None
 

@@ -85,10 +85,11 @@ def mtscomp_parser():
                              "'ans' (TPU-parallel)")
     parser.add_argument('--ans-tables', type=str, dest='ans_table_mode',
                         choices=('plane', 'segment'),
-                        help="ans frequency tables: one per byte plane "
-                             "('plane', default) or clustered per "
-                             "channel segment ('segment': better ratio "
-                             "on channel-heterogeneous bands, e.g. LFP)")
+                        help="ans frequency tables: clustered per "
+                             "channel segment ('segment', default: "
+                             "better ratio on channel-heterogeneous "
+                             "bands, e.g. LFP) or one per byte plane "
+                             "('plane')")
     parser.add_argument('--range', type=str, dest='chunk_range',
                         help='compress only chunks FIRST:LAST (exclusive) '
                              'into a standalone part file; merge parts '

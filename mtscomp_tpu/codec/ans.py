@@ -398,11 +398,40 @@ class AnsCodec:
         # (zigzag + byte split + pad + transpose + histograms in one
         # blocked pass — the encode mirror of the fused decode
         # finalize); the generic NumPy pipeline handles everything else.
+        # In segment-table mode the per-segment histograms (needed for
+        # clustering anyway) replace the prep pass's banked histogram
+        # (its dominant cost): plane totals are the segment sums minus
+        # the per-channel zero pads — bit-identical, one hist pass
+        # instead of two.
         fast = None
+        seg_hist_cache = {}
+        seg_fast = (self.table_mode == 'segment' and aligned
+                    and itemsize == 2 and n_stream > seg)
         if aligned and itemsize == 2:
             from .. import native
             fast = native.prepare2_i16(np.ascontiguousarray(chunkd[1:]),
-                                       tp)
+                                       tp, hists=not seg_fast)
+            if fast is not None and fast[2] is None:
+                n_pad = n_stream - n_coded
+                derived = []
+                for p in range(2):
+                    # Constant planes (the usual high byte) need no
+                    # segment histograms: a 4 KB probe rejects
+                    # non-constant planes in ~us, the full strided
+                    # check costs ~1/3 of the histogram it avoids.
+                    data = fast[p].reshape(C, tp)[:, :tcs]
+                    v = int(data[0, 0])
+                    if (np.all(data[0, :4096] == v)
+                            and np.all(data == v)):
+                        c = np.zeros(256, dtype=np.int64)
+                        c[v] = n_coded
+                    else:
+                        sh = _segment_histograms(fast[p], seg)
+                        seg_hist_cache[p] = sh
+                        c = sh.sum(axis=0)
+                        c[0] -= n_pad
+                    derived.append(c)
+                fast = (fast[0], fast[1], derived[0], derived[1])
         if fast is None:
             elements = (chunkd[1:] if split_head else chunkd
                         ).ravel(order=order)
@@ -435,7 +464,8 @@ class AnsCodec:
             mode, ptables, tidx = decide_plane(
                 counts, n_stream - n_coded, n_stream, n_coded, seg,
                 self.table_mode,
-                lambda s=stream: _segment_histograms(s, seg))
+                (lambda p=p: seg_hist_cache[p]) if p in seg_hist_cache
+                else lambda s=stream: _segment_histograms(s, seg))
             if mode == MODE_RAW:
                 modes.append(MODE_RAW)
                 raw = (stream.reshape(C, tp)[:, :tcs].tobytes()

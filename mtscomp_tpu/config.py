@@ -36,9 +36,10 @@ DEFAULT_CONFIG = (
     ('device', 'auto'),             # 'auto' | 'tpu' | 'cpu' | 'none' (host only)
     ('ans_seg_log2', 16),           # log2 symbols per rANS segment (128 lanes each)
     ('ans_channel_segments', True),  # channel-aligned segments (TPU fast layout)
-    ('ans_table_mode', 'plane'),    # 'plane' | 'segment' (clustered per-segment
-                                    # tables: better ratio on channel-
-                                    # heterogeneous bands, e.g. LFP)
+    ('ans_table_mode', 'segment'),  # 'segment' (default: clustered per-segment
+                                    # tables — up to +13% ratio on channel-
+                                    # heterogeneous bands for ~10% encode
+                                    # cost; decode speed unchanged) | 'plane'
     ('batch_chunks', 0),            # 0 = auto batch size for the device pipeline
 )
 

@@ -372,7 +372,7 @@ def hist_u8_segments(stream, seg):
     return out.astype(np.int64)
 
 
-def prepare2_i16(body, tp):
+def prepare2_i16(body, tp, hists=True):
     """Fused encode prep for 2-byte aligned containers.
 
     ``body``: the diffed chunk minus its head row — (tcs, C) int16/
@@ -380,6 +380,9 @@ def prepare2_i16(body, tp):
     two zero-padded channel-major (C*tp,) uint8 plane streams and the
     per-plane 256-bin histograms of the DATA symbols (pads excluded) —
     or None when the library is unavailable or the layout unsupported.
+    ``hists=False`` skips the histogram pass (the dominant cost) and
+    returns None histograms — for callers that derive plane totals
+    from per-segment histograms they need anyway (segment table mode).
     """
     import numpy as np
     lib = _load()
@@ -392,6 +395,13 @@ def prepare2_i16(body, tp):
     tcs, C = body.shape
     lo = np.zeros(C * tp, dtype=np.uint8)
     hi = np.zeros(C * tp, dtype=np.uint8)
+    if not hists:
+        rc = lib.mts_prepare2_i16(body.ctypes.data, C, tp, tcs,
+                                  lo.ctypes.data, hi.ctypes.data, None,
+                                  None)
+        if rc != 0:  # pragma: no cover
+            return None
+        return lo, hi, None, None
     hist_lo = np.empty(256, dtype=np.uint32)
     hist_hi = np.empty(256, dtype=np.uint32)
     rc = lib.mts_prepare2_i16(body.ctypes.data, C, tp, tcs,

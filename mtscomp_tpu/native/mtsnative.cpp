@@ -739,6 +739,10 @@ int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
   // Whole-stream second passes were measured and lost (DRAM re-read);
   // hist-in-the-transpose-loop was measured and lost (the RMW chain
   // blocks vectorization).
+  // hist_lo == nullptr skips the histogram pass entirely (callers that
+  // already need per-segment histograms derive the plane totals from
+  // those instead — the banked RMW chain is the pass's dominant cost).
+  const bool want_hist = hist_lo != nullptr;
   std::vector<uint32_t> banks(8 * 256, 0);
   uint32_t* bl = banks.data();
   uint32_t* bh = banks.data() + 4 * 256;
@@ -760,7 +764,7 @@ int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
           hrow[t] = static_cast<uint8_t>(u >> 8);
         }
       }
-      for (size_t c = c0; c < c1; ++c) {
+      for (size_t c = want_hist ? c0 : c1; c < c1; ++c) {
         const uint8_t* lrow = lo + c * tp;
         const uint8_t* hrow = hi + c * tp;
         size_t t = t0;
@@ -781,9 +785,11 @@ int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
       }
     }
   }
-  for (int sym = 0; sym < 256; ++sym) {
-    hist_lo[sym] = bl[sym] + bl[256 + sym] + bl[512 + sym] + bl[768 + sym];
-    hist_hi[sym] = bh[sym] + bh[256 + sym] + bh[512 + sym] + bh[768 + sym];
+  if (want_hist) {
+    for (int sym = 0; sym < 256; ++sym) {
+      hist_lo[sym] = bl[sym] + bl[256 + sym] + bl[512 + sym] + bl[768 + sym];
+      hist_hi[sym] = bh[sym] + bh[256 + sym] + bh[512 + sym] + bh[768 + sym];
+    }
   }
   return 0;
 }

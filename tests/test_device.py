@@ -265,6 +265,11 @@ def test_device_encode_batch_byte_identical(tmp_path_, aligned, extra):
     from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
     extra = dict(extra)
     dtype_name = extra.pop('dtype_name', 'int16')
+    if not aligned:
+        # Segment clustering (the default) requires the aligned layout
+        # and correctly declines the device batch otherwise; the
+        # non-aligned cells pin plane tables to test the device path.
+        extra.setdefault('ans_table_mode', 'plane')
     arr = to_int16(make_signal('colored', ns=4 * 3000, nc=24))
     arr = arr.astype(np.dtype(dtype_name))
     path = write_arr(tmp_path_ / 'd.bin', arr)
@@ -570,8 +575,11 @@ def test_device_encode_pallas_interpret(tmp_path_, monkeypatch, aligned):
     from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
     arr = to_int16(make_signal('colored', ns=3 * 2000, nc=24))
     path = write_arr(tmp_path_ / 'd.bin', arr)
+    # Non-aligned layouts pin plane tables (segment clustering — the
+    # default — requires the aligned layout and declines otherwise).
     w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
-               ans_channel_segments=aligned)
+               ans_channel_segments=aligned,
+               **({} if aligned else {'ans_table_mode': 'plane'}))
     w.open(path, sample_rate=2000.0, n_channels=24, dtype='int16')
     chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
     enc = DeviceBatchEncoder(w)

@@ -79,7 +79,8 @@ def test_transcode_reencode_with_segment_tables(tmp_path_):
     raw = write_arr(tmp_path_ / 'raw.bin', arr)
     compress(raw, tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
              sample_rate=SR, n_channels=NC, dtype='int16',
-             algorithm='ans', ans_seg_log2=12, quiet=True)
+             algorithm='ans', ans_seg_log2=12, quiet=True,
+             ans_table_mode='plane')   # start from plane tables
     transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
               tmp_path_ / 'out.cbin', algorithm='ans',
               ans_table_mode='segment', ans_seg_log2=12, quiet=True)

@@ -40,7 +40,7 @@ def main():
     tmp = Path(tempfile.mkdtemp())
     raw = tmp / 'enc.bin'
     arr.tofile(raw)
-    w = Writer(algorithm='ans', quiet=True)
+    w = Writer(algorithm='ans', quiet=True, ans_table_mode='plane')
     try:
         w.open(raw, sample_rate=SR, n_channels=C, dtype='int16')
         chunks = np.stack([np.asarray(w.get_chunk(i)) for i in range(B)])

@@ -279,7 +279,11 @@ def main():
     tmp = Path(tempfile.mkdtemp())
 
     def cbase(**kw):
-        d = dict(algorithm='ans', quiet=True, check_after_compress=False)
+        # Cells pin their table mode explicitly (the library default is
+        # 'segment'): the dtype sweep exercises plane containers, the
+        # segment_tables_* cells the bit4 multitable ones.
+        d = dict(algorithm='ans', quiet=True, check_after_compress=False,
+                 ans_table_mode='plane')
         d.update(kw)
         return d
 
