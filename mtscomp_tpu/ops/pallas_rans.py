@@ -65,9 +65,9 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
+def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
             words_ref, out_ref, used_ref, x_scr, pos_scr, *,
-            steps_per_block, small_alpha, fuse16, one_fixup):
+            steps_per_block, small_alpha, one_fixup):
     # Grid is (N groups, column blocks): the rANS states and stream
     # position persist in scratch across a group's column blocks, so the
     # output block stays small regardless of segment length.
@@ -110,17 +110,6 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         hi = jnp.take_along_axis(dense_ref[0, :, 1, :], col, axis=1)
         return jnp.where(idx < 128, lo, hi)
 
-    def lookup_elem(idx):
-        # Dense id -> final 16-bit element (plane-combined + un-zigzagged
-        # on the host when building the table).
-        if small_alpha:
-            return jnp.take_along_axis(elem_ref[0, :, 0, :], idx & 127,
-                                       axis=1)
-        col = idx & 127
-        lo = jnp.take_along_axis(elem_ref[0, :, 0, :], col, axis=1)
-        hi = jnp.take_along_axis(elem_ref[0, :, 1, :], col, axis=1)
-        return jnp.where(idx < 128, lo, hi)
-
     def substep(s, x, pos):
         active = (s * LANES + lane_col) < counts
         slot = x & 4095
@@ -139,7 +128,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         pk = lookup_dense(did)
         cum = pk & 4095
         f = _srl(pk, 12) & 4095
-        val = lookup_elem(did) if fuse16 else _srl(pk, 24)
+        val = _srl(pk, 24)
         # rANS inverse update (mod 2^32 in int32).
         x = jnp.where(active, f * _srl(x, SCALE_BITS) + slot - cum, x)
         # Renorm ranks: MXU prefix along lanes + sublane scan of totals.
@@ -211,10 +200,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref, elem_ref,
         x, pos, val = substep(cb * steps_per_block + s, x, pos)
         # Row-linear output: step s's lane j of row r is row r's symbol
         # s*128 + j, so segments come out contiguous (no transpose pass).
-        if fuse16:
-            out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.int16)
-        else:
-            out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
+        out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
         return x, pos
 
     # Per-group step clamp: n_steps is the batch-wide max, but a group
@@ -266,31 +252,7 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
               lookup's second compare-increment is dropped
     """
     return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
-                               None, counts_b, n_steps=n_steps,
-                               interpret=interpret,
-                               small_alpha=small_alpha,
-                               steps_per_block=steps_per_block,
-                               one_fixup=one_fixup)
-
-
-@functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
-                                             'small_alpha',
-                                             'steps_per_block',
-                                             'one_fixup'))
-def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
-                           counts_b, *, n_steps, interpret=False,
-                           small_alpha=False, steps_per_block=None,
-                           one_fixup=False):
-    """Fused variant: emits final int16 elements plus words_used.
-
-    ``elem_pk`` maps each dense symbol id to the fully decoded 16-bit
-    element (plane combination and inverse zigzag folded into the table
-    on the host), skipping the separate combine/zigzag HBM pass. Only
-    valid when exactly one plane is entropy-coded and the others are
-    constant per chunk.
-    """
-    return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
-                               elem_pk, counts_b, n_steps=n_steps,
+                               counts_b, n_steps=n_steps,
                                interpret=interpret,
                                small_alpha=small_alpha,
                                steps_per_block=steps_per_block,
@@ -300,29 +262,24 @@ def decode_groups_pallas16(states, words_u16, coarse_pk, dense_pk, elem_pk,
 STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
 
 
-def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
+def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                         counts_b, *, n_steps, interpret, small_alpha,
                         steps_per_block=None, one_fixup=False):
-    fuse16 = elem_pk is not None
     interpret = interpret or force_interpret()
     N, R_in, _ = states.shape
     WR = words_u16.shape[1]
     spb = steps_per_block or min(STEPS_PER_BLOCK,
                                  max(4, -(-n_steps // 4) * 4))
     CB = -(-max(n_steps, 1) // spb)
-    if not fuse16:
-        elem_pk = dense_pk     # unused placeholder with matching shape
     out, used = pl.pallas_call(
         functools.partial(_kernel, steps_per_block=spb,
-                          small_alpha=small_alpha, fuse16=fuse16,
+                          small_alpha=small_alpha,
                           one_fixup=one_fixup),
         grid=(N, CB),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -338,35 +295,15 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk, elem_pk,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(
-                (N, R_in, CB * spb * LANES),
-                jnp.int16 if fuse16 else jnp.uint8),
+            jax.ShapeDtypeStruct((N, R_in, CB * spb * LANES), jnp.uint8),
             jax.ShapeDtypeStruct((N, 1, LANES), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((R_in, LANES), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
-    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk, elem_pk,
+    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk,
       words_u16)
     return out, used[:, 0, 0]
-
-
-def pack_elem_table(freqs, hi_const=0, dtype=np.int16):
-    """Dense-id -> final int16 element table for the fused (16-bit) decode.
-
-    Combines the entropy-coded low byte with the chunk's constant high
-    byte and inverts zigzag, so the kernel emits finished elements.
-    Returns a (2, 128) int32 table of raw u16 bit patterns.
-    """
-    from ..models.rans import zigzag_decode
-    freqs = np.asarray(freqs, dtype=np.int64)
-    present = np.flatnonzero(freqs)
-    z = (present.astype(np.uint16)
-         | np.uint16(int(hi_const) << 8)).astype(np.uint16)
-    elems = zigzag_decode(z, np.dtype(dtype)).view(np.uint16)
-    table = np.zeros(256, dtype=np.int64)
-    table[:present.size] = elems
-    return table.astype(np.uint32).view(np.int32).reshape(2, 128)
 
 
 def pack_device_tables(freqs):

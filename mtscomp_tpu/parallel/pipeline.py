@@ -167,8 +167,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     """
     jax, jnp = _jax()
     from ..ops.device_rans import decode_groups
-    from ..ops.pallas_rans import (decode_groups_pallas,
-                                   decode_groups_pallas16)
+    from ..ops.pallas_rans import decode_groups_pallas
     from ..ops.device_delta import (cumsum_time, cumsum_time_jnp,
                                     cumsum_space_jnp, cumsum_time_transposed,
                                     pad_to, zigzag_decode_jnp)
@@ -186,14 +185,11 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     # when the chunk is smaller than one segment, rows only span S*128.
     seg_eff = min(seg, S * LANES) if rans_planes else 0
 
-    # Fully fused fast path: the kernel emits finished int16 elements in
-    # the channel-aligned layout; one transpose+scan kernel finishes.
-    # Requires: one coded plane (the low byte), constant high plane(s),
-    # k*GROUP_ROWS channel rows viewing as 128-aligned blocks, a block
-    # size dividing the scan, and the head fitting in the padded time.
-    # Currently opt-in (MTSCOMP_FULL_FUSE=1): measured slightly slower
-    # than the generic path on v5e — the 16-bit kernel stores outweigh
-    # the combine pass XLA already fuses — kept for wider-HBM parts.
+    # (A fully fused 16-bit kernel variant — elements finished inside
+    # the decode kernel via per-symbol element tables — was A/B'd on
+    # hardware in rounds 1 and 2 and lost to this path both times
+    # (6.37 vs 6.66 GB/s median, r2): the 16-bit kernel stores outweigh
+    # the combine pass XLA already fuses. Removed; see git history.)
     import os
     k = (seg // tp) if aligned and tp else 0
     spb_f = max((d for d in range(1, 129) if S % d == 0), default=1) \
@@ -211,20 +207,13 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     four_byte = dtype in (np.dtype(np.int32), np.dtype(np.uint32))
     kdtype = jnp.int32 if four_byte else jnp.int16
     scan_kinds = i16_kind or one_byte or four_byte
-    full_fuse = (use_pallas and aligned and has_head
-                 and os.environ.get('MTSCOMP_FULL_FUSE', '') not in ('', '0')
-                 and rans_planes == [0] and not raw_planes
-                 and dtype == np.int16 and zigzag
-                 and order == 'F' and do_time_diff and not do_spatial_diff
-                 and (GROUP_ROWS * k) % 128 == 0
-                 and spb_f >= 16 and tp >= T)
     # Default fast path: u8 kernel output feeds a combine+zigzag+
     # transpose+scan kernel directly (zero-copy reshape, since the
     # row-linear rows ARE k channels of tp symbols each) — the decode
     # never materializes a combined int16 diff stream. Needs full
     # segments (seg_eff == seg) so the reshape is clean, and spb
     # dividing S so the kernel emits exactly seg_eff columns.
-    fuse8 = (use_pallas and aligned and has_head and not full_fuse
+    fuse8 = (use_pallas and aligned and has_head
              and os.environ.get('MTSCOMP_NO_FUSE8', '') in ('', '0')
              and rans_planes == [0] and not raw_planes
              and len(const_planes) == 1
@@ -232,7 +221,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
              and order == 'F' and do_time_diff and not do_spatial_diff
              and (GROUP_ROWS * k) % 128 == 0
              and seg_eff == seg and spb_f >= 8 and tp >= T)
-    c_cap = G * GROUP_ROWS * k if (full_fuse or fuse8) else 0
+    c_cap = G * GROUP_ROWS * k if fuse8 else 0
 
     def as_i16(a):
         """To the scan-kernel dtype (int16/int32), bit-preserving."""
@@ -252,7 +241,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
 
     @jax.jit
     def decode(states, words, freqs, counts, coarse_pk, dense_pk, counts_b,
-               const_vals, raw_vals, heads, elem_pk):
+               const_vals, raw_vals, heads):
         if fuse8:
             from ..ops.device_delta import cumsum_time_transposed_u8
             syms, used = decode_groups_pallas(
@@ -264,15 +253,6 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             out = cumsum_time_transposed_u8(chan, heads_p,
                                             const_vals[:, 0])
             return from_i16(out[:, :T, :C]), used
-        if full_fuse:
-            syms16, used = decode_groups_pallas16(
-                states, words, coarse_pk, dense_pk, elem_pk, counts_b,
-                n_steps=S, small_alpha=small_alpha, steps_per_block=spb_f,
-                one_fixup=one_fixup)
-            chan = syms16.reshape(B, c_cap, tp)
-            heads_p = jnp.pad(heads, ((0, 0), (0, c_cap - C)))
-            out = cumsum_time_transposed(chan, head=heads_p)
-            return out[:, :T, :C], used
         ubits = 'uint%d' % (dtype.itemsize * 8)
         acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
         used = jnp.zeros((B,), dtype=jnp.int32)
@@ -484,11 +464,6 @@ class DeviceBatchDecoder:
         counts_b = np.zeros((NG, GROUP_ROWS, LANES), dtype=np.int32)
         coarse_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
         dense_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
-        elem_pk = np.zeros((NG, GROUP_ROWS, 2, LANES), dtype=np.int32)
-        # Element tables for the fully fused path: valid when exactly the
-        # low plane is coded and the others are constant per chunk.
-        build_elems = (aligned and rans_planes == [0] and not raw_planes
-                       and self.dtype == np.int16 and first['zigzag'])
         const_vals = np.zeros((B, max(len(const_planes), 1)), dtype=np.uint8)
         raw_vals = np.zeros((B, max(len(raw_planes), 1),
                              n_coded if raw_planes else 1), dtype=np.uint8)
@@ -511,22 +486,13 @@ class DeviceBatchDecoder:
                     counts_b[i, r] = n
                     # Key on the table CONTENT: identical tables across
                     # chunks (the common case) pack once per batch.
-                    hi_val = (int(parsed['planes'][1]['value'])
-                              if build_elems and len(modes) > 1 else 0)
-                    key = (table.tobytes(), hi_val)
+                    key = table.tobytes()
                     if key not in table_cache:
-                        if build_elems:
-                            from ..ops.pallas_rans import pack_elem_table
-                            et = pack_elem_table(table, hi_val, np.int16)
-                        else:
-                            et = None
                         table_cache[key] = (
-                            pack_device_tables(table), et,
+                            pack_device_tables(table),
                             int(np.count_nonzero(table)))
-                    (coarse_pk[i, r], dense_pk[i, r], n2), et, a = \
+                    (coarse_pk[i, r], dense_pk[i, r], n2), a = \
                         table_cache[key]
-                    if et is not None:
-                        elem_pk[i, r] = et
                     alpha_max = max(alpha_max, a)
                     needs_fixup2 = needs_fixup2 or n2
             for j, p in enumerate(const_planes):
@@ -535,7 +501,7 @@ class DeviceBatchDecoder:
                 raw_vals[b, j] = parsed['planes'][p]['raw']
 
         raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
-                    counts_b, const_vals, raw_vals, heads, elem_pk)
+                    counts_b, const_vals, raw_vals, heads)
         small_alpha = alpha_max <= 128
         one_fixup = not needs_fixup2
         if mesh is not None and G == 0:

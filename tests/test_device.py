@@ -403,36 +403,6 @@ def test_device_encode_end_to_end(tmp_path_, aligned):
         r.close()
 
 
-def test_fused16_kernel_interpret():
-    """decode_groups_pallas16 emits finished int16 elements (interpret)."""
-    from mtscomp_tpu.ops.pallas_rans import (decode_groups_pallas16,
-                                             pack_device_tables,
-                                             pack_elem_table, window_rows)
-    rng = np.random.default_rng(0)
-    R = rans.GROUP_ROWS
-    SEG = 512
-    d = np.round(rng.normal(0, 6, size=R * SEG)).astype(np.int16)
-    z = rans.zigzag_encode(d)
-    lo = (z & 255).astype(np.uint8)
-    assert (z >> 8).max() == 0
-    f = rans.quantize_freqs(np.bincount(lo, minlength=256))
-    rows = [lo[r * SEG:(r + 1) * SEG] for r in range(R)]
-    st, wd = rans.rans_encode_group(rows, np.tile(f, (R, 1)))
-    WR = -(-wd.size // 128) + window_rows(R)
-    words = np.zeros((1, WR, 128), np.uint16)
-    words.reshape(-1)[:wd.size] = wd
-    cp, dp, _ = pack_device_tables(f)
-    ep = pack_elem_table(f, hi_const=0, dtype=np.int16)
-    tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
-    out, used = decode_groups_pallas16(
-        jnp.asarray(st[None].astype(np.uint32)), jnp.asarray(words),
-        tile(cp), tile(dp), tile(ep),
-        jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
-        n_steps=SEG // 128, interpret=True)
-    assert np.array_equal(np.asarray(out)[0].reshape(-1), d)
-    assert int(np.asarray(used)[0]) == wd.size
-
-
 @pytest.mark.parametrize('dtype', [np.int8, np.uint8, np.uint16,
                                    np.int32, np.uint32])
 def test_device_decode_narrow_dtypes(tmp_path_, dtype, monkeypatch):
@@ -619,32 +589,6 @@ def test_fuse8_decode_interpret(tmp_path_, monkeypatch, dtype):
         out = dec.decode_batch(parsed, 300)
         assert np.array_equal(out.reshape(-1, 40), arr)
     finally:
-        r.close()
-
-
-def test_full_fused_pipeline_interpret(tmp_path_, monkeypatch):
-    """The fully fused TPU decode path (Pallas interpret mode on CPU)."""
-    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
-    monkeypatch.setenv('MTSCOMP_FULL_FUSE', '1')
-    arr = to_int16(make_signal('colored', ns=4 * 300, nc=40))
-    path = write_arr(tmp_path_ / 'd.bin', arr)
-    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
-             sample_rate=300.0, n_channels=40, dtype='int16',
-             algorithm='ans', quiet=True, check_after_compress=False)
-    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch')
-    try:
-        from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
-                                                   _read_payload,
-                                                   _build_decode_fn)
-        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(4)]
-        assert parsed[0]['aligned']
-        dec = DeviceBatchDecoder(r)
-        assert dec.supported(parsed, 300)
-        _build_decode_fn.cache_clear()
-        out = dec.decode_batch(parsed, 300)
-        assert np.array_equal(out.reshape(-1, 40), arr)
-    finally:
-        _build_decode_fn.cache_clear()
         r.close()
 
 

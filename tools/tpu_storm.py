@@ -19,7 +19,6 @@ assert device-encode containers byte-identical to the host codec):
   min-8 tables (two-fixup decode)
 - chunk geometry: partial tail chunks; chunk_order='C'; spatial diff;
   time diff off
-- opt-in fused 16-bit decode path (MTSCOMP_FULL_FUSE)
 - encode-kernel capacity overflow -> deterministic XLA-scan fallback
 - corruption surfacing (CRC + stream-word audit) on the hardware path
 
@@ -59,10 +58,9 @@ def _install_pallas_probes():
     signature traces once, so >=1 per cell proves the Mosaic kernel, not
     the XLA-scan fallback, handled it)."""
     from mtscomp_tpu.ops import pallas_rans, pallas_rans_enc
-    counters = {'decode': 0, 'decode16': 0, 'encode': 0}
+    counters = {'decode': 0, 'encode': 0}
 
     dec = pallas_rans.decode_groups_pallas
-    dec16 = pallas_rans.decode_groups_pallas16
     enc = pallas_rans_enc.encode_groups_pallas
 
     def wrap(fn, key):
@@ -72,7 +70,6 @@ def _install_pallas_probes():
         return inner
 
     pallas_rans.decode_groups_pallas = wrap(dec, 'decode')
-    pallas_rans.decode_groups_pallas16 = wrap(dec16, 'decode16')
     pallas_rans_enc.encode_groups_pallas = wrap(enc, 'encode')
     return counters
 
@@ -313,10 +310,10 @@ def main():
                 elif expect_fixups == 'one':
                     assert n_two == 0, "self-written tables must be " \
                         "single-fixup (%d/%d)" % (n_two, n_tables)
-                d0 = counters['decode'] + counters['decode16']
+                d0 = counters['decode']
                 device_decode_all(r, arr)
                 if backend == 'tpu':
-                    assert counters['decode'] + counters['decode16'] > d0, \
+                    assert counters['decode'] > d0, \
                         "decode never traced a Pallas kernel"
                 if window:
                     from mtscomp_tpu.parallel.pipeline import \
@@ -375,24 +372,6 @@ def main():
              cell_roundtrip('int16', do_spatial_diff=True))
     run_cell('no_time_diff_int16', 'raw rows (no delta)',
              cell_roundtrip('int16', do_time_diff=False))
-
-    # --- opt-in fully fused 16-bit decode path (MTSCOMP_FULL_FUSE) ------
-    def cell_full_fuse():
-        os.environ['MTSCOMP_FULL_FUSE'] = '1'
-        pl._build_decode_fn.cache_clear()
-        try:
-            f = cell_roundtrip('int16', encode=False, seed=3)
-            extra = f()
-            if backend == 'tpu':
-                assert counters['decode16'] > 0, \
-                    "full-fuse cell never traced the 16-bit kernel"
-            extra['decode16_traces'] = counters['decode16']
-            return extra
-        finally:
-            del os.environ['MTSCOMP_FULL_FUSE']
-            pl._build_decode_fn.cache_clear()
-    run_cell('full_fuse_int16', 'fuse16 kernel (opt-in env flag)',
-             cell_full_fuse)
 
     # --- encode kernel: capacity overflow + scan fallback ---------------
     def cell_encode_overflow():
@@ -477,7 +456,6 @@ def main():
     summary = dict(backend=backend, cells=len(RESULTS), passed=n_ok,
                    failed=len(RESULTS) - n_ok,
                    pallas_decode_traces=counters['decode'],
-                   pallas_decode16_traces=counters['decode16'],
                    pallas_encode_traces=counters['encode'],
                    quick=bool(args.quick),
                    geometry=dict(sr=SR, n_channels=C, n_samples=NS))
@@ -490,9 +468,9 @@ def main():
         "Driver: `tools/tpu_storm.py` (run fresh; results below are from "
         "the last run).",
         "Backend: **%s** — %d/%d cells passed; Pallas kernel traces: "
-        "%d decode / %d fuse16 / %d encode."
+        "%d decode / %d encode."
         % (backend, n_ok, len(RESULTS), counters['decode'],
-           counters['decode16'], counters['encode']),
+           counters['encode']),
         "",
         "Every cell: host-compress (normative coder) -> device batch "
         "decode on the %s backend -> byte-compare vs the original "
@@ -516,7 +494,7 @@ def main():
         "plane + segment-multitable (bit4) containers, aligned + "
         "non-aligned layouts, self-written one-fixup + foreign "
         "two-fixup tables, partial tail chunks, chunk_order C, spatial "
-        "diff, no-time-diff, the opt-in MTSCOMP_FULL_FUSE fuse16 path, "
+        "diff, no-time-diff, "
         "encode-kernel overflow fallback, and corruption surfacing.",
         "",
     ]
