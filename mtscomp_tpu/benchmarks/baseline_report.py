@@ -160,10 +160,11 @@ def config3_lfp_windows(reps, out):
     ratio_plane = compress(tmp / 'c3.bin', tmp / 'c3p.cbin', tmp / 'c3p.ch',
                            sample_rate=2500.0, n_channels=385,
                            dtype='int16', algorithm='ans', quiet=True,
+                           ans_table_mode='plane',
                            check_after_compress=False)
     rng = np.random.default_rng(1)
     lat = {}
-    for device, label in (('none', 'host'), (None, 'device-cache')):
+    for device, label in (('none', 'host'), (None, 'auto (default)')):
         kw = {'device': device} if device else {}
         r = decompress(tmp / 'c3.cbin', tmp / 'c3.ch', quiet=True, **kw)
         try:
@@ -190,11 +191,11 @@ def config3_lfp_windows(reps, out):
     for label, ms in lat.items():
         out.append("| window read latency (%s) | %.1f ms |" % (label, ms))
     out.append("")
-    out.append("(The device-cache figure on relay-attached devices is "
-               "dominated by per-call host-link round trips — each cold "
-               "window uploads its chunk payload and downloads the "
-               "window through a ~10-40 MB/s tunnel; on PCIe-attached "
-               "TPU hosts the same path is a few ms.)")
+    out.append("(auto routes each window by the measured accelerator "
+               "link: on relay-attached dev chips it takes the host "
+               "codec — the device round trip measured ~100x slower "
+               "there — while PCIe-attached hosts stay device-resident "
+               "via the on-chip chunk cache.)")
     out.append("")
 
 

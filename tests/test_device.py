@@ -804,3 +804,68 @@ def test_auto_small_files_never_touch_jax(tmp_path_, monkeypatch):
         assert w._use_device() is False
     finally:
         w.close()
+
+
+def test_foreign_min8_tables_container_roundtrip(tmp_path_, monkeypatch):
+    """A foreign writer's unit-granularity min-8 tables (two-fixup
+    decode) through the FULL container pipeline — compress with a
+    patched quantizer, parse, batch-decode via the Pallas kernel
+    (interpret mode) — not just the kernel-level fixup test."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+
+    def quantize_foreign(counts, scale_bits=None, min_freq=None):
+        scale_bits = rans.SCALE_BITS if scale_bits is None else scale_bits
+        min_freq = rans.MIN_FREQ if min_freq is None else min_freq
+        counts = np.asarray(counts, dtype=np.int64)
+        present = counts > 0
+        if int(present.sum()) <= 1:
+            return None
+        scale = 1 << scale_bits
+        ideal = counts * scale / counts.sum()
+        freqs = np.floor(ideal).astype(np.int64)
+        freqs[present] = np.maximum(freqs[present], min_freq)
+        rem = int(scale - freqs.sum())
+        if rem > 0:
+            frac = np.where(present, ideal - np.floor(ideal), -1.0)
+            freqs[np.argsort(-frac, kind='stable')[:rem]] += 1
+        while freqs.sum() > scale:
+            k = int(np.argmax(freqs))
+            freqs[k] -= 1
+        return freqs
+
+    # Heavy-tailed diffs: a wide alphabet with many min-frequency
+    # symbols is what makes unit-granularity boundaries land three
+    # dense ids in one 16-slot bucket.
+    rng = np.random.default_rng(9)
+    steps = rng.normal(0, 6, size=(2 * 2000 + 500, 24))
+    steps[rng.random(steps.shape) < 0.02] *= 30.0
+    arr = np.cumsum(steps, axis=0).astype(np.int16)
+    path = write_arr(tmp_path_ / 'f.bin', arr)
+    orig_quantize = rans.quantize_freqs
+    rans.quantize_freqs = quantize_foreign
+    try:
+        compress(path, tmp_path_ / 'f.cbin', tmp_path_ / 'f.ch',
+                 sample_rate=2000.0, n_channels=24, dtype='int16',
+                 algorithm='ans', quiet=True, ans_table_mode='plane',
+                 check_after_compress=False)
+    finally:
+        rans.quantize_freqs = orig_quantize
+    r = decompress(tmp_path_ / 'f.cbin', tmp_path_ / 'f.ch', quiet=True)
+    try:
+        # The file must genuinely carry a two-fixup table or the test
+        # is vacuous.
+        from mtscomp_tpu.codec.ans import seg_freqs
+        from mtscomp_tpu.ops.pallas_rans import pack_device_tables
+        from mtscomp_tpu.parallel.pipeline import _read_payload
+        two = 0
+        for i in range(r.n_chunks):
+            parsed = r.codec.parse(_read_payload(r, i))
+            for g in parsed['groups']:
+                for (p, start, n) in g['segments']:
+                    two += pack_device_tables(
+                        seg_freqs(parsed, p, start))[2]
+        assert two > 0, "foreign quantizer produced only one-fixup tables"
+        assert np.array_equal(decompress_to_array(r), arr)
+        assert np.array_equal(r[:], arr)        # host path agrees
+    finally:
+        r.close()
