@@ -327,8 +327,10 @@ def main():
                     extra['windows'] = 'ok'
                 if encode and dt.itemsize <= 2:
                     with _patched(patches):
+                        # Full merged config (incl. cbase's pinned
+                        # table mode), matching what compress() used.
                         extra['encode'] = device_encode_check(
-                            raw, arr, SR, C, kw)
+                            raw, arr, SR, C, cbase(**kw))
             finally:
                 r.close()
             return extra
