@@ -167,26 +167,35 @@ def table_fixups(reader):
 def device_decode_all(reader, arr):
     """Decode every chunk through DeviceBatchDecoder, asserting the
     device path accepted each batch (no silent host fallback), the
-    stream-word audit passed, and the bytes match ``arr``."""
+    stream-word audit passed, and the bytes match ``arr``.
+
+    Chunks are grouped by their full container signature (size, plane
+    modes, segment geometry): data-dependent mode differences between
+    chunks are legal and batch separately, exactly as the production
+    pipeline's per-group batching does.
+    """
     from mtscomp_tpu.parallel.pipeline import DeviceBatchDecoder, \
         _read_payload
     groups = []
     for idx in range(reader.n_chunks):
         ns = reader.chunk_bounds[idx + 1] - reader.chunk_bounds[idx]
-        if groups and groups[-1][1] == ns:
-            groups[-1][0].append(idx)
+        parsed = reader.codec.parse(_read_payload(reader, idx))
+        sig = (ns, tuple(parsed['modes']), parsed['seg'],
+               parsed['aligned'], parsed['zigzag'], parsed['n_stream'],
+               parsed['n_head'])
+        if groups and groups[-1][1] == sig:
+            groups[-1][0].append(parsed)
         else:
-            groups.append(([idx], ns))
+            groups.append(([parsed], sig))
     parts = []
-    for chunk_ids, ns in groups:
-        parsed = [reader.codec.parse(_read_payload(reader, i))
-                  for i in chunk_ids]
+    for parsed_list, sig in groups:
+        ns = sig[0]
         dec = DeviceBatchDecoder(reader)
-        if not dec.supported(parsed, ns):
-            raise AssertionError("device path declined chunks %s"
-                                 % chunk_ids)
-        out = dec.decode_batch(parsed, ns)
-        parts.extend(out[i] for i in range(len(chunk_ids)))
+        if not dec.supported(parsed_list, ns):
+            raise AssertionError("device path declined a uniform batch "
+                                 "(sig=%r)" % (sig,))
+        out = dec.decode_batch(parsed_list, ns)
+        parts.extend(out[i] for i in range(len(parsed_list)))
     got = np.concatenate(parts, axis=0)
     if not np.array_equal(got, arr):
         bad = int(np.argmax((got != arr).any(axis=1)))
@@ -257,6 +266,12 @@ def main():
                     help='smaller geometry (dev smoke; still every cell)')
     ap.add_argument('--out', default='TPU_STORM',
                     help='report basename (writes .md and .json)')
+    ap.add_argument('--random', type=int, default=0, metavar='N',
+                    help='append N randomized cells (random geometry/'
+                         'dtype/mode/order/diff) — fresh Mosaic '
+                         'compiles beyond the fixed grid')
+    ap.add_argument('--seed', type=int, default=0,
+                    help='base seed for --random cells')
     args = ap.parse_args()
 
     backend = _setup_jax()
@@ -452,6 +467,72 @@ def main():
             r.close()
     run_cell('corruption_detected', 'flipped byte mid-.cbin must surface',
              cell_corruption)
+
+    # --- randomized cells: fresh Mosaic compiles off the fixed grid -----
+    def cell_random(i):
+        def fn():
+            rng = np.random.default_rng(args.seed * 1000 + i)
+            dt = np.dtype(str(rng.choice(
+                ['int8', 'uint8', 'int16', 'uint16', 'int32', 'uint32'])))
+            nc = int(rng.integers(3, 512))
+            csz = int(rng.integers(400, 6000))
+            ns = int(csz * rng.uniform(1.1, 3.4))
+            kw = dict(
+                ans_table_mode=str(rng.choice(['plane', 'segment'])),
+                ans_channel_segments=bool(rng.integers(0, 2)),
+                ans_seg_log2=int(rng.integers(10, 18)),
+                chunk_order=str(rng.choice(['F', 'F', 'F', 'C'])),
+                do_spatial_diff=bool(rng.integers(0, 4) == 0),
+                do_time_diff=bool(rng.integers(0, 8) != 0),
+            )
+            kind = str(rng.choice(['walk', 'gradient']))
+            arr = make_data(kind, dt, ns, nc, seed=int(rng.integers(1e6)))
+            sub = tmp / ('rand_%d' % i)
+            sub.mkdir()
+            raw = sub / 'x.bin'
+            arr.tofile(raw)
+            compress(raw, sub / 'x.cbin', sub / 'x.ch',
+                     sample_rate=float(csz), n_channels=nc, dtype=dt.name,
+                     **cbase(**kw))
+            r = decompress(sub / 'x.cbin', sub / 'x.ch', quiet=True)
+            try:
+                device_decode_all(r, arr)
+                extra = dict(dtype=dt.name, nc=nc, csize=csz, ns=ns,
+                             mode=kw['ans_table_mode'],
+                             aligned=kw['ans_channel_segments'],
+                             order=kw['chunk_order'])
+                if dt.itemsize <= 2 and csz > 1:
+                    from mtscomp_tpu import Writer
+                    w = Writer(algorithm='ans', quiet=True,
+                               **{k: v for k, v in cbase(**kw).items()
+                                  if k.startswith('ans_')
+                                  or k in ('chunk_order', 'do_time_diff',
+                                           'do_spatial_diff')})
+                    try:
+                        w.open(raw, sample_rate=float(csz), n_channels=nc,
+                               dtype=dt.name)
+                        enc = pl.DeviceBatchEncoder(w)
+                        if enc.supported(csz):
+                            chunk = np.stack([np.asarray(w.get_chunk(0))])
+                            payloads = enc.encode_batch(chunk)
+                            if payloads is not None:
+                                host = w.codec.encode(
+                                    w._transform_chunk(chunk[0]),
+                                    order=w.chunk_order)
+                                assert payloads[0] == host, \
+                                    "random-cell device container " \
+                                    "diverged from host"
+                                extra['encode'] = 'identical'
+                    finally:
+                        w.close()
+            finally:
+                r.close()
+            return extra
+        return fn
+
+    for i in range(args.random):
+        run_cell('random_%02d' % i, 'randomized geometry/mode',
+                 cell_random(i))
 
     # ---------------------------------------------------------------------
     n_ok = sum(r['ok'] for r in RESULTS)
