@@ -145,8 +145,17 @@ class Writer:
         """Transform + entropy-code one chunk; returns (idx, (raw, payload))."""
         chunk = self.get_chunk(chunk_idx)
         assert chunk.ndim == 2 and chunk.shape[1] == self.n_channels
-        chunkd = self._transform_chunk(chunk)
-        payload = self.codec.encode(chunkd, order=self.chunk_order)
+        if (self.algorithm == 'ans' and self.do_time_diff
+                and not self.do_spatial_diff):
+            # The ANS codec fuses the axis-0 diff into its native prep
+            # pass (byte-identical output; saves a memory round trip —
+            # and reads the memmap pages directly instead of through a
+            # diffed copy).
+            payload = self.codec.encode(chunk, order=self.chunk_order,
+                                        time_diff_pending=True)
+        else:
+            chunkd = self._transform_chunk(chunk)
+            payload = self.codec.encode(chunkd, order=self.chunk_order)
         logger.debug("Chunk %d/%d: -%.3f%%.", chunk_idx + 1, self.n_chunks,
                      100 - 100 * len(payload) / (chunk.size * chunk.itemsize))
         return chunk_idx, (chunk, payload)
@@ -267,12 +276,25 @@ class Writer:
                         last_chunk))
 
         # Double-buffered pipeline: batch b+1 compresses (C++ workers /
-        # device) while batch b's ordered write-back (file IO + SHA1,
-        # both GIL-releasing) runs — the reference is strictly
-        # batch-synchronous here (mtscomp.py:461-483).
+        # device) while batch b's ordered write-back (file IO) runs —
+        # the reference is strictly batch-synchronous here
+        # (mtscomp.py:461-483). The two SHA1 streams hash on their own
+        # threads (hashlib releases the GIL above 2 KB): each stream is
+        # inherently serial at ~1 GB/s, so on multi-core hosts keeping
+        # them off the write-back thread removes them from the critical
+        # path. One in-flight task per stream, joined before the next
+        # batch submits, preserves update order and bounds the payload
+        # backlog to two batches.
         self.sha1_compressed = hashlib.sha1()
         self.sha1_uncompressed = hashlib.sha1()
         prefetch = ThreadPoolExecutor(1)
+        hasher = ThreadPoolExecutor(2)
+
+        def _update_all(sha, bufs):
+            for b in bufs:
+                sha.update(b)
+
+        hash_pending = []
         try:
             with open(out, 'wb') as fb:
                 fut = (prefetch.submit(self.compress_batch, *bounds(0))
@@ -288,17 +310,32 @@ class Writer:
                     assert set(compressed) == set(range(first, last))
                     # Ordered write-back: payload order defines the
                     # offset table.
+                    raws, payloads = [], []
                     for idx in sorted(compressed):
                         chunk, payload = compressed[idx]
                         fb.write(payload)
                         offset += len(payload)
                         self.chunk_offsets.append(offset)
-                        self.sha1_uncompressed.update(
-                            np.ascontiguousarray(chunk))
-                        self.sha1_compressed.update(payload)
+                        # Contiguous memmap slices hash zero-copy.
+                        raws.append(np.ascontiguousarray(chunk))
+                        payloads.append(payload)
+                    for f in hash_pending:
+                        f.result()
+                    hash_pending = [
+                        hasher.submit(_update_all, self.sha1_uncompressed,
+                                      raws),
+                        hasher.submit(_update_all, self.sha1_compressed,
+                                      payloads),
+                    ]
+                for f in hash_pending:
+                    f.result()
+                hash_pending = []
                 csize = fb.tell()
         finally:
+            for f in hash_pending:  # pragma: no cover - error path
+                f.cancel()
             prefetch.shutdown()
+            hasher.shutdown()
             if self._pool is not None:
                 self._pool.shutdown()
                 self._pool = None

@@ -97,6 +97,19 @@ FLAG_MULTITABLE = 16
 DEFAULT_SEG_LOG2 = 16           # 65536 symbols per segment
 
 
+def _crc32(buf, crc=0):
+    """zlib-compatible CRC32, through the native PCLMUL folder when the
+    buffer is big enough to amortize the FFI call (~6x zlib on the
+    multi-MB group blobs; identical result by construction and by
+    test)."""
+    if len(buf) >= 65536:
+        from ..native import crc32 as native_crc32
+        got = native_crc32(buf, crc)
+        if got is not None:
+            return got
+    return zlib.crc32(buf, crc)
+
+
 def _append_crc(parts):
     """Join container parts with the trailing CRC32 appended.
 
@@ -105,7 +118,7 @@ def _append_crc(parts):
     """
     crc = 0
     for p in parts:
-        crc = zlib.crc32(p, crc)
+        crc = _crc32(p, crc)
     return b''.join(parts + [struct.pack('<I', crc)])
 
 _HEADER = struct.Struct('<IBBBBIBBBBHH')
@@ -362,7 +375,18 @@ class AnsCodec:
 
     # --- encode -----------------------------------------------------------
 
-    def encode(self, chunkd, order='F'):
+    def encode(self, chunkd, order='F', time_diff_pending=False):
+        """Encode one transformed chunk into a self-contained container.
+
+        With ``time_diff_pending=True`` the argument is the RAW chunk
+        and the axis-0 time diff is still owed: the fast native prep
+        applies it on the fly inside its blocked pass (saving the
+        ``np.diff`` memory round trip); when that path declines, the
+        diff is materialized and encoding restarts on the generic path.
+        Output bytes are identical either way — callers (Writer,
+        StreamWriter) use the flag whenever the transform is exactly
+        the axis-0 diff.
+        """
         chunkd = np.asarray(chunkd)
         n_elems = chunkd.size
         itemsize = chunkd.dtype.itemsize
@@ -395,43 +419,56 @@ class AnsCodec:
             n_stream = n_coded
 
         # Fused native prep for the standard 2-byte aligned layout
-        # (zigzag + byte split + pad + transpose + histograms in one
-        # blocked pass — the encode mirror of the fused decode
-        # finalize); the generic NumPy pipeline handles everything else.
-        # In segment-table mode the per-segment histograms (needed for
-        # clustering anyway) replace the prep pass's banked histogram
-        # (its dominant cost): plane totals are the segment sums minus
-        # the per-channel zero pads — bit-identical, one hist pass
-        # instead of two.
+        # (time diff when still pending + zigzag + byte split + pad +
+        # transpose + histograms in one blocked pass — the encode
+        # mirror of the fused decode finalize); the generic NumPy
+        # pipeline handles everything else. In segment-table mode the
+        # per-segment histograms (needed for clustering anyway) are
+        # counted inside the same pass while the transposed rows are
+        # still cache-resident — plane totals are the segment sums
+        # minus the per-channel zero pads, bit-identical to
+        # histogramming the padded stream separately.
         fast = None
         seg_hist_cache = {}
         seg_fast = (self.table_mode == 'segment' and aligned
                     and itemsize == 2 and n_stream > seg)
         if aligned and itemsize == 2:
             from .. import native
-            fast = native.prepare2_i16(np.ascontiguousarray(chunkd[1:]),
-                                       tp, hists=not seg_fast)
-            if fast is not None and fast[2] is None:
+            if time_diff_pending:
+                src, fuse_diff = np.ascontiguousarray(chunkd), True
+            else:
+                src, fuse_diff = np.ascontiguousarray(chunkd[1:]), False
+            fast = native.prepare2_i16(src, tp, diff=fuse_diff,
+                                       seg_k=k if seg_fast else 0)
+            if fast is not None and seg_fast:
                 n_pad = n_stream - n_coded
+                n_segs = -(-C // k)
+                # Native counts data symbols only; the padded stream's
+                # per-channel zero tails land in bin 0 of each
+                # segment's histogram (the last segment may hold fewer
+                # channels).
+                ch_in_seg = (np.minimum(np.arange(1, n_segs + 1) * k, C)
+                             - np.arange(n_segs) * k)
                 derived = []
                 for p in range(2):
-                    # Constant planes (the usual high byte) need no
-                    # segment histograms: a 4 KB probe rejects
-                    # non-constant planes in ~us, the full strided
-                    # check costs ~1/3 of the histogram it avoids.
-                    data = fast[p].reshape(C, tp)[:, :tcs]
-                    v = int(data[0, 0])
-                    if (np.all(data[0, :4096] == v)
-                            and np.all(data == v)):
-                        c = np.zeros(256, dtype=np.int64)
-                        c[v] = n_coded
-                    else:
-                        sh = _segment_histograms(fast[p], seg)
+                    sh = fast[2 + p]
+                    sh[:, 0] += ch_in_seg * (tp - tcs)
+                    counts = sh.sum(axis=0)
+                    counts[0] -= n_pad
+                    if counts.max() != counts.sum():
+                        # CONST planes never reach decide_plane; drop
+                        # their histograms rather than keep them alive.
                         seg_hist_cache[p] = sh
-                        c = sh.sum(axis=0)
-                        c[0] -= n_pad
-                    derived.append(c)
+                    derived.append(counts)
                 fast = (fast[0], fast[1], derived[0], derived[1])
+        if time_diff_pending and fast is None:
+            # Fused-diff prep unavailable (no native library, or a
+            # layout the fast path declines): materialize the diff and
+            # restart on the generic path. diff_along_axis keeps row 0
+            # verbatim, so head semantics are identical.
+            from ..ops.delta import diff_along_axis
+            return self.encode(diff_along_axis(chunkd, axis=0),
+                               order=order)
         if fast is None:
             elements = (chunkd[1:] if split_head else chunkd
                         ).ravel(order=order)
@@ -744,7 +781,7 @@ class AnsCodec:
             if len(mv) < _HEADER.size + 4:
                 raise IOError("ANS chunk too short for its CRC32 field.")
             (want,) = struct.unpack_from('<I', mv, len(mv) - 4)
-            got = zlib.crc32(mv[:-4])
+            got = _crc32(mv[:-4])
             if got != want:
                 raise IOError("ANS chunk CRC32 mismatch "
                               "(stored %08x, computed %08x)." % (want, got))

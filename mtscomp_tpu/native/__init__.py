@@ -112,6 +112,11 @@ def _load_locked():
     lib.mts_prepare2_i16.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.mts_prepare2d_i16.restype = ctypes.c_int
+    lib.mts_prepare2d_i16.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.mts_hist_u8_segments.restype = ctypes.c_int
     lib.mts_hist_u8_segments.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
@@ -127,12 +132,31 @@ def _load_locked():
         ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_size_t), ctypes.c_int]
+    lib.mts_crc32.restype = ctypes.c_uint32
+    lib.mts_crc32.argtypes = [
+        ctypes.c_uint32, ctypes.c_void_p, ctypes.c_size_t]
     _lib = lib
     return _lib
 
 
 def available():
     return _load() is not None
+
+
+def crc32(data, crc=0):
+    """zlib-compatible CRC32 (PCLMUL-folded, ~6x zlib); None if no lib.
+
+    Accepts any contiguous buffer (bytes, memoryview, uint8 ndarray).
+    Small inputs are cheaper through zlib.crc32 directly — callers
+    (codec/ans.py ``_crc32``) route on size; this function is the raw
+    binding.
+    """
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.mts_crc32(crc & 0xFFFFFFFF, arr.ctypes.data, arr.size))
 
 
 def deflate_batch(buffers, n_threads=1):
@@ -372,17 +396,26 @@ def hist_u8_segments(stream, seg):
     return out.astype(np.int64)
 
 
-def prepare2_i16(body, tp, hists=True):
+def prepare2_i16(body, tp, hists=True, diff=False, seg_k=0):
     """Fused encode prep for 2-byte aligned containers.
 
     ``body``: the diffed chunk minus its head row — (tcs, C) int16/
-    uint16, C-contiguous. Returns ``(lo, hi, hist_lo, hist_hi)`` — the
-    two zero-padded channel-major (C*tp,) uint8 plane streams and the
-    per-plane 256-bin histograms of the DATA symbols (pads excluded) —
-    or None when the library is unavailable or the layout unsupported.
-    ``hists=False`` skips the histogram pass (the dominant cost) and
-    returns None histograms — for callers that derive plane totals
-    from per-segment histograms they need anyway (segment table mode).
+    uint16, C-contiguous — or, with ``diff=True``, the RAW chunk
+    (tcs+1, C) whose head row is kept verbatim while the time diff is
+    applied on the fly inside the same blocked pass (bit-identical to
+    ``np.diff``'s same-dtype wraparound; kills the separate diff pass
+    and its memory round trip).
+
+    Returns ``(lo, hi, hist_lo, hist_hi)`` — the two zero-padded
+    channel-major (C*tp,) uint8 plane streams and the per-plane 256-bin
+    histograms of the DATA symbols (pads excluded) — or None when the
+    library is unavailable or the layout unsupported.
+
+    ``seg_k > 0`` (channels per aligned segment) switches the histogram
+    pass to per-segment counting: the last two elements are then
+    (ceil(C/seg_k), 256) int64 arrays of DATA symbol counts per segment
+    (callers add the per-channel pad zeros — codec/ans.py encode).
+    ``hists=False`` skips counting entirely and returns None histograms.
     """
     import numpy as np
     lib = _load()
@@ -393,20 +426,37 @@ def prepare2_i16(body, tp, hists=True):
             or body.dtype.byteorder not in '<=':
         return None
     tcs, C = body.shape
+    if diff:
+        if tcs < 1:
+            return None
+        tcs -= 1
     lo = np.zeros(C * tp, dtype=np.uint8)
     hi = np.zeros(C * tp, dtype=np.uint8)
     if not hists:
-        rc = lib.mts_prepare2_i16(body.ctypes.data, C, tp, tcs,
-                                  lo.ctypes.data, hi.ctypes.data, None,
-                                  None)
+        rc = lib.mts_prepare2d_i16(body.ctypes.data, C, tp, tcs,
+                                   int(diff), lo.ctypes.data,
+                                   hi.ctypes.data, 0, None, None, None,
+                                   None)
         if rc != 0:  # pragma: no cover
             return None
         return lo, hi, None, None
-    hist_lo = np.empty(256, dtype=np.uint32)
-    hist_hi = np.empty(256, dtype=np.uint32)
-    rc = lib.mts_prepare2_i16(body.ctypes.data, C, tp, tcs,
-                              lo.ctypes.data, hi.ctypes.data,
-                              hist_lo.ctypes.data, hist_hi.ctypes.data)
+    if seg_k > 0:
+        n_segs = -(-C // seg_k)
+        seg_lo = np.zeros((n_segs, 256), dtype=np.uint32)
+        seg_hi = np.zeros((n_segs, 256), dtype=np.uint32)
+        rc = lib.mts_prepare2d_i16(body.ctypes.data, C, tp, tcs,
+                                   int(diff), lo.ctypes.data,
+                                   hi.ctypes.data, seg_k, None, None,
+                                   seg_lo.ctypes.data, seg_hi.ctypes.data)
+        if rc != 0:  # pragma: no cover
+            return None
+        return lo, hi, seg_lo.astype(np.int64), seg_hi.astype(np.int64)
+    hist_lo = np.zeros(256, dtype=np.uint32)
+    hist_hi = np.zeros(256, dtype=np.uint32)
+    rc = lib.mts_prepare2d_i16(body.ctypes.data, C, tp, tcs,
+                               int(diff), lo.ctypes.data, hi.ctypes.data,
+                               0, hist_lo.ctypes.data, hist_hi.ctypes.data,
+                               None, None)
     if rc != 0:  # pragma: no cover
         return None
     return lo, hi, hist_lo.astype(np.int64), hist_hi.astype(np.int64)

@@ -720,32 +720,58 @@ extern "C" int mts_fuse2_i16(
   return 0;
 }
 
-// Encode-side mirror of mts_fuse2_i16: read the diffed chunk body
-// (tcs, C) int16 time-major, zigzag, split bytes, and transpose into
-// the two padded channel-major (C, tp) plane streams while
-// accumulating per-plane histograms — one blocked pass replacing the
-// F-order ravel + zigzag + plane-split + pad-copy + two bincounts.
-// Histograms count DATA symbols only (pads are accounted by the
-// caller, matching the host codec's counts/scounts split). The lo/hi
-// buffers must arrive zeroed (the pad regions are never written).
-extern "C"
-__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
-int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
-                                size_t tcs, uint8_t* lo, uint8_t* hi,
-                                uint32_t* hist_lo, uint32_t* hist_hi) {
-  // Per tile: a hist-free transpose sweep the compiler can vectorize
-  // (contiguous stores along t, strided loads along C), then banked
-  // histograms over the just-written tile while it is L1-resident.
-  // Whole-stream second passes were measured and lost (DRAM re-read);
-  // hist-in-the-transpose-loop was measured and lost (the RMW chain
-  // blocks vectorization).
-  // hist_lo == nullptr skips the histogram pass entirely (callers that
-  // already need per-segment histograms derive the plane totals from
-  // those instead — the banked RMW chain is the pass's dominant cost).
-  const bool want_hist = hist_lo != nullptr;
-  std::vector<uint32_t> banks(8 * 256, 0);
+// Encode-side mirror of mts_fuse2_i16: read the chunk body (tcs, C)
+// int16 time-major, optionally apply the time diff on the fly
+// (``do_diff``: the input is then the RAW chunk whose row 0 is the
+// verbatim head, and body(t,c) = raw[t+1,c] - raw[t,c] mod 2^16 —
+// bit-identical to np.diff's same-dtype wraparound), zigzag, split
+// bytes, and transpose into the two padded channel-major (C, tp) plane
+// streams while accumulating histograms — one blocked pass replacing
+// the np.diff + F-order ravel + zigzag + plane-split + pad-copy + two
+// bincounts chain.
+//
+// Histogram modes (both count DATA symbols only; pads are accounted by
+// the caller, matching the host codec's counts/scounts split):
+//   k == 0, hist_lo != null : per-plane 256-bin totals into hist_*
+//   k > 0,  seg_lo  != null : per-segment hists into seg_* — segment =
+//                             k consecutive channels of the padded
+//                             stream (the channel-aligned geometry:
+//                             seg bytes = k * tp), ceil(C/k) rows of
+//                             256. Replaces the separate
+//                             mts_hist_u8_segments DRAM re-read.
+//   neither                 : no histogram pass.
+// Counting runs rowwise per channel block after its transpose (rows
+// then still cache-resident), with 8 banks per plane — histogramming
+// is RMW-chain-bound, not bandwidth-bound, and skewed diff planes
+// (most symbols near zero) serialize on hot counters unless the banks
+// split them. The lo/hi/hist buffers must arrive zeroed.
+static int prepare2_core(const int16_t* chunk, size_t C, size_t tp,
+                         size_t tcs, int do_diff, uint8_t* lo, uint8_t* hi,
+                         size_t k, uint32_t* hist_lo, uint32_t* hist_hi,
+                         uint32_t* seg_lo, uint32_t* seg_hi) {
+  const bool want_seg = k > 0 && seg_lo != nullptr;
+  const bool want_hist = want_seg || hist_lo != nullptr;
+  const size_t keff = want_seg ? k : C;
+  uint32_t* out_lo = want_seg ? seg_lo : hist_lo;
+  uint32_t* out_hi = want_seg ? seg_hi : hist_hi;
+  std::vector<uint32_t> banks(want_hist ? 16 * 256 : 0, 0);
   uint32_t* bl = banks.data();
-  uint32_t* bh = banks.data() + 4 * 256;
+  uint32_t* bh = banks.data() + 8 * 256;
+  size_t cur_seg = 0;
+  auto flush = [&](size_t s) {
+    uint32_t* ol = out_lo + s * 256;
+    uint32_t* oh = out_hi + s * 256;
+    for (int sym = 0; sym < 256; ++sym) {
+      uint32_t al = 0, ah = 0;
+      for (int b = 0; b < 8; ++b) {
+        al += bl[b * 256 + sym];
+        ah += bh[b * 256 + sym];
+      }
+      ol[sym] += al;
+      oh[sym] += ah;
+    }
+    std::fill(banks.begin(), banks.end(), 0);
+  };
   const size_t TB = 256, CB = 64;
   for (size_t c0 = 0; c0 < C; c0 += CB) {
     size_t c1 = c0 + CB < C ? c0 + CB : C;
@@ -755,43 +781,88 @@ int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
         const int16_t* col = chunk + c;
         uint8_t* lrow = lo + c * tp;
         uint8_t* hrow = hi + c * tp;
-        for (size_t t = t0; t < t1; ++t) {
-          const uint16_t v = static_cast<uint16_t>(col[t * C]);
-          const uint16_t u = static_cast<uint16_t>(
-              (v << 1) ^ static_cast<uint16_t>(
-                             -static_cast<uint16_t>(v >> 15)));
-          lrow[t] = static_cast<uint8_t>(u);
-          hrow[t] = static_cast<uint8_t>(u >> 8);
+        if (do_diff) {
+          for (size_t t = t0; t < t1; ++t) {
+            const uint16_t v = static_cast<uint16_t>(
+                static_cast<uint16_t>(col[(t + 1) * C]) -
+                static_cast<uint16_t>(col[t * C]));
+            const uint16_t u = static_cast<uint16_t>(
+                (v << 1) ^ static_cast<uint16_t>(
+                               -static_cast<uint16_t>(v >> 15)));
+            lrow[t] = static_cast<uint8_t>(u);
+            hrow[t] = static_cast<uint8_t>(u >> 8);
+          }
+        } else {
+          for (size_t t = t0; t < t1; ++t) {
+            const uint16_t v = static_cast<uint16_t>(col[t * C]);
+            const uint16_t u = static_cast<uint16_t>(
+                (v << 1) ^ static_cast<uint16_t>(
+                               -static_cast<uint16_t>(v >> 15)));
+            lrow[t] = static_cast<uint8_t>(u);
+            hrow[t] = static_cast<uint8_t>(u >> 8);
+          }
         }
       }
-      for (size_t c = want_hist ? c0 : c1; c < c1; ++c) {
+    }
+    if (want_hist) {
+      // Rowwise count over the block just transposed (L2-resident —
+      // the RMW chain, not the re-read, bounds this pass).
+      for (size_t c = c0; c < c1; ++c) {
+        const size_t s = c / keff;
+        if (s != cur_seg) {
+          flush(cur_seg);
+          cur_seg = s;
+        }
         const uint8_t* lrow = lo + c * tp;
         const uint8_t* hrow = hi + c * tp;
-        size_t t = t0;
-        for (; t + 4 <= t1; t += 4) {
+        size_t t = 0;
+        for (; t + 8 <= tcs; t += 8) {
           ++bl[0 * 256 + lrow[t]];
           ++bl[1 * 256 + lrow[t + 1]];
           ++bl[2 * 256 + lrow[t + 2]];
           ++bl[3 * 256 + lrow[t + 3]];
+          ++bl[4 * 256 + lrow[t + 4]];
+          ++bl[5 * 256 + lrow[t + 5]];
+          ++bl[6 * 256 + lrow[t + 6]];
+          ++bl[7 * 256 + lrow[t + 7]];
+        }
+        for (; t < tcs; ++t) ++bl[lrow[t]];
+        t = 0;
+        for (; t + 8 <= tcs; t += 8) {
           ++bh[0 * 256 + hrow[t]];
           ++bh[1 * 256 + hrow[t + 1]];
           ++bh[2 * 256 + hrow[t + 2]];
           ++bh[3 * 256 + hrow[t + 3]];
+          ++bh[4 * 256 + hrow[t + 4]];
+          ++bh[5 * 256 + hrow[t + 5]];
+          ++bh[6 * 256 + hrow[t + 6]];
+          ++bh[7 * 256 + hrow[t + 7]];
         }
-        for (; t < t1; ++t) {
-          ++bl[lrow[t]];
-          ++bh[hrow[t]];
-        }
+        for (; t < tcs; ++t) ++bh[hrow[t]];
       }
     }
   }
-  if (want_hist) {
-    for (int sym = 0; sym < 256; ++sym) {
-      hist_lo[sym] = bl[sym] + bl[256 + sym] + bl[512 + sym] + bl[768 + sym];
-      hist_hi[sym] = bh[sym] + bh[256 + sym] + bh[512 + sym] + bh[768 + sym];
-    }
-  }
+  if (want_hist) flush(cur_seg);
   return 0;
+}
+
+extern "C"
+__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
+int mts_prepare2_i16(const int16_t* chunk, size_t C, size_t tp,
+                                size_t tcs, uint8_t* lo, uint8_t* hi,
+                                uint32_t* hist_lo, uint32_t* hist_hi) {
+  return prepare2_core(chunk, C, tp, tcs, 0, lo, hi, 0, hist_lo, hist_hi,
+                       nullptr, nullptr);
+}
+
+extern "C"
+__attribute__((flatten, target_clones("default", "avx2", "arch=x86-64-v4")))
+int mts_prepare2d_i16(const int16_t* chunk, size_t C, size_t tp,
+                      size_t tcs, int do_diff, uint8_t* lo, uint8_t* hi,
+                      size_t k, uint32_t* hist_lo, uint32_t* hist_hi,
+                      uint32_t* seg_lo, uint32_t* seg_hi) {
+  return prepare2_core(chunk, C, tp, tcs, do_diff, lo, hi, k, hist_lo,
+                       hist_hi, seg_lo, seg_hi);
 }
 
 // Per-segment symbol histograms of a u8 stream: out[s*256 + sym] counts
@@ -826,6 +897,133 @@ int mts_hist_u8_segments(const uint8_t* p, size_t n, size_t seg,
                banks[768 + sym];
   }
   return 0;
+}
+
+// ---- CRC32 (zlib polynomial) ------------------------------------------
+//
+// The container appends a zlib-compatible CRC32 to every chunk (codec/
+// ans.py _append_crc / _verify), so CRC sits on both the encode and the
+// decode hot path. zlib's slice-by-N tables run ~1-2 GB/s; 4x128-bit
+// PCLMULQDQ folding (Intel's "Fast CRC Computation for Generic
+// Polynomials Using PCLMULQDQ") measures ~12 GB/s on this class of
+// host. The final 128->32 reduction feeds the 16 residual bytes through
+// the scalar table with a zero register — exact, and sidesteps the
+// Barrett-constant subtleties. Byte-identical to zlib.crc32 for every
+// (seed, length, alignment); tests assert it.
+
+static uint32_t g_crc_table[8][256];
+static void crc_init_table() {
+  for (int i = 0; i < 256; i++) {
+    uint32_t c = static_cast<uint32_t>(i);
+    for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0xEDB88320u & (0u - (c & 1)));
+    g_crc_table[0][i] = c;
+  }
+  for (int i = 0; i < 256; i++)
+    for (int s = 1; s < 8; s++)
+      g_crc_table[s][i] = (g_crc_table[s - 1][i] >> 8) ^
+                          g_crc_table[0][g_crc_table[s - 1][i] & 0xFF];
+}
+
+// Raw-register update: no init/final inversion (callers handle the
+// zlib ~crc convention).
+static uint32_t crc32_raw(uint32_t reg, const uint8_t* p, size_t n) {
+  while (n >= 8) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    v ^= reg;
+    reg = g_crc_table[7][v & 0xFF] ^ g_crc_table[6][(v >> 8) & 0xFF] ^
+          g_crc_table[5][(v >> 16) & 0xFF] ^ g_crc_table[4][(v >> 24) & 0xFF] ^
+          g_crc_table[3][(v >> 32) & 0xFF] ^ g_crc_table[2][(v >> 40) & 0xFF] ^
+          g_crc_table[1][(v >> 48) & 0xFF] ^ g_crc_table[0][(v >> 56) & 0xFF];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) reg = (reg >> 8) ^ g_crc_table[0][(reg ^ *p++) & 0xFF];
+  return reg;
+}
+
+#if defined(__x86_64__)
+__attribute__((target("pclmul,sse4.1")))
+static uint32_t crc32_pclmul_raw(uint32_t reg, const uint8_t* buf,
+                                 size_t len) {
+  // Preconditions: len >= 64 and len % 16 == 0. Raw register in/out.
+  const __m128i k1k2 =
+      _mm_set_epi64x(0x00000001c6e41596LL, 0x0000000154442bd4LL);
+  const __m128i k3k4 =
+      _mm_set_epi64x(0x00000000ccaa009eLL, 0x00000001751997d0LL);
+  __m128i x0 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf));
+  __m128i x1 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf + 16));
+  __m128i x2 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf + 32));
+  __m128i x3 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf + 48));
+  x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128(static_cast<int>(reg)));
+  buf += 64;
+  len -= 64;
+  __m128i t;
+  while (len >= 64) {
+    t = _mm_clmulepi64_si128(x0, k1k2, 0x00);
+    x0 = _mm_clmulepi64_si128(x0, k1k2, 0x11);
+    x0 = _mm_xor_si128(
+        _mm_xor_si128(x0, t),
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf)));
+    t = _mm_clmulepi64_si128(x1, k1k2, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, k1k2, 0x11);
+    x1 = _mm_xor_si128(
+        _mm_xor_si128(x1, t),
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf + 16)));
+    t = _mm_clmulepi64_si128(x2, k1k2, 0x00);
+    x2 = _mm_clmulepi64_si128(x2, k1k2, 0x11);
+    x2 = _mm_xor_si128(
+        _mm_xor_si128(x2, t),
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf + 32)));
+    t = _mm_clmulepi64_si128(x3, k1k2, 0x00);
+    x3 = _mm_clmulepi64_si128(x3, k1k2, 0x11);
+    x3 = _mm_xor_si128(
+        _mm_xor_si128(x3, t),
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf + 48)));
+    buf += 64;
+    len -= 64;
+  }
+  t = _mm_clmulepi64_si128(x0, k3k4, 0x00);
+  x0 = _mm_clmulepi64_si128(x0, k3k4, 0x11);
+  x1 = _mm_xor_si128(_mm_xor_si128(x1, t), x0);
+  t = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+  x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+  x2 = _mm_xor_si128(_mm_xor_si128(x2, t), x1);
+  t = _mm_clmulepi64_si128(x2, k3k4, 0x00);
+  x2 = _mm_clmulepi64_si128(x2, k3k4, 0x11);
+  x3 = _mm_xor_si128(_mm_xor_si128(x3, t), x2);
+  __m128i x = x3;
+  while (len >= 16) {
+    t = _mm_clmulepi64_si128(x, k3k4, 0x00);
+    x = _mm_clmulepi64_si128(x, k3k4, 0x11);
+    x = _mm_xor_si128(
+        _mm_xor_si128(x, t),
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(buf)));
+    buf += 16;
+    len -= 16;
+  }
+  uint8_t residual[16];
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(residual), x);
+  return crc32_raw(0, residual, 16);
+}
+#endif  // __x86_64__
+
+extern "C" uint32_t mts_crc32(uint32_t crc, const uint8_t* p, size_t n) {
+  static const bool init = [] {
+    crc_init_table();
+    return true;
+  }();
+  (void)init;
+#if defined(__x86_64__)
+  static const bool has_pclmul = __builtin_cpu_supports("pclmul") &&
+                                 __builtin_cpu_supports("sse4.1");
+  if (has_pclmul && n >= 64) {
+    const size_t body = n & ~static_cast<size_t>(15);
+    const uint32_t reg = crc32_pclmul_raw(~crc, p, body);
+    return ~crc32_raw(reg, p + body, n - body);
+  }
+#endif
+  return ~crc32_raw(~crc, p, n);
 }
 
 extern "C"

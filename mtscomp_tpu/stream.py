@@ -124,11 +124,18 @@ class StreamWriter:
 
     def _flush_chunk(self, chunk):
         chunk = np.ascontiguousarray(chunk)
-        chunkd = diff_along_axis(chunk,
-                                 axis=0 if self.do_time_diff else None)
-        chunkd = diff_along_axis(chunkd,
-                                 axis=1 if self.do_spatial_diff else None)
-        payload = self.codec.encode(chunkd, order=self.chunk_order)
+        if (self.algorithm == 'ans' and self.do_time_diff
+                and not self.do_spatial_diff):
+            # The codec fuses the axis-0 diff into its native prep
+            # pass (byte-identical output; saves a memory round trip).
+            payload = self.codec.encode(chunk, order=self.chunk_order,
+                                        time_diff_pending=True)
+        else:
+            chunkd = diff_along_axis(chunk,
+                                     axis=0 if self.do_time_diff else None)
+            chunkd = diff_along_axis(chunkd,
+                                     axis=1 if self.do_spatial_diff else None)
+            payload = self.codec.encode(chunkd, order=self.chunk_order)
         self._fb.write(payload)
         self.n_samples += chunk.shape[0]
         self.chunk_bounds.append(self.n_samples)

@@ -142,3 +142,25 @@ def test_diff_cumsum_general_axes():
                               np.diff(x, axis=ax)], axis=ax)
         assert np.array_equal(d, ref)
         assert np.array_equal(cumsum_along_axis(d, axis=ax), x)
+
+
+def test_native_crc32_matches_zlib():
+    """The PCLMUL CRC32 must equal zlib.crc32 for every (seed, length,
+    alignment) — it guards every ANS chunk container."""
+    import zlib
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=1 << 20, dtype=np.int64).astype(np.uint8)
+    buf = data.tobytes()
+    for _ in range(200):
+        off = int(rng.integers(0, 128))
+        n = int(rng.integers(0, 1 << 17))
+        seed = int(rng.integers(0, 1 << 32))
+        got = native.crc32(buf[off:off + n], seed)
+        assert got == zlib.crc32(buf[off:off + n], seed)
+    # memoryview input (the decode path verifies a memoryview slice)
+    mv = memoryview(buf)[3:100003]
+    assert native.crc32(mv) == zlib.crc32(mv)
+    # chained accumulation (the encode path folds across parts)
+    c1 = native.crc32(buf[:70000])
+    c1 = native.crc32(buf[70000:300000], c1)
+    assert c1 == zlib.crc32(buf[:300000])
