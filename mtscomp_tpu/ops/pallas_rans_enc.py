@@ -82,7 +82,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 cb_total, cap_rows):
     cb = pl.program_id(1)
     R = x_scr.shape[0]
-    WROWS = window_rows(R)
+    WROWS = window_rows(2 * R)      # one window covers a 2-step pair
     CAPW = cap_rows * LANES
 
     @pl.when(cb == 0)
@@ -95,14 +95,16 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     counts = counts_ref[0]
     blk = cb_total - 1 - cb                 # symbol block (backward)
 
+    R2 = 2 * R
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    lane_col2 = jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 1)
     # Lower-triangular ones: inclusive lane prefix via dot(m, tril^T)
     # == dot(m, triu) with triu[k, j] = k <= j.
     triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
             ).astype(jnp.float32)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
-    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WROWS), 1)
+    row_id2 = jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 0)
+    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R2, WROWS), 1)
     win_row = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 0)
     win_col = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 1)
 
@@ -112,7 +114,8 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         hi = jnp.take_along_axis(tbl_ref[0, :, 1, :], col, axis=1)
         return jnp.where(idx < 128, lo, hi)
 
-    def substep(s_local, x, epos):
+    def state_step(s_local, x):
+        """One step's sequential state math; returns (emit, words, x')."""
         sg = blk * steps_per_block + s_local
         active = (sg * LANES + lane_col) < counts
         sy = syms_ref[0, :, pl.ds(s_local * LANES, LANES)].astype(jnp.int32)
@@ -127,38 +130,65 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         emit = active & _ge_u(x, f << 20)
         word = x & jnp.int32(0xFFFF)
         x = jnp.where(emit, _srl(x, 16), x)
+        # Division-free rANS update: q = x // f via the round-up
+        # reciprocal; x' = x + cum + q * (SCALE - f).
+        t = _mulhi32_i32(x, rcp)
+        q = _srl(_srl(x - t, 1) + t, rshift)
+        x = jnp.where(active, x + cum + q * cmpl, x)
+        return emit, word, x
+
+    def substep_pair(s_hi, x, epos):
+        """Steps ``s_hi`` then ``s_hi - 1``, with ONE joint scatter.
+
+        The state math is inherently sequential per step, but the emit
+        machinery (rank matmul, sublane ladder, compaction search,
+        rotate, one-hot scatter, window merge) is not: step ``s_hi``'s
+        words occupy the stream range directly above step
+        ``s_hi - 1``'s, so stacking the two steps' rows as
+        [s_hi-1 rows; s_hi rows] (ascending decoder order) and running
+        the machinery once over (2R, 128) emits both steps' words at
+        exactly the per-step positions — half the vector-op issues for
+        the dominant stage (per-op issue rate, not FLOPs, bounds this
+        kernel on the measured attachments).
+        """
+        emit_a, word_a, x = state_step(s_hi, x)
+        emit_b, word_b, x = state_step(s_hi - 1, x)
+        # Ascending stream order: step s_hi-1's words land below step
+        # s_hi's (the backward pass emits s_hi first at the top).
+        emit2 = jnp.concatenate([emit_b, emit_a], axis=0)
+        word2 = jnp.concatenate([word_b, word_a], axis=0)
         # Ranks in decoder (row-major) order: MXU lane prefix
         # (inclusive) + sublane ladder of row totals.
-        m = emit.astype(jnp.int32)
+        m = emit2.astype(jnp.int32)
         inc = jax.lax.dot(m.astype(jnp.float32), triu,
                           preferred_element_type=jnp.float32
                           ).astype(jnp.int32)
-        row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
+        row_tot = jnp.broadcast_to(inc[:, 127:128], (R2, LANES))
         # Sublane ladder for the row offsets (A/B'd against an MXU
         # prefix matmul with sync-amortized timing; ladder wins
         # slightly in both kernels).
         run = row_tot
         k = 1
-        while k < R:
+        while k < R2:
             rolled = pltpu.roll(run, shift=k, axis=0)
-            run = run + jnp.where(row_id >= k, rolled, 0)
+            run = run + jnp.where(row_id2 >= k, rolled, 0)
             k *= 2
         row_off = run - row_tot
-        # Words this step: the prefix's last row (saves a reduction).
-        ks = run[R - 1, 0]
+        # Words this pair: the prefix's last row (saves a reduction).
+        ks = run[R2 - 1, 0]
         # Per-row left-compaction: target index c takes the word of the
         # first lane whose inclusive rank reaches c+1 (branchless binary
         # search over the sorted per-row prefix).
-        lo = jnp.zeros((R, LANES), jnp.int32)
+        lo = jnp.zeros((R2, LANES), jnp.int32)
         step = 64
         while step >= 1:
             cand = lo + step
             probe = jnp.take_along_axis(inc, cand - 1, axis=1)
-            lo = jnp.where(probe < lane_col + 1, cand, lo)
+            lo = jnp.where(probe < lane_col2 + 1, cand, lo)
             step //= 2
         inv = jnp.minimum(lo, 127)
-        cw = jnp.take_along_axis(word, inv, axis=1)
-        valid = lane_col < row_tot
+        cw = jnp.take_along_axis(word2, inv, axis=1)
+        valid = lane_col2 < row_tot
         cw = jnp.where(valid, cw, 0)
         # Place each row's compacted block at its stream range
         # [wstart + row_off, wstart + row_off + k_r): rotate to the
@@ -170,16 +200,16 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         first = (wstart - base_row * LANES) + row_off   # row-constant
         brow = _srl(first, 7)
         off = first & 127
-        rot_idx = (lane_col - off) & 127
+        rot_idx = (lane_col2 - off) & 127
         rotated = jnp.take_along_axis(cw, rot_idx, axis=1)
-        c0 = lane_col - off
-        c1 = lane_col + LANES - off
-        part0 = jnp.where((lane_col >= off) & (c0 < row_tot), rotated, 0)
-        part1 = jnp.where((lane_col < off) & (c1 < row_tot), rotated, 0)
+        c0 = lane_col2 - off
+        c1 = lane_col2 + LANES - off
+        part0 = jnp.where((lane_col2 >= off) & (c0 < row_tot), rotated, 0)
+        part1 = jnp.where((lane_col2 < off) & (c1 < row_tot), rotated, 0)
         brow_c = brow[:, 0:1]
         oh0 = (wrow_iota == brow_c).astype(jnp.float32)
         oh1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
-        # (2R, WROWS)^T @ (2R, 128): contract the stacked row axis —
+        # (2*R2, WROWS)^T @ (2*R2, 128): contract the stacked row axis —
         # both split halves scatter in ONE pair of matmuls (same FLOPs
         # as separate oh0/oh1 products, half the MXU issues; per-op
         # overhead dominates at these shapes). Byte-split because u16
@@ -206,27 +236,25 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         cur = words_ref[0, pl.ds(base_row, WROWS), :]
         words_ref[0, pl.ds(base_row, WROWS), :] = jnp.where(
             touched, window.astype(jnp.uint16), cur)
-        # Division-free rANS update: q = x // f via the round-up
-        # reciprocal; x' = x + cum + q * (SCALE - f).
-        t = _mulhi32_i32(x, rcp)
-        q = _srl(_srl(x - t, 1) + t, rshift)
-        x = jnp.where(active, x + cum + q * cmpl, x)
         return x, epos + ks
-
-    def body(i, carry):
-        x, epos = carry
-        return substep(steps_per_block - 1 - i, x, epos)
 
     # Per-group step clamp (mirror of the decode kernel's): the backward
     # pass iterates local steps high to low, so a group needing fewer
     # steps than the batch max skips the LEADING iterations of its high
     # blocks — those steps are all-inactive (emit nothing, keep state),
-    # so skipping is bit-exact.
+    # so skipping is bit-exact; an odd ``todo`` rounds up to a whole
+    # pair whose leading step is likewise all-inactive.
     steps_needed = _srl(jnp.max(counts) + 127, 7)
     todo = jnp.clip(steps_needed - blk * steps_per_block, 0,
                     steps_per_block)
-    x, epos = jax.lax.fori_loop(steps_per_block - todo, steps_per_block,
-                                body, (x0, epos0))
+    pairs_todo = _srl(todo + 1, 1)
+
+    def body(i, carry):
+        x, epos = carry
+        p = pairs_todo - 1 - i              # pair index, descending
+        return substep_pair(2 * p + 1, x, epos)
+
+    x, epos = jax.lax.fori_loop(0, pairs_todo, body, (x0, epos0))
     x_scr[...] = x
     epos_scr[0] = epos
     states_ref[0] = x
@@ -255,8 +283,11 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
     """
     interpret = interpret or force_interpret()
     N, R_in, SK = symbols.shape
-    WROWS = window_rows(R_in)
+    WROWS = window_rows(2 * R_in)   # the kernel scatters 2-step pairs
     spb = steps_per_block or min(64, max(4, -(-n_steps // 4) * 4))
+    if spb % 2:
+        raise ValueError("steps_per_block must be even (the kernel "
+                         "processes substeps in pairs).")
     CB = -(-max(n_steps, 1) // spb)
     pad_cols = CB * spb * LANES - SK
     if pad_cols:
