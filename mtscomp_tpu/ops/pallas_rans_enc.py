@@ -79,10 +79,11 @@ def _mulhi32_i32(a, b):
 
 def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 states_ref, nw_ref, x_scr, epos_scr, *, steps_per_block,
-                cb_total, cap_rows):
+                cb_total, cap_rows, fuse_steps):
     cb = pl.program_id(1)
     R = x_scr.shape[0]
-    WROWS = window_rows(2 * R)      # one window covers a 2-step pair
+    G = fuse_steps
+    WROWS = window_rows(G * R)      # one window covers a G-step run
     CAPW = cap_rows * LANES
 
     @pl.when(cb == 0)
@@ -95,7 +96,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     counts = counts_ref[0]
     blk = cb_total - 1 - cb                 # symbol block (backward)
 
-    R2 = 2 * R
+    R2 = G * R
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     lane_col2 = jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 1)
     # Lower-triangular ones: inclusive lane prefix via dot(m, tril^T)
@@ -137,26 +138,28 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         x = jnp.where(active, x + cum + q * cmpl, x)
         return emit, word, x
 
-    def substep_pair(s_hi, x, epos):
-        """Steps ``s_hi`` then ``s_hi - 1``, with ONE joint scatter.
+    def substep_group(s_hi, x, epos):
+        """Steps ``s_hi`` down to ``s_hi - G + 1``, ONE joint scatter.
 
         The state math is inherently sequential per step, but the emit
         machinery (rank matmul, sublane ladder, compaction search,
-        rotate, one-hot scatter, window merge) is not: step ``s_hi``'s
-        words occupy the stream range directly above step
-        ``s_hi - 1``'s, so stacking the two steps' rows as
-        [s_hi-1 rows; s_hi rows] (ascending decoder order) and running
-        the machinery once over (2R, 128) emits both steps' words at
-        exactly the per-step positions — half the vector-op issues for
-        the dominant stage (per-op issue rate, not FLOPs, bounds this
-        kernel on the measured attachments).
+        rotate, one-hot scatter, window merge) is not: consecutive
+        backward steps emit into adjacent stream ranges, so stacking
+        the G steps' rows in ascending decoder order
+        [s_hi-G+1 rows; ...; s_hi rows] and running the machinery once
+        over (G*R, 128) emits every step's words at exactly the
+        per-step positions — 1/G the vector-op issues for the dominant
+        stage (per-op issue rate, not FLOPs, bounds this kernel on the
+        measured attachments).
         """
-        emit_a, word_a, x = state_step(s_hi, x)
-        emit_b, word_b, x = state_step(s_hi - 1, x)
-        # Ascending stream order: step s_hi-1's words land below step
-        # s_hi's (the backward pass emits s_hi first at the top).
-        emit2 = jnp.concatenate([emit_b, emit_a], axis=0)
-        word2 = jnp.concatenate([word_b, word_a], axis=0)
+        ew = []
+        for d in range(G):                  # backward: s_hi - d
+            e, w, x = state_step(s_hi - d, x)
+            ew.append((e, w))
+        # Ascending stream order: the backward pass emits the highest
+        # step first at the top of the range, so reverse the stack.
+        emit2 = jnp.concatenate([e for e, _ in reversed(ew)], axis=0)
+        word2 = jnp.concatenate([w for _, w in reversed(ew)], axis=0)
         # Ranks in decoder (row-major) order: MXU lane prefix
         # (inclusive) + sublane ladder of row totals.
         m = emit2.astype(jnp.int32)
@@ -242,19 +245,20 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     # pass iterates local steps high to low, so a group needing fewer
     # steps than the batch max skips the LEADING iterations of its high
     # blocks — those steps are all-inactive (emit nothing, keep state),
-    # so skipping is bit-exact; an odd ``todo`` rounds up to a whole
-    # pair whose leading step is likewise all-inactive.
+    # so skipping is bit-exact; a ``todo`` that is not a multiple of G
+    # rounds up to a whole G-run whose leading steps are likewise
+    # all-inactive.
     steps_needed = _srl(jnp.max(counts) + 127, 7)
     todo = jnp.clip(steps_needed - blk * steps_per_block, 0,
                     steps_per_block)
-    pairs_todo = _srl(todo + 1, 1)
+    runs_todo = (todo + (G - 1)) // G
 
     def body(i, carry):
         x, epos = carry
-        p = pairs_todo - 1 - i              # pair index, descending
-        return substep_pair(2 * p + 1, x, epos)
+        p = runs_todo - 1 - i               # run index, descending
+        return substep_group(G * p + (G - 1), x, epos)
 
-    x, epos = jax.lax.fori_loop(0, pairs_todo, body, (x0, epos0))
+    x, epos = jax.lax.fori_loop(0, runs_todo, body, (x0, epos0))
     x_scr[...] = x
     epos_scr[0] = epos
     states_ref[0] = x
@@ -263,9 +267,11 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
 
 @functools.partial(jax.jit, static_argnames=('n_steps', 'cap_rows',
                                              'interpret',
-                                             'steps_per_block'))
+                                             'steps_per_block',
+                                             'fuse_steps'))
 def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
-                         cap_rows, interpret=False, steps_per_block=None):
+                         cap_rows, interpret=False, steps_per_block=None,
+                         fuse_steps=None):
     """Encode N groups on TPU; bit-identical to the normative encoder.
 
     symbols  (N, R, S*128) uint8 — row-linear segment rows (S*128
@@ -283,11 +289,20 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
     """
     interpret = interpret or force_interpret()
     N, R_in, SK = symbols.shape
-    WROWS = window_rows(2 * R_in)   # the kernel scatters 2-step pairs
-    spb = steps_per_block or min(64, max(4, -(-n_steps // 4) * 4))
-    if spb % 2:
-        raise ValueError("steps_per_block must be even (the kernel "
-                         "processes substeps in pairs).")
+    if fuse_steps is None:
+        # Hardware A/B (fresh processes, this attachment): G=2 7.9,
+        # G=4 11.5, G=8 {12.4, 12.3}, G=16 {11.2, 11.6} GB/s — 8 is
+        # the measured optimum (env knob kept for other attachments).
+        import os
+        fuse_steps = int(os.environ.get('MTSCOMP_ENC_FUSE', '8'))
+    WROWS = window_rows(fuse_steps * R_in)  # a window covers a G-run
+    spb = steps_per_block or min(64, max(fuse_steps,
+                                         -(-n_steps // fuse_steps)
+                                         * fuse_steps))
+    if spb % fuse_steps:
+        raise ValueError("steps_per_block must be a multiple of "
+                         "fuse_steps (the kernel scatters substeps in "
+                         "runs of %d)." % fuse_steps)
     CB = -(-max(n_steps, 1) // spb)
     pad_cols = CB * spb * LANES - SK
     if pad_cols:
@@ -297,7 +312,7 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
     buf_rows = -(-(cap_rows + WROWS) // 8) * 8
     out = pl.pallas_call(
         functools.partial(_enc_kernel, steps_per_block=spb, cb_total=CB,
-                          cap_rows=cap_rows),
+                          cap_rows=cap_rows, fuse_steps=fuse_steps),
         grid=(N, CB),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
