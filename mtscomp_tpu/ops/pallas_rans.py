@@ -67,31 +67,47 @@ def _srl(x, n):
 
 def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
             words_ref, out_ref, used_ref, x_scr, pos_scr, *,
-            steps_per_block, small_alpha, one_fixup):
-    # Grid is (N groups, column blocks): the rANS states and stream
-    # position persist in scratch across a group's column blocks, so the
-    # output block stays small regardless of segment length.
+            steps_per_block, small_alpha, one_fixup, stack):
+    # Grid is (N group-stacks, column blocks): the rANS states and
+    # stream positions persist in scratch across a stack's column
+    # blocks, so the output block stays small regardless of segment
+    # length. ``stack`` independent groups ride one cell with their
+    # rows concatenated: every per-step vector op then covers a
+    # (stack*R, 128) tile — same issue count, stack x the symbols —
+    # which is the lever on issue-rate-bound parts (groups are
+    # independent streams, so nothing serializes; only the renorm
+    # ladder and the window fetch need per-group handling).
     cb = pl.program_id(1)
+    S = stack
 
     @pl.when(cb == 0)
     def _():
         x_scr[...] = states_ref[0].astype(jnp.int32)
-        pos_scr[0] = 0
+        for g in range(S):
+            pos_scr[g] = 0
 
-    x0 = x_scr[...]                                         # (R,128) i32
-    pos0 = pos_scr[0]
-    counts = counts_ref[0]                                  # (R,128) i32
-    R = x0.shape[0]
+    x0 = x_scr[...]                                       # (S*R,128) i32
+    pos0 = tuple(pos_scr[g] for g in range(S))
+    counts = counts_ref[0]                                # (S*R,128) i32
+    SR = x0.shape[0]
+    R = SR // S
     WROWS = window_rows(R)
 
-    lane_col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 0)
+    # Group-local row index / per-group window-row offset (hoisted;
+    # all-constant for Mosaic).
+    row_mod = jax.lax.rem(row_id, R)
+    gsel = [row_id < R] if S == 1 else [
+        (row_id >= g * R) & (row_id < (g + 1) * R) for g in range(S)]
+    gwoff = sum(jnp.where(gsel[g], g * WROWS, 0) for g in range(1, S)) \
+        if S > 1 else 0
     # Upper-triangular ones for the MXU lane-prefix (values <= 128: f32
     # single-pass exact).
     triu = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
             ).astype(jnp.float32)
-    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (R, WROWS), 1)
+    wrow_iota = jax.lax.broadcasted_iota(jnp.int32, (SR, S * WROWS), 1)
 
     def lookup_coarse(idx):
         # 256-entry table as two 128-lane rows (re-read from VMEM at each
@@ -111,6 +127,7 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         return jnp.where(idx < 128, lo, hi)
 
     def substep(s, x, pos):
+        # ``pos`` is a tuple of S per-group stream cursors.
         active = (s * LANES + lane_col) < counts
         slot = x & 4095
         # slot -> dense symbol id: both fixup boundaries ride in the
@@ -137,16 +154,18 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         inc = jax.lax.dot(m.astype(jnp.float32), triu,
                           preferred_element_type=jnp.float32
                           ).astype(jnp.int32)
-        row_tot = jnp.broadcast_to(inc[:, 127:128], (R, LANES))
+        row_tot = jnp.broadcast_to(inc[:, 127:128], (SR, LANES))
         # Sublane ladder for the row offsets (measured faster here than
         # an extra MXU prefix matmul — the matmul ports are busy with
         # the rank + fetch dots; the encode kernel, with more VPU work
-        # per step, uses the matmul form instead).
+        # per step, uses the matmul form instead). The group-local row
+        # index resets the running sum at each group boundary, so one
+        # ladder yields every group's within-group prefix.
         run = row_tot
         k = 1
         while k < R:
             rolled = pltpu.roll(run, shift=k, axis=0)
-            run = run + jnp.where(row_id >= k, rolled, 0)
+            run = run + jnp.where(row_mod >= k, rolled, 0)
             k *= 2
         row_off = run - row_tot
         rank = (inc - m) + row_off                  # exclusive, row-major
@@ -154,16 +173,25 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         # most two consecutive stream rows; bring those to the row with
         # one-hot MXU row-selects (u16 word values are f32-exact);
         # (2) per-lane shuffle within the two rows.
-        # Window base aligned to 8 rows (u16 sublane slice constraint).
-        base = pl.multiple_of(_srl(pos, 10) * 8, 8)
-        pos_off = pos - (base << 7)                 # [0, 1024+?): in-window
+        # Window base aligned to 8 rows (u16 sublane slice constraint);
+        # each group gets its own window slice, stacked sublane-wise so
+        # the one-hot fetch spans all S windows in one matmul pair.
+        base = [pl.multiple_of(_srl(pos[g], 10) * 8, 8) for g in range(S)]
+        po_g = [pos[g] - (base[g] << 7) for g in range(S)]
+        pos_off = po_g[0] if S == 1 else sum(
+            jnp.where(gsel[g], po_g[g], 0) for g in range(S))
         widx = pos_off + rank
         first = pos_off + row_off                   # row's first word idx
         brow = _srl(first, 7)                       # 0 .. WROWS-2
         # The stream stays u16 in VMEM (half the block DMA); only the
-        # active window is widened in-register.
-        window = words_ref[0, pl.ds(base, WROWS), :]
-        brow_c = brow[:, 0:1]                       # row-constant
+        # active windows are widened in-register.
+        if S == 1:
+            window = words_ref[0, 0, pl.ds(base[0], WROWS), :]
+        else:
+            window = jnp.concatenate(
+                [words_ref[0, g, pl.ds(base[g], WROWS), :]
+                 for g in range(S)], axis=0)
+        brow_c = (brow + gwoff)[:, 0:1]             # row-constant
         # Byte-split matmuls: u16 word values exceed bf16's mantissa,
         # but each byte half is bf16-exact, so single-pass (default
         # precision) matmuls replace HIGHEST (~6-pass emulated) ones.
@@ -190,9 +218,9 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         g1 = jnp.take_along_axis(w1, off & 127, axis=1)
         w = jnp.where(off < 128, g0, g1)
         x = jnp.where(need, (x << 16) | w, x)
-        # The step's word total is the ladder's last row (saves a full
-        # (R,128) reduction per substep).
-        pos = pos + run[R - 1, 0]
+        # Each group's step word total is its ladder's last row (saves
+        # a full (R,128) reduction per substep).
+        pos = tuple(pos[g] + run[g * R + R - 1, 0] for g in range(S))
         return x, pos, val
 
     def body(s, carry):
@@ -203,25 +231,31 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
         return x, pos
 
-    # Per-group step clamp: n_steps is the batch-wide max, but a group
+    # Per-group step clamp: n_steps is the batch-wide max, but a stack
     # only needs ceil(max_row_count / 128) steps — a chunk's tail group
     # (e.g. 1 live row of 32) would otherwise burn the full scan on
     # all-inactive steps. Skipped steps change nothing (inactive lanes
     # hold their state and read no words), so results stay bit-exact;
     # the skipped output columns are garbage the callers never read.
+    # (Stacked groups share the max — pack similar-sized groups.)
     steps_needed = _srl(jnp.max(counts) + 127, 7)
     todo = jnp.clip(steps_needed - cb * steps_per_block, 0,
                     steps_per_block)
     x, pos = jax.lax.fori_loop(0, todo, body, (x0, pos0))
     x_scr[...] = x
-    pos_scr[0] = pos
+    for g in range(S):
+        pos_scr[g] = pos[g]
     # Stream-consumption audit: the block revisits this output each
-    # column block, so the final block leaves the group's total word
+    # column block, so the final block leaves each group's total word
     # count — callers compare it to the container's stored stream
     # length (the corruption check sequential decoders do inline).
-    # Lane-broadcast row: TPU blocks need (>=8, 128) or full-dim tiles,
-    # so a (1, 1, 128) VMEM row stands in for the scalar.
-    used_ref[...] = jnp.broadcast_to(pos, used_ref.shape).astype(jnp.int32)
+    # Lane-broadcast rows: TPU blocks need (>=8, 128) or full-dim tiles,
+    # so an (S, 128) VMEM tile stands in for the S scalars.
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, used_ref.shape[1:], 0)
+    used = jnp.broadcast_to(pos[0], used_ref.shape[1:]).astype(jnp.int32)
+    for g in range(1, S):
+        used = jnp.where(u_iota == g, pos[g], used)
+    used_ref[0] = used
 
 
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
@@ -264,46 +298,78 @@ STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
 
 def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                         counts_b, *, n_steps, interpret, small_alpha,
-                        steps_per_block=None, one_fixup=False):
+                        steps_per_block=None, one_fixup=False,
+                        stack=None):
     interpret = interpret or force_interpret()
+    if stack is None:
+        # Hardware A/B on the stacked-groups variant lives in STATUS.md;
+        # env knob kept for other attachments.
+        import os
+        stack = int(os.environ.get('MTSCOMP_DEC_STACK', '2'))
     N, R_in, _ = states.shape
     WR = words_u16.shape[1]
+    # VMEM guard: the per-cell stream block is (stack, WR, 128) u16 and
+    # Pallas double-buffers it; keep it within ~10 MB of the ~16 MB
+    # scoped budget (leaving room for the output block and scratch) by
+    # lowering the stack for very long streams. Bit-exactness does not
+    # depend on the stack size.
+    while stack > 1 and stack * WR * LANES * 2 * 2 > 10 << 20:
+        stack //= 2
     spb = steps_per_block or min(STEPS_PER_BLOCK,
                                  max(4, -(-n_steps // 4) * 4))
     CB = -(-max(n_steps, 1) // spb)
+    # Stack S groups per grid cell (see _kernel). Pad the batch to a
+    # multiple of S with inert groups (counts 0 => no active lanes, no
+    # stream reads), then merge each S-tuple's rows sublane-wise; the
+    # row order of (N//S, S*R) matches (N, R), so outputs reshape back
+    # with no data movement.
+    Np = -(-N // stack) * stack
+    if Np != N:
+        pad = Np - N
+        states = jnp.pad(states, ((0, pad), (0, 0), (0, 0)))
+        counts_b = jnp.pad(counts_b, ((0, pad), (0, 0), (0, 0)))
+        coarse_pk = jnp.pad(coarse_pk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        dense_pk = jnp.pad(dense_pk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        words_u16 = jnp.pad(words_u16, ((0, pad), (0, 0), (0, 0)))
+    NS = Np // stack
+    SR = stack * R_in
     out, used = pl.pallas_call(
         functools.partial(_kernel, steps_per_block=spb,
                           small_alpha=small_alpha,
-                          one_fixup=one_fixup),
-        grid=(N, CB),
+                          one_fixup=one_fixup, stack=stack),
+        grid=(NS, CB),
         in_specs=[
-            pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
+            pl.BlockSpec((1, SR, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
+            pl.BlockSpec((1, SR, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
+            pl.BlockSpec((1, SR, 2, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_in, 2, LANES), lambda n, c: (n, 0, 0, 0),
+            pl.BlockSpec((1, SR, 2, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WR, LANES), lambda n, c: (n, 0, 0),
+            pl.BlockSpec((1, stack, WR, LANES), lambda n, c: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, R_in, spb * LANES), lambda n, c: (n, 0, c),
+            pl.BlockSpec((1, SR, spb * LANES), lambda n, c: (n, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda n, c: (n, 0, 0),
+            pl.BlockSpec((1, stack, LANES), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N, R_in, CB * spb * LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((N, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NS, SR, CB * spb * LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((NS, stack, LANES), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((R_in, LANES), jnp.int32),
-                        pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((SR, LANES), jnp.int32),
+                        pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
-    )(states.astype(jnp.int32), counts_b, coarse_pk, dense_pk,
-      words_u16)
-    return out, used[:, 0, 0]
+    )(states.astype(jnp.int32).reshape(NS, SR, LANES),
+      counts_b.reshape(NS, SR, LANES),
+      coarse_pk.reshape(NS, SR, 2, LANES),
+      dense_pk.reshape(NS, SR, 2, LANES),
+      words_u16.reshape(NS, stack, WR, LANES))
+    return (out.reshape(Np, R_in, CB * spb * LANES)[:N],
+            used[:, :, 0].reshape(Np)[:N])
 
 
 def pack_device_tables(freqs):
