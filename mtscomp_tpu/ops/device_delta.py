@@ -158,7 +158,7 @@ def _cumsum_t_kernel(x_ref, head_ref, out_ref, carry_ref, *, exclusive,
         carry_ref[...] = head_ref[0, :, 0:1] if exclusive \
             else jnp.zeros_like(carry_ref)
 
-    x = x_ref[0].astype(jnp.int32)                        # (128c, 128t)
+    x = x_ref[0].astype(jnp.int32)                        # (Ct ch, 128t)
     nbytes = jnp.dtype(out_dtype).itemsize
     row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -195,6 +195,7 @@ def cumsum_time_transposed(elems, head=None, interpret=False):
     B, C, T = elems.shape
     assert elems.dtype in (jnp.int16, jnp.int32)
     assert T % 128 == 0 and C % 128 == 0
+    ct = _channel_tile(C)
     exclusive = head is not None
     if head is None:
         head3 = jnp.zeros((B, C, 128), elems.dtype)
@@ -205,17 +206,33 @@ def cumsum_time_transposed(elems, head=None, interpret=False):
     return pl.pallas_call(
         functools.partial(_cumsum_t_kernel, exclusive=exclusive,
                           out_dtype=elems.dtype),
-        grid=(B, C // 128, T // 128),
-        in_specs=[pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, t),
+        grid=(B, C // ct, T // 128),
+        in_specs=[pl.BlockSpec((1, ct, 128), lambda b, c, t: (b, c, t),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, 0),
+                  pl.BlockSpec((1, ct, 128), lambda b, c, t: (b, c, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, t, c),
+        out_specs=pl.BlockSpec((1, 128, ct), lambda b, c, t: (b, t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), elems.dtype),
-        scratch_shapes=[pltpu.VMEM((128, 1), elems.dtype)],
+        scratch_shapes=[pltpu.VMEM((ct, 1), elems.dtype)],
         interpret=interpret,
     )(elems, head3)
+
+
+def _channel_tile(C):
+    """Widest 128-multiple channel tile (<= 512) dividing C.
+
+    The time axis is the sequential carry, but channels are
+    embarrassingly parallel — wider channel tiles run the same per-tile
+    op sequence over more rows (the lever on issue-rate-bound parts)
+    and shrink the grid. 512 rows of 128 lanes keeps every intermediate
+    comfortably in VMEM.
+    """
+    ct = 128
+    for cand in (256, 384, 512):
+        if C % cand == 0:
+            ct = cand
+    return ct
 
 
 def _cumsum_t8_kernel(x_ref, head_ref, hi_ref, out_ref, carry_ref):
@@ -235,7 +252,8 @@ def _cumsum_t8_kernel(x_ref, head_ref, hi_ref, out_ref, carry_ref):
     def _():
         carry_ref[...] = head_ref[0, :, 0:1]
 
-    hi_c = jnp.broadcast_to(hi_ref[0, 0:1, :], (128, 128))
+    ct = x_ref.shape[1]
+    hi_c = jnp.broadcast_to(hi_ref[0, 0:1, :], (ct, 128))
     z = x_ref[0].astype(jnp.int32) | (hi_c << 8)          # 16-bit code
     # Inverse zigzag on the 16-bit code: i32 result equals the int16
     # diff sign-extended ((z>>1) ^ -(z&1)).
@@ -268,22 +286,23 @@ def cumsum_time_transposed_u8(planes, head, hi, interpret=False):
     B, C, T = planes.shape
     assert planes.dtype == jnp.uint8
     assert T % 128 == 0 and C % 128 == 0
+    ct = _channel_tile(C)
     head3 = jnp.broadcast_to(head.reshape(B, C, 1), (B, C, 128))
     hi2 = jnp.broadcast_to(hi.reshape(B, 1, 1).astype(jnp.int32),
                            (B, 8, 128))
     return pl.pallas_call(
         _cumsum_t8_kernel,
-        grid=(B, C // 128, T // 128),
-        in_specs=[pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, t),
+        grid=(B, C // ct, T // 128),
+        in_specs=[pl.BlockSpec((1, ct, 128), lambda b, c, t: (b, c, t),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, c, 0),
+                  pl.BlockSpec((1, ct, 128), lambda b, c, t: (b, c, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 8, 128), lambda b, c, t: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 128, 128), lambda b, c, t: (b, t, c),
+        out_specs=pl.BlockSpec((1, 128, ct), lambda b, c, t: (b, t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((128, 1), jnp.int16)],
+        scratch_shapes=[pltpu.VMEM((ct, 1), jnp.int16)],
         interpret=interpret,
     )(planes, head3, hi2)
 

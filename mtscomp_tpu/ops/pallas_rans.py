@@ -302,18 +302,22 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                         stack=None):
     interpret = interpret or force_interpret()
     if stack is None:
-        # Hardware A/B on the stacked-groups variant lives in STATUS.md;
-        # env knob kept for other attachments.
+        # Hardware sweep (fresh processes, staged kernel GB/s): stack=1
+        # 8.2, 2 10.6, 4 13.0-13.7, 8 15.2-15.5, 16 clamped to 8 by the
+        # VMEM guard at the bench geometry — 8 is the measured optimum
+        # (env knob kept for other attachments).
         import os
-        stack = int(os.environ.get('MTSCOMP_DEC_STACK', '2'))
+        stack = int(os.environ.get('MTSCOMP_DEC_STACK', '8'))
     N, R_in, _ = states.shape
     WR = words_u16.shape[1]
     # VMEM guard: the per-cell stream block is (stack, WR, 128) u16 and
-    # Pallas double-buffers it; keep it within ~10 MB of the ~16 MB
-    # scoped budget (leaving room for the output block and scratch) by
-    # lowering the stack for very long streams. Bit-exactness does not
-    # depend on the stack size.
-    while stack > 1 and stack * WR * LANES * 2 * 2 > 10 << 20:
+    # Pallas double-buffers it. The pallas_call below raises the scoped
+    # VMEM limit to 64 MB (the compiler's 16 MB default is far below
+    # the chip's 128 MB); keep the stream blocks within ~48 MB of that
+    # (leaving room for the output block and scratch) by lowering the
+    # stack for very long streams. Bit-exactness does not depend on the
+    # stack size.
+    while stack > 1 and stack * WR * LANES * 2 * 2 > 48 << 20:
         stack //= 2
     spb = steps_per_block or min(STEPS_PER_BLOCK,
                                  max(4, -(-n_steps // 4) * 4))
@@ -362,6 +366,8 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
         ),
         scratch_shapes=[pltpu.VMEM((SR, LANES), jnp.int32),
                         pltpu.SMEM((stack,), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(states.astype(jnp.int32).reshape(NS, SR, LANES),
       counts_b.reshape(NS, SR, LANES),
