@@ -827,16 +827,35 @@ static int prepare2_core(const int16_t* chunk, size_t C, size_t tp,
           ++bl[7 * 256 + lrow[t + 7]];
         }
         for (; t < tcs; ++t) ++bl[lrow[t]];
+        // Hi-plane run fast path: skewed diff data leaves the high
+        // byte in long runs (almost all zeros), so 64 equal bytes
+        // collapse to one += 64 (bit-identical counts). The lo plane
+        // rarely runs — the check measured as a net loss there.
         t = 0;
-        for (; t + 8 <= tcs; t += 8) {
-          ++bh[0 * 256 + hrow[t]];
-          ++bh[1 * 256 + hrow[t + 1]];
-          ++bh[2 * 256 + hrow[t + 2]];
-          ++bh[3 * 256 + hrow[t + 3]];
-          ++bh[4 * 256 + hrow[t + 4]];
-          ++bh[5 * 256 + hrow[t + 5]];
-          ++bh[6 * 256 + hrow[t + 6]];
-          ++bh[7 * 256 + hrow[t + 7]];
+        for (; t + 64 <= tcs; t += 64) {
+          uint64_t v0;
+          std::memcpy(&v0, hrow + t, 8);
+          const uint64_t splat = (v0 & 0xFF) * 0x0101010101010101ULL;
+          uint64_t diff = v0 ^ splat;
+          for (int j = 8; j < 64; j += 8) {
+            uint64_t vj;
+            std::memcpy(&vj, hrow + t + j, 8);
+            diff |= vj ^ splat;
+          }
+          if (diff == 0) {
+            bh[0 * 256 + (v0 & 0xFF)] += 64;
+            continue;
+          }
+          for (int j = 0; j < 64; j += 8) {
+            ++bh[0 * 256 + hrow[t + j]];
+            ++bh[1 * 256 + hrow[t + j + 1]];
+            ++bh[2 * 256 + hrow[t + j + 2]];
+            ++bh[3 * 256 + hrow[t + j + 3]];
+            ++bh[4 * 256 + hrow[t + j + 4]];
+            ++bh[5 * 256 + hrow[t + j + 5]];
+            ++bh[6 * 256 + hrow[t + j + 6]];
+            ++bh[7 * 256 + hrow[t + j + 7]];
+          }
         }
         for (; t < tcs; ++t) ++bh[hrow[t]];
       }
