@@ -396,6 +396,23 @@ def hist_u8_segments(stream, seg):
     return out.astype(np.int64)
 
 
+_PREP_SCRATCH = None
+
+
+def _prep_scratch(n):
+    """Per-thread reusable (lo, hi) uint8 buffers of ``n`` bytes."""
+    import threading
+    import numpy as np
+    global _PREP_SCRATCH
+    if _PREP_SCRATCH is None:
+        _PREP_SCRATCH = threading.local()
+    bufs = getattr(_PREP_SCRATCH, 'bufs', None)
+    if bufs is None or bufs[0].size != n:
+        bufs = (np.empty(n, dtype=np.uint8), np.empty(n, dtype=np.uint8))
+        _PREP_SCRATCH.bufs = bufs
+    return bufs
+
+
 def prepare2_i16(body, tp, hists=True, diff=False, seg_k=0):
     """Fused encode prep for 2-byte aligned containers.
 
@@ -430,8 +447,12 @@ def prepare2_i16(body, tp, hists=True, diff=False, seg_k=0):
         if tcs < 1:
             return None
         tcs -= 1
-    lo = np.zeros(C * tp, dtype=np.uint8)
-    hi = np.zeros(C * tp, dtype=np.uint8)
+    # Reused per-thread scratch: the C pass writes every data byte and
+    # zeroes the pad tails itself, so dirty buffers are fine — fresh
+    # np.zeros of 2x C*tp per chunk costs ~2x the pass in page faults.
+    # Safe because codec.encode never lets the plane views escape the
+    # call (streams are copied into the container bytes).
+    lo, hi = _prep_scratch(C * tp)
     if not hists:
         rc = lib.mts_prepare2d_i16(body.ctypes.data, C, tp, tcs,
                                    int(diff), lo.ctypes.data,

@@ -775,6 +775,16 @@ static int prepare2_core(const int16_t* chunk, size_t C, size_t tp,
   const size_t TB = 256, CB = 64;
   for (size_t c0 = 0; c0 < C; c0 += CB) {
     size_t c1 = c0 + CB < C ? c0 + CB : C;
+    // Zero the per-channel pad tails ([tcs, tp)) here rather than
+    // requiring pre-zeroed buffers: every data byte is written below,
+    // so callers can hand over reused (dirty) scratch buffers and skip
+    // the ~page-faulted 2x C*tp fresh allocation per chunk.
+    if (tp > tcs) {
+      for (size_t c = c0; c < c1; ++c) {
+        std::memset(lo + c * tp + tcs, 0, tp - tcs);
+        std::memset(hi + c * tp + tcs, 0, tp - tcs);
+      }
+    }
     for (size_t t0 = 0; t0 < tcs; t0 += TB) {
       size_t t1 = t0 + TB < tcs ? t0 + TB : tcs;
       for (size_t c = c0; c < c1; ++c) {
