@@ -152,9 +152,10 @@ def _e2e_rate(tmp, arr):
     tunnel; the chosen route is reported alongside the rate.
     """
     from mtscomp_tpu import decompress
-    r = decompress(tmp / 'bench.cbin', tmp / 'bench.ch', quiet=True,
-                   check_after_decompress=False)
+    r = None
     try:
+        r = decompress(tmp / 'bench.cbin', tmp / 'bench.ch', quiet=True,
+                       check_after_decompress=False)
         path = 'device' if r._use_device() else 'host'
         out = tmp / 'bench_e2e.bin'
         t0 = time.time()
@@ -167,7 +168,8 @@ def _e2e_rate(tmp, arr):
     except Exception:  # pragma: no cover - bench must never hard-fail
         return 0.0, 'error'
     finally:
-        r.close()
+        if r is not None:
+            r.close()
 
 
 def _device_encode_rate(arr, T, C, SR, on_accel):

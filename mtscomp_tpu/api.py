@@ -616,7 +616,9 @@ class Reader:
         except ImportError:  # pragma: no cover
             return False
         if jax.default_backend() == 'cpu':
-            return self.n_samples * self.n_channels >= (1 << 22)
+            # Host-resident XLA arrays: no link to pay for, and the
+            # size gate above already filtered the small recordings.
+            return True
         from .parallel.pipeline import link_profile
         from .native import available as native_available
         lat, bw = link_profile()

@@ -71,15 +71,20 @@ def link_profile(refresh=False):
     global _LINK_PROFILE
     if _LINK_PROFILE is not None and not refresh:
         return _LINK_PROFILE
+    jax, jnp = _jax()
+    # Backend check BEFORE the disk cache: the cache is keyed per
+    # machine, but the same machine can run CPU-backend processes
+    # (plugin absent, jax_platforms=cpu) right after an accelerator
+    # run wrote the relay's profile — host-resident arrays must always
+    # report (0, inf).
+    if jax.default_backend() == 'cpu':
+        _LINK_PROFILE = (0.0, float('inf'))
+        return _LINK_PROFILE
     if not refresh:
         cached = _load_link_cache()
         if cached is not None:
             _LINK_PROFILE = cached
             return _LINK_PROFILE
-    jax, jnp = _jax()
-    if jax.default_backend() == 'cpu':
-        _LINK_PROFILE = (0.0, float('inf'))
-        return _LINK_PROFILE
     small = jnp.zeros((8, LANES), jnp.float32)
     float(jnp.sum(small))                   # compile + first-fetch
     lat = min(_timed(lambda: float(jnp.sum(small))) for _ in range(3))
