@@ -25,10 +25,20 @@ import numpy as np
 
 def _tmpdir():
     """Temp dir removed at process exit (benchmarks must not leak
-    hundreds of MB into /tmp per run)."""
+    hundreds of MB per run).
+
+    Prefers tmpfs (/dev/shm): some dev VMs expose a write-through
+    virtio disk (~10-60 MB/s synchronous, page cache never absorbs
+    writes — observed Dirty pinned at ~0 during 9 MB/s writes), which
+    would make every IO-inclusive phase measure that disk instead of
+    the codec. tmpfs keeps the file IO real (same syscalls, memmaps
+    and pread paths) at normal page-cache speed; the JSON records
+    which filesystem backed the run.
+    """
     import atexit
     import shutil
-    d = Path(tempfile.mkdtemp())
+    base = '/dev/shm' if os.path.isdir('/dev/shm') else None
+    d = Path(tempfile.mkdtemp(dir=base))
     atexit.register(shutil.rmtree, d, True)
     return d
 
@@ -61,12 +71,27 @@ def main():
     raw = tmp / 'bench.bin'
     arr.tofile(raw)
 
-    t0 = time.time()
-    ratio = compress(raw, tmp / 'bench.cbin', tmp / 'bench.ch',
-                     sample_rate=SR, n_channels=C, dtype='int16',
-                     algorithm='ans', quiet=True,
-                     check_after_compress=False)
-    enc_mbps = arr.nbytes / 1e6 / (time.time() - t0)
+    # Median of 3 (see _e2e_rate: post-init memory-compaction stalls
+    # make one-shot host timings transiently 2-10x slow on dev VMs).
+    enc_times = []
+    for _ in range(3):
+        for p in (tmp / 'bench.cbin', tmp / 'bench.ch'):
+            if p.exists():
+                p.unlink()
+        _drain_writeback()
+        t0 = time.time()
+        ratio = compress(raw, tmp / 'bench.cbin', tmp / 'bench.ch',
+                         sample_rate=SR, n_channels=C, dtype='int16',
+                         algorithm='ans', quiet=True,
+                         check_after_compress=False)
+        enc_times.append(time.time() - t0)
+    enc_mbps = arr.nbytes / 1e6 / sorted(enc_times)[1]
+
+    # End-to-end before the device-heavy staged phases: a production
+    # `mtsdecomp` is a fresh process, and on relay attachments the live
+    # device session state from the staged phases keeps the host-side
+    # interference (see _e2e_rate) going for the whole measurement.
+    e2e_mbps, e2e_path = _e2e_rate(tmp, arr)
 
     r = decompress(tmp / 'bench.cbin', tmp / 'bench.ch', quiet=True)
     try:
@@ -124,7 +149,6 @@ def main():
         r.close()
 
     dev_enc_gbps = _device_encode_rate(arr, T, C, SR, on_accel)
-    e2e_mbps, e2e_path = _e2e_rate(tmp, arr)
 
     gbps = arr.nbytes / 1e9 / dt
     print(json.dumps({
@@ -137,9 +161,27 @@ def main():
         "device_encode_gbps": round(dev_enc_gbps, 2),
         "e2e_decomp_mbps": round(e2e_mbps, 1),
         "e2e_decomp_path": e2e_path,
+        "bench_fs": 'tmpfs' if str(tmp).startswith('/dev/shm') else 'disk',
         "byte_exact": True,
     }))
     return 0
+
+
+def _drain_writeback():
+    """Flush dirty pages before a timed phase that writes files.
+
+    Dev VMs sit on virtual disks that drain dirty pages at tens of
+    MB/s; a timed write that starts behind a setup phase's backlog
+    blocks in balance_dirty_pages and measures the backlog, not the
+    codec (observed: the same tofile at 720 vs 8 MB/s depending on the
+    queue). Syncing first makes the IO-inclusive numbers reproducible:
+    the timed writes then land in the page cache, the same conditions
+    the reference's published numbers assume.
+    """
+    try:
+        os.sync()
+    except Exception:  # pragma: no cover
+        pass
 
 
 def _e2e_rate(tmp, arr):
@@ -158,9 +200,17 @@ def _e2e_rate(tmp, arr):
                        check_after_decompress=False)
         path = 'device' if r._use_device() else 'host'
         out = tmp / 'bench_e2e.bin'
-        t0 = time.time()
-        r.tofile(out, overwrite=True)
-        dt = time.time() - t0
+        # Median of 5: the first big host allocations after accelerator
+        # init stall on memory compaction for a couple of passes on
+        # some dev VMs (observed 40 -> 700 MB/s across consecutive
+        # identical runs); one-shot timing would report that transient.
+        times = []
+        for _ in range(5):
+            _drain_writeback()
+            t0 = time.time()
+            r.tofile(out, overwrite=True)
+            times.append(time.time() - t0)
+        dt = sorted(times)[len(times) // 2]
         got = np.fromfile(out, dtype=arr.dtype).reshape(arr.shape)
         if not np.array_equal(got, arr):  # pragma: no cover
             return 0.0, 'mismatch'

@@ -20,6 +20,8 @@ from pathlib import Path
 
 import numpy as np
 
+from .harness import bench_tmpdir
+
 
 def _median_time(fn, reps):
     fn()
@@ -70,7 +72,7 @@ def config1_cpu_roundtrip(reps, out):
     """256-ch int16 @20 kHz roundtrip on the host paths (both algos)."""
     from .. import compress, decompress
     arr = _synth(20000 * 10, 256, 4.0)
-    tmp = Path(tempfile.mkdtemp())
+    tmp = bench_tmpdir()
     arr.tofile(tmp / 'c1.bin')
     rows = []
     for algo in ('zlib', 'ans'):
@@ -114,7 +116,7 @@ def config2_neuropixels(seconds, reps, out):
     from .. import compress, decompress, check
     from ..io_host import load_raw_data
     arr = _synth(30000 * seconds, 385, 6.0)
-    tmp = Path(tempfile.mkdtemp())
+    tmp = bench_tmpdir()
     arr.tofile(tmp / 'c2.bin')
     t0 = time.perf_counter()
     ratio = compress(tmp / 'c2.bin', tmp / 'c2.cbin', tmp / 'c2.ch',
@@ -150,7 +152,7 @@ def config3_lfp_windows(reps, out):
     """LFP band 385-ch @2.5 kHz: random window reads r[i0:i1]."""
     from .. import compress, decompress
     arr = _synth_gradient(2500 * 240, 385, 3.0, 40.0)   # 4 min of LFP
-    tmp = Path(tempfile.mkdtemp())
+    tmp = bench_tmpdir()
     arr.tofile(tmp / 'c3.bin')
     ratio = compress(tmp / 'c3.bin', tmp / 'c3.cbin', tmp / 'c3.ch',
                      sample_rate=2500.0, n_channels=385, dtype='int16',
@@ -205,7 +207,7 @@ def config4_multiprobe(seconds, reps, out):
     from ..parallel.pipeline import decompress_multi
     import jax.numpy as jnp
     from ..parallel.pipeline import DeviceBatchDecoder, _read_payload
-    tmp = Path(tempfile.mkdtemp())
+    tmp = bench_tmpdir()
     readers, arrs = [], []
     for p in range(4):
         arr = _synth(30000 * seconds, 384, 6.0, seed=p)
@@ -256,7 +258,7 @@ def config4_multiprobe(seconds, reps, out):
 def config5_legacy(out):
     """Reference-written zlib .cbin -> our reader -> re-encode as ans."""
     sys.path.insert(0, '/root/reference')
-    tmp = Path(tempfile.mkdtemp())
+    tmp = bench_tmpdir()
     arr = _synth(30000 * 4, 385, 6.0)
     arr.tofile(tmp / 'c5.bin')
     try:

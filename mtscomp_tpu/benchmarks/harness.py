@@ -16,12 +16,35 @@ Usage::
 """
 
 import itertools
+import os
 import shutil
 import tempfile
 import time
 from pathlib import Path
 
 import numpy as np
+
+
+def bench_tmp_base():
+    """Directory for benchmark working files: tmpfs when available.
+
+    Some dev VMs expose a write-through virtio disk (~10-60 MB/s
+    synchronous; the page cache never absorbs writes), which would make
+    every write-inclusive timing measure that disk instead of the
+    codec. tmpfs keeps the file IO real (same syscalls, memmap and
+    pread paths) at page-cache speed. Returns None (system default)
+    when /dev/shm is absent.
+    """
+    return '/dev/shm' if os.path.isdir('/dev/shm') else None
+
+
+def bench_tmpdir():
+    """Benchmark temp dir on :func:`bench_tmp_base`, removed at process
+    exit (tmpfs leaks would eat RAM, not disk)."""
+    import atexit
+    d = Path(tempfile.mkdtemp(dir=bench_tmp_base()))
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 DATASETS = {
@@ -64,7 +87,7 @@ def mtscomp_perf(arr, sample_rate, algorithm='ans', n_threads=None,
     from .. import compress, decompress
     from ..parallel.pipeline import decompress_to_array
 
-    tmp = Path(tempfile.mkdtemp())
+    tmp = Path(tempfile.mkdtemp(dir=bench_tmp_base()))
     raw = tmp / 'data.bin'
     arr.tofile(raw)
     nc = arr.shape[1]
