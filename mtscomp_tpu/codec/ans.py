@@ -66,6 +66,7 @@ hundredths of a bit per symbol; decoders drop them by slicing
 """
 
 import struct
+import sys
 import zlib
 
 import numpy as np
@@ -561,11 +562,24 @@ class AnsCodec:
                 group_inputs.append((rows, freq_rows))
             encoded = self._encode_groups(group_inputs)
             group_blobs, word_counts = [], []
+            le_host = sys.byteorder == 'little'
             for states, words in encoded:
                 word_counts.append(words.size)
-                group_blobs.append(states.astype('<u4').tobytes()
-                                   + words.astype('<u2').tobytes())
-            parts.append(struct.pack('<I', len(group_blobs)))
+                if le_host:
+                    # Native-endian arrays ARE the wire format here:
+                    # hand zero-copy byte views to the single join in
+                    # _append_crc instead of paying astype + tobytes +
+                    # concat copies per group (the views keep the
+                    # encoder's output arrays alive).
+                    group_blobs.append(
+                        memoryview(np.ascontiguousarray(states)).cast('B'))
+                    group_blobs.append(
+                        memoryview(np.ascontiguousarray(words)).cast('B'))
+                else:  # pragma: no cover - big-endian host
+                    group_blobs.append(states.astype('<u4').tobytes()
+                                       + words.astype('<u2').tobytes())
+            n_groups = len(encoded)
+            parts.append(struct.pack('<I', n_groups))
             parts.append(np.asarray(word_counts, '<u4').tobytes())
             parts.extend(group_blobs)
         return _append_crc(parts)

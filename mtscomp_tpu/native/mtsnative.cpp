@@ -745,6 +745,62 @@ extern "C" int mts_fuse2_i16(
 // is RMW-chain-bound, not bandwidth-bound, and skewed diff planes
 // (most symbols near zero) serialize on hot counters unless the banks
 // split them. The lo/hi/hist buffers must arrive zeroed.
+#if defined(__x86_64__)
+// SIMD bulk of the encode prep's transform stage for one channel block:
+// (optional) time diff + zigzag on the natural time-major rows (where
+// loads are contiguous — 16 consecutive channels per row), 16x16
+// register transpose, then lo/hi byte split with contiguous 16-byte
+// stores into the channel-major plane rows. Bit-identical to the
+// scalar sweep (same mod-2^16 arithmetic); handles full 16x16 tiles,
+// the caller's scalar core covers time tails and leftover channels.
+// The diff reads each input row once: a rolling `cur` register carries
+// row t into the next step's subtraction.
+__attribute__((target("avx2")))
+static void prep2_block_avx2(const int16_t* chunk, size_t C, size_t tp,
+                             size_t tcs, int do_diff, uint8_t* lo,
+                             uint8_t* hi, size_t c0, size_t c1) {
+  const __m256i ff = _mm256_set1_epi16(0xFF);
+  const size_t T16 = tcs & ~static_cast<size_t>(15);
+  __m256i in[16], tr[16];
+  for (size_t cc = c0; cc + 16 <= c1; cc += 16) {
+    __m256i cur = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(chunk + cc));
+    for (size_t t0 = 0; t0 < T16; t0 += 16) {
+      for (int j = 0; j < 16; ++j) {
+        const __m256i nxt = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(
+                chunk + (t0 + j + (do_diff ? 1 : 0)) * C + cc));
+        __m256i v = nxt;
+        if (do_diff) {
+          v = _mm256_sub_epi16(nxt, cur);
+          cur = nxt;
+        }
+        // zigzag: (v << 1) ^ (0 or 0xFFFF by sign) — srai_epi16
+        // broadcasts the sign bit exactly like -(v >> 15) on u16.
+        in[j] = _mm256_xor_si256(_mm256_slli_epi16(v, 1),
+                                 _mm256_srai_epi16(v, 15));
+      }
+      transpose16x16_u16(in, tr);
+      for (int j = 0; j < 16; ++j) {
+        const __m256i lo16 = _mm256_and_si256(tr[j], ff);
+        const __m256i hi16 = _mm256_srli_epi16(tr[j], 8);
+        // packus on values <= 255 is a pure narrowing (no saturation).
+        const __m128i lo8 = _mm_packus_epi16(
+            _mm256_castsi256_si128(lo16),
+            _mm256_extracti128_si256(lo16, 1));
+        const __m128i hi8 = _mm_packus_epi16(
+            _mm256_castsi256_si128(hi16),
+            _mm256_extracti128_si256(hi16, 1));
+        _mm_storeu_si128(
+            reinterpret_cast<__m128i*>(lo + (cc + j) * tp + t0), lo8);
+        _mm_storeu_si128(
+            reinterpret_cast<__m128i*>(hi + (cc + j) * tp + t0), hi8);
+      }
+    }
+  }
+}
+#endif
+
 static int prepare2_core(const int16_t* chunk, size_t C, size_t tp,
                          size_t tcs, int do_diff, uint8_t* lo, uint8_t* hi,
                          size_t k, uint32_t* hist_lo, uint32_t* hist_hi,
@@ -785,35 +841,49 @@ static int prepare2_core(const int16_t* chunk, size_t C, size_t tp,
         std::memset(hi + c * tp + tcs, 0, tp - tcs);
       }
     }
-    for (size_t t0 = 0; t0 < tcs; t0 += TB) {
-      size_t t1 = t0 + TB < tcs ? t0 + TB : tcs;
-      for (size_t c = c0; c < c1; ++c) {
-        const int16_t* col = chunk + c;
-        uint8_t* lrow = lo + c * tp;
-        uint8_t* hrow = hi + c * tp;
-        if (do_diff) {
-          for (size_t t = t0; t < t1; ++t) {
-            const uint16_t v = static_cast<uint16_t>(
-                static_cast<uint16_t>(col[(t + 1) * C]) -
-                static_cast<uint16_t>(col[t * C]));
-            const uint16_t u = static_cast<uint16_t>(
-                (v << 1) ^ static_cast<uint16_t>(
-                               -static_cast<uint16_t>(v >> 15)));
-            lrow[t] = static_cast<uint8_t>(u);
-            hrow[t] = static_cast<uint8_t>(u >> 8);
-          }
-        } else {
-          for (size_t t = t0; t < t1; ++t) {
-            const uint16_t v = static_cast<uint16_t>(col[t * C]);
-            const uint16_t u = static_cast<uint16_t>(
-                (v << 1) ^ static_cast<uint16_t>(
-                               -static_cast<uint16_t>(v >> 15)));
-            lrow[t] = static_cast<uint8_t>(u);
-            hrow[t] = static_cast<uint8_t>(u >> 8);
+    // SIMD bulk (full 16-channel x 16-time tiles), scalar edges.
+    size_t c_simd = c0;   // end of the SIMD-covered channel range
+    size_t t_simd = 0;    // end of the SIMD-covered time range
+#if defined(__x86_64__)
+    if (cpu_has_avx2() && tcs >= 16 && c1 - c0 >= 16) {
+      prep2_block_avx2(chunk, C, tp, tcs, do_diff, lo, hi, c0, c1);
+      c_simd = c0 + ((c1 - c0) & ~static_cast<size_t>(15));
+      t_simd = tcs & ~static_cast<size_t>(15);
+    }
+#endif
+    auto scalar_sweep = [&](size_t cA, size_t cB, size_t tA, size_t tB) {
+      for (size_t t0 = tA; t0 < tB; t0 += TB) {
+        size_t t1 = t0 + TB < tB ? t0 + TB : tB;
+        for (size_t c = cA; c < cB; ++c) {
+          const int16_t* col = chunk + c;
+          uint8_t* lrow = lo + c * tp;
+          uint8_t* hrow = hi + c * tp;
+          if (do_diff) {
+            for (size_t t = t0; t < t1; ++t) {
+              const uint16_t v = static_cast<uint16_t>(
+                  static_cast<uint16_t>(col[(t + 1) * C]) -
+                  static_cast<uint16_t>(col[t * C]));
+              const uint16_t u = static_cast<uint16_t>(
+                  (v << 1) ^ static_cast<uint16_t>(
+                                 -static_cast<uint16_t>(v >> 15)));
+              lrow[t] = static_cast<uint8_t>(u);
+              hrow[t] = static_cast<uint8_t>(u >> 8);
+            }
+          } else {
+            for (size_t t = t0; t < t1; ++t) {
+              const uint16_t v = static_cast<uint16_t>(col[t * C]);
+              const uint16_t u = static_cast<uint16_t>(
+                  (v << 1) ^ static_cast<uint16_t>(
+                                 -static_cast<uint16_t>(v >> 15)));
+              lrow[t] = static_cast<uint8_t>(u);
+              hrow[t] = static_cast<uint8_t>(u >> 8);
+            }
           }
         }
       }
-    }
+    };
+    scalar_sweep(c0, c_simd, t_simd, tcs);   // time tail of SIMD channels
+    scalar_sweep(c_simd, c1, 0, tcs);        // leftover channels, all times
     if (want_hist) {
       // Rowwise count over the block just transposed (L2-resident —
       // the RMW chain, not the re-read, bounds this pass).
