@@ -164,3 +164,67 @@ def test_native_crc32_matches_zlib():
     c1 = native.crc32(buf[:70000])
     c1 = native.crc32(buf[70000:300000], c1)
     assert c1 == zlib.crc32(buf[:300000])
+
+
+def _prep_reference(body, tp, diff, seg_k):
+    """Pure-NumPy mirror of prepare2_i16 (the bit-identity oracle)."""
+    body = np.asarray(body)
+    if diff:
+        head, rest = body[:1], body[1:]
+        d = (rest.astype(np.uint16)
+             - body[:-1].astype(np.uint16)).astype(np.uint16)
+    else:
+        d = body.astype(np.uint16)
+    tcs, C = d.shape
+    u = ((d << 1) ^ (-(d >> 15).astype(np.uint16))).astype(np.uint16)
+    lo = np.zeros((C, tp), dtype=np.uint8)
+    hi = np.zeros((C, tp), dtype=np.uint8)
+    lo[:, :tcs] = (u & 0xFF).astype(np.uint8).T
+    hi[:, :tcs] = (u >> 8).astype(np.uint8).T
+    if seg_k > 0:
+        n_segs = -(-C // seg_k)
+        hl = np.zeros((n_segs, 256), np.int64)
+        hh = np.zeros((n_segs, 256), np.int64)
+        for s in range(n_segs):
+            cs = slice(s * seg_k, min((s + 1) * seg_k, C))
+            hl[s] = np.bincount(lo[cs, :tcs].ravel(), minlength=256)
+            hh[s] = np.bincount(hi[cs, :tcs].ravel(), minlength=256)
+        return lo.ravel(), hi.ravel(), hl, hh
+    hl = np.bincount(lo[:, :tcs].ravel(), minlength=256).astype(np.int64)
+    hh = np.bincount(hi[:, :tcs].ravel(), minlength=256).astype(np.int64)
+    return lo.ravel(), hi.ravel(), hl, hh
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_native_prepare2_bit_identical(seed):
+    """The fused prep (incl. its AVX2 16x16 tile bulk) must match the
+    NumPy transform bit-for-bit on every tile-edge geometry: channel
+    counts around the 16-wide SIMD tile, time lengths around the
+    16-deep tile and the 64-byte hi-run fast path, diff fused or not,
+    plane or per-segment histograms."""
+    rng = np.random.default_rng(400 + seed)
+    shapes = [(2, 1), (17, 3), (16, 16), (31, 15), (33, 17), (64, 16),
+              (65, 33), (129, 48), (200, 19), (385, 21), (1000, 37)]
+    for tcs, C in shapes:
+        for diff in (False, True):
+            for seg_k in (0, 1, 7, 16):
+                if seg_k > C:
+                    continue
+                tp = int(tcs + rng.integers(0, 130))
+                kind = int(rng.integers(0, 3))
+                if kind == 0:     # smooth walks (hi plane runs)
+                    arr = np.cumsum(rng.normal(0, 6, (tcs + diff, C)),
+                                    axis=0).astype(np.int16)
+                elif kind == 1:   # full-range noise
+                    arr = rng.integers(-32768, 32768, (tcs + diff, C),
+                                       dtype=np.int64).astype(np.int16)
+                else:             # constant (degenerate runs)
+                    arr = np.full((tcs + diff, C), -5, dtype=np.int16)
+                arr = np.ascontiguousarray(arr)
+                got = native.prepare2_i16(arr, tp, diff=diff, seg_k=seg_k)
+                assert got is not None
+                want = _prep_reference(arr, tp, diff, seg_k)
+                for g, w, name in zip(got, want,
+                                      ('lo', 'hi', 'hist_lo', 'hist_hi')):
+                    assert np.array_equal(np.asarray(g), w), \
+                        (tcs, C, diff, seg_k, tp, kind, name)
