@@ -221,6 +221,23 @@ def _segment_histograms(stream, seg):
     return out
 
 
+def _quantize_rows(sums):
+    """quantize_freqs_batch through the native fast path when available.
+
+    Bit-identical to the normative ``rans.quantize_freqs_batch`` (the
+    C++ side mirrors the float64 apportionment op by op and runs the
+    reference steal loop literally); exists because clustering
+    quantizes many small candidate stacks per Lloyd iteration, where
+    the NumPy form pays ~25 array-op overheads per call.
+    """
+    from .. import native
+    out = native.quantize_freqs_batch(sums, 1 << rans.SCALE_BITS,
+                                      rans.MIN_FREQ)
+    if out is not None:
+        return out
+    return rans.quantize_freqs_batch(sums)
+
+
 def _quantize_clusters(sums):
     """Batched quantize_freqs tolerating single-symbol clusters.
 
@@ -233,7 +250,7 @@ def _quantize_clusters(sums):
     if fix.any():
         rows = np.nonzero(fix)[0]
         sums[rows, (np.argmax(sums[rows], axis=1) + 1) % 256] += 1
-    return rans.quantize_freqs_batch(sums)
+    return _quantize_rows(sums)
 
 
 # Bits charged per symbol occurrence that a candidate table cannot code
@@ -262,7 +279,7 @@ def decide_plane(counts, n_pad, n_stream, n_coded, seg, table_mode,
         return MODE_CONST, None, None
     scounts = counts.copy()
     scounts[0] += n_pad
-    freqs = rans.quantize_freqs(scounts)
+    freqs = _quantize_rows(scounts[None])[0]
     cost = _estimated_rans_bytes(scounts, freqs, n_stream, seg)
     ptables, tidx = freqs[None], None
     if table_mode == 'segment' and n_stream > seg \

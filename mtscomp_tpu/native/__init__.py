@@ -120,6 +120,10 @@ def _load_locked():
     lib.mts_hist_u8_segments.restype = ctypes.c_int
     lib.mts_hist_u8_segments.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+    lib.mts_quantize_freqs_batch.restype = ctypes.c_int
+    lib.mts_quantize_freqs_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p]
     lib.mts_fuse2_i16.restype = ctypes.c_int
     lib.mts_fuse2_i16.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -481,3 +485,30 @@ def prepare2_i16(body, tp, hists=True, diff=False, seg_k=0):
     if rc != 0:  # pragma: no cover
         return None
     return lo, hi, hist_lo.astype(np.int64), hist_hi.astype(np.int64)
+
+
+def quantize_freqs_batch(counts_rows, scale, min_freq):
+    """Row-batched frequency quantization (bit-identical to the
+    normative models/rans.py quantize_freqs per row).
+
+    ``counts_rows``: (K, 256) nonnegative counts, every row with >= 2
+    present symbols. Returns (K, 256) uint16, or None when the library
+    is unavailable or a row falls outside the native contract (the
+    caller's NumPy path handles those). Exists because segment-table
+    clustering quantizes many small candidate stacks per Lloyd
+    iteration, where the vectorized NumPy form is call-overhead bound.
+    """
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts_rows, dtype=np.int64)
+    if counts.ndim != 2 or counts.shape[1] != 256 or counts.shape[0] == 0:
+        return None
+    out = np.empty(counts.shape, dtype=np.uint16)
+    rc = lib.mts_quantize_freqs_batch(counts.ctypes.data, counts.shape[0],
+                                      int(scale), int(min_freq),
+                                      out.ctypes.data)
+    if rc != 0:
+        return None
+    return out

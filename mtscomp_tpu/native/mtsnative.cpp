@@ -9,7 +9,9 @@
 // The produced streams are byte-identical to CPython's zlib.compress()
 // defaults (same zlib, Z_DEFAULT_COMPRESSION, 15-bit window).
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -1136,4 +1138,80 @@ int mts_cumsum_axis0(void* buf, size_t ns, size_t nc,
     case 8: cumsum_axis0(static_cast<uint64_t*>(buf), ns, nc); return 0;
     default: return -1;
   }
+}
+
+// Row-batched frequency quantization, bit-identical to the normative
+// models/rans.py quantize_freqs (largest-remainder apportionment in
+// min_freq units, then one-unit steals from the repeated first-index
+// maximum). Exists because the segment-table clustering (codec/ans.py
+// cluster_segment_tables) quantizes many small candidate stacks per
+// Lloyd iteration and the vectorized NumPy form is per-call-overhead
+// bound there (~25 array ops per call at K <= 16). The float64
+// arithmetic mirrors NumPy exactly: counts * q stays in int64, the
+// division is one IEEE double op, fractions compare bitwise equal.
+// Unlike the Python closed-form steal, the scalar loop here IS the
+// reference loop — identity by construction.
+// counts: (K, 256) int64, every row with >= 2 present symbols and a
+// positive total. out: (K, 256) uint16. Returns 0, or -1 on a row the
+// contract excludes (caller falls back to the NumPy path).
+extern "C" int mts_quantize_freqs_batch(const int64_t* counts, size_t K,
+                                        uint32_t scale, uint32_t min_freq,
+                                        uint16_t* out) {
+  if (scale == 0 || min_freq == 0 || scale % min_freq != 0) return -1;
+  const int64_t q = scale / min_freq;
+  for (size_t row = 0; row < K; ++row) {
+    const int64_t* c = counts + row * 256;
+    uint16_t* o = out + row * 256;
+    int64_t total = 0;
+    int n_present = 0;
+    for (int i = 0; i < 256; ++i) {
+      if (c[i] < 0) return -1;
+      total += c[i];
+      n_present += c[i] > 0;
+    }
+    if (total <= 0 || n_present < 2 ||
+        static_cast<int64_t>(n_present) * min_freq >
+            static_cast<int64_t>(scale))
+      return -1;
+    int64_t f[256];
+    double frac[256];
+    int64_t fsum = 0;
+    const double dtot = static_cast<double>(total);
+    for (int i = 0; i < 256; ++i) {
+      if (c[i] > 0) {
+        const double ideal = static_cast<double>(c[i] * q) / dtot;
+        const double fl = std::floor(ideal);
+        int64_t v = static_cast<int64_t>(fl);
+        frac[i] = ideal - fl;
+        if (v < 1) v = 1;
+        f[i] = v;
+      } else {
+        f[i] = 0;
+        frac[i] = -1.0;
+      }
+      fsum += f[i];
+    }
+    const int64_t remainder = q - fsum;
+    if (remainder > 0) {
+      // First `remainder` indices in stable descending-fraction order
+      // (ties by index — matches np.argsort(-frac, kind='stable')).
+      int idx[256];
+      for (int i = 0; i < 256; ++i) idx[i] = i;
+      std::stable_sort(idx, idx + 256,
+                       [&](int a, int b) { return frac[a] > frac[b]; });
+      for (int64_t r = 0; r < remainder && r < 256; ++r) ++f[idx[r]];
+      fsum += remainder < 256 ? remainder : 256;
+    }
+    while (fsum > q) {
+      int k = 0;
+      for (int i = 1; i < 256; ++i)
+        if (f[i] > f[k]) k = i;             // first-index argmax
+      if (f[k] <= 1) return -1;             // cannot rebalance
+      --f[k];
+      --fsum;
+    }
+    for (int i = 0; i < 256; ++i)
+      o[i] = static_cast<uint16_t>(f[i] * min_freq);
+  }
+  return 0;
 }

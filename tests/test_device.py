@@ -841,6 +841,14 @@ def test_foreign_min8_tables_container_roundtrip(tmp_path_, monkeypatch):
     steps[rng.random(steps.shape) < 0.02] *= 30.0
     arr = np.cumsum(steps, axis=0).astype(np.int16)
     path = write_arr(tmp_path_ / 'f.bin', arr)
+    import mtscomp_tpu.codec.ans as ans_mod
+    # decide_plane routes through codec.ans._quantize_rows (native fast
+    # path); patch that entry so the foreign tables actually land in
+    # the file.
+    monkeypatch.setattr(
+        ans_mod, '_quantize_rows',
+        lambda sums: np.stack([quantize_foreign(r) for r in
+                               np.asarray(sums)]).astype(np.uint16))
     orig_quantize = rans.quantize_freqs
     rans.quantize_freqs = quantize_foreign
     try:

@@ -228,3 +228,38 @@ def test_native_prepare2_bit_identical(seed):
                                       ('lo', 'hi', 'hist_lo', 'hist_hi')):
                     assert np.array_equal(np.asarray(g), w), \
                         (tcs, C, diff, seg_k, tp, kind, name)
+
+
+def test_native_quantize_freqs_batch_bit_identical():
+    """The C++ quantizer must match the normative NumPy apportionment
+    bit-for-bit: same float64 fractions, same stable tie order, same
+    first-index-argmax steal loop."""
+    from mtscomp_tpu.models import rans
+    rng = np.random.default_rng(11)
+    rows = []
+    # Adversarial shapes: 2-symbol tables, all-256 present (forces the
+    # min-bump overshoot + steal loop), huge skew, tiny totals, counts
+    # large enough that float64 fractions get interesting.
+    r = np.zeros(256, np.int64); r[3] = 1; r[250] = 1
+    rows.append(r)
+    rows.append(np.ones(256, np.int64))
+    r = np.ones(256, np.int64); r[0] = 10**12
+    rows.append(r)
+    r = np.zeros(256, np.int64); r[:17] = rng.integers(1, 10, 17)
+    rows.append(r)
+    for _ in range(200):
+        n_present = int(rng.integers(2, 257))
+        r = np.zeros(256, np.int64)
+        idx = rng.choice(256, n_present, replace=False)
+        r[idx] = rng.integers(1, 1 << int(rng.integers(1, 40)),
+                              n_present)
+        rows.append(r)
+    counts = np.stack(rows)
+    got = native.quantize_freqs_batch(counts, 1 << rans.SCALE_BITS,
+                                      rans.MIN_FREQ)
+    assert got is not None
+    want = rans.quantize_freqs_batch(counts)
+    assert np.array_equal(got, want)
+    # Row-by-row against the scalar normative form too.
+    for i in range(min(counts.shape[0], 40)):
+        assert np.array_equal(got[i], rans.quantize_freqs(counts[i])), i

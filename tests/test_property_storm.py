@@ -80,6 +80,8 @@ def test_ans_storm_numpy_paths_identical(seed, monkeypatch):
                         lambda *a, **k: False)
     monkeypatch.setattr(native, 'rans_encode_groups',
                         lambda *a, **k: None)
+    monkeypatch.setattr(native, 'quantize_freqs_batch',
+                        lambda *a, **k: None)
     for chunkd, codec, payload in cases:
         assert codec.encode(chunkd, order='F') == payload
         back = codec.decode(payload, *chunkd.shape, chunkd.dtype)
