@@ -7,12 +7,16 @@ Usage::
 Device decode rates are measured on staged compressed batches with a
 checksum fetch (see bench.py for why: remote-relay attachments neither
 honor block_until_ready nor move data at PCIe rates, so repeated
-host<->device transfer would measure the link, not the codec). Sizes
-are scaled down from the nominal configs to fit the dev attachment;
-rates are size-independent past a few chunks.
+host<->device transfer would measure the link, not the codec), with
+BENCH_INNER dispatches per sync exactly like the headline bench (the
+relay bills ~30 ms per completion fetch; steady-state pipelines sync
+once per many batches). Sizes are scaled down from the nominal configs
+to fit the dev attachment; rates are size-independent past a few
+chunks.
 """
 
 import argparse
+import os
 import sys
 import tempfile
 import time
@@ -31,6 +35,20 @@ def _median_time(fn, reps):
         fn()
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
+
+
+def _staged_inner():
+    """Dispatches per sync for staged device timings (bench.py's
+    BENCH_INNER): the completion fetch costs ~30 ms through relay
+    attachments, which would otherwise be billed to every batch — a
+    steady-state pipeline syncs once per many batches. Matches the
+    headline bench so the per-config numbers are comparable to it."""
+    try:
+        import jax
+        on_accel = jax.default_backend() != 'cpu'
+    except Exception:  # pragma: no cover
+        on_accel = False
+    return int(os.environ.get('BENCH_INNER', '8' if on_accel else '1'))
 
 
 def _synth(ns, nc, diff_std, seed=0):
@@ -59,12 +77,14 @@ def _staged_decode_rate(r, T, arr, reps):
     fn, dev_args = dec.pack(parsed, T)
     out, _used = fn(*dev_args)
     exact = np.array_equal(np.asarray(out).reshape(arr.shape), arr)
+    inner = _staged_inner()
 
     def run():
-        o, _u = fn(*dev_args)
+        for _ in range(inner):
+            o, _u = fn(*dev_args)
         return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
 
-    dt = _median_time(run, reps)
+    dt = _median_time(run, reps) / inner
     return arr.nbytes / 1e9 / dt, exact
 
 
@@ -233,12 +253,14 @@ def config4_multiprobe(seconds, reps, out):
                        "unsupported in this environment\n")
             return
         fn, dev_args = dec.pack(parsed, 30000)
+        inner = _staged_inner()
 
         def run():
-            o, _u = fn(*dev_args)
+            for _ in range(inner):
+                o, _u = fn(*dev_args)
             return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
 
-        dt = _median_time(run, reps)
+        dt = _median_time(run, reps) / inner
         total = sum(a.nbytes for a in arrs)
     finally:
         for r in readers:
