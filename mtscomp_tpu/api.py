@@ -39,6 +39,13 @@ from .utils.misc import Bunch, clip, logger, progress
 # BEFORE JAX is touched so small-file operations stay instant.
 AUTO_DEVICE_MIN_BYTES = 1 << 28
 
+# Host slice reads spanning at least this many chunks skip the LRU
+# chunk cache and run the codec's batch decoder straight into one
+# span-wide array (Reader._read_span_bulk): short window reads keep
+# the cache's repeat-read latency, wide reads get the C++ worker pool
+# and lose a full-span concatenate copy.
+_BULK_SPAN_CHUNKS = 4
+
 
 class Writer:
     """Compress a raw multichannel binary file into ``.cbin`` + ``.ch``.
@@ -514,11 +521,16 @@ class Reader:
         assert set(out) == set(chunk_ids)
         return out
 
-    def _decompress_chunks_batch(self, chunk_ids):
+    def _decompress_chunks_batch(self, chunk_ids, outs=None):
         """Bulk decode path: native batch inflate + vectorized inverse.
 
         Bypasses the LRU cache (bulk reads would only thrash it) and the
         Python thread pool (the batch loop runs in C++ workers).
+        ``outs`` maps chunk id -> destination array: matching chunks are
+        decoded and inverse-transformed in place there (the bulk slice
+        path passes views of one span-wide array); results may still be
+        fresh arrays when a fallback path declines, so callers check
+        identity.
         """
         chunk_ids = list(chunk_ids)
         payloads = [pread_exact(self.cdata,
@@ -530,7 +542,8 @@ class Reader:
         try:
             chunkds = self.codec.decode_batch(
                 payloads, shapes, self.dtype, order=self.chunk_order,
-                n_threads=self.batch_size)
+                n_threads=self.batch_size,
+                outs=[outs.get(i) for i in chunk_ids] if outs else None)
         except IOError:
             raise
         except Exception:
@@ -545,6 +558,28 @@ class Reader:
                 inplace=True)
             out[i] = np.ascontiguousarray(chunki)
         return out
+
+    def _read_span_bulk(self, first_chunk, last_chunk):
+        """Decode a multi-chunk span straight into one fresh array.
+
+        Large slice reads (>= ``_BULK_SPAN_CHUNKS`` chunks) skip the LRU
+        chunk cache (they would only thrash its few entries) and hand
+        the whole span to the codec's batch decoder with per-chunk
+        destination views of the result, so the native workers
+        parallelize across chunks and the per-chunk concatenate copy of
+        the cached path disappears.
+        """
+        n0 = self.chunk_bounds[first_chunk]
+        arr = np.empty((self.chunk_bounds[last_chunk + 1] - n0,
+                        self.n_channels), dtype=self.dtype)
+        views = {i: arr[self.chunk_bounds[i] - n0:
+                        self.chunk_bounds[i + 1] - n0]
+                 for i in range(first_chunk, last_chunk + 1)}
+        decoded = self._decompress_chunks_batch(list(views), outs=views)
+        for i, res in decoded.items():
+            if res is not views[i]:
+                views[i][...] = res
+        return arr
 
     # -- index machinery --------------------------------------------------------
 
@@ -813,13 +848,19 @@ class Reader:
                 assert out.shape[0] == len(range(i0, i1, item.step or 1))
                 return out
             first_chunk, last_chunk = self._chunks_for_interval(i0, i1)
-            chunks = [self.read_chunk(idx, start, length)
-                      for idx, start, length
-                      in self.iter_chunks(first_chunk, last_chunk)]
-            if len(chunks) > 1:
-                arr = np.concatenate(chunks, axis=0)
+            single = None
+            if (last_chunk - first_chunk + 1 >= _BULK_SPAN_CHUNKS
+                    and hasattr(self.codec, 'decode_batch')):
+                # Wide spans: batch-decode into one array (no LRU, no
+                # per-chunk concat copy; C++ workers span the chunks).
+                arr = self._read_span_bulk(first_chunk, last_chunk)
             else:
-                arr = chunks[0]
+                chunks = [self.read_chunk(idx, start, length)
+                          for idx, start, length
+                          in self.iter_chunks(first_chunk, last_chunk)]
+                single = chunks[0] if len(chunks) == 1 else None
+                arr = (np.concatenate(chunks, axis=0)
+                       if len(chunks) > 1 else chunks[0])
             assert arr.shape[0] == (self.chunk_bounds[last_chunk + 1]
                                     - self.chunk_bounds[first_chunk])
             a = i0 - self.chunk_bounds[first_chunk]
@@ -827,7 +868,7 @@ class Reader:
             assert 0 <= a <= b <= arr.shape[0]
             out = arr[a:b:item.step, :]
             assert out.shape[0] == len(range(i0, i1, item.step or 1))
-            if len(chunks) == 1:
+            if single is not None:
                 # Never hand out views of LRU-cached chunks: the
                 # reference always returns fresh arrays (concatenate
                 # with out=, mtscomp.py:815-819), so results must stay

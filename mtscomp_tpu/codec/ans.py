@@ -683,27 +683,36 @@ class AnsCodec:
                               order)
 
     def decode_batch(self, payloads, shapes, dtype, order='F',
-                     n_threads=1):
+                     n_threads=1, outs=None):
         """Decode many chunk payloads with ONE native batch call.
 
         All chunks' groups are handed to the C++ decoder together, so
         its worker threads parallelize across the whole batch (the bulk
         ``tofile`` hot path); returns the diffed chunks like
         :meth:`decode` (the Reader applies the inverse delta).
+
+        ``outs`` (optional) is a per-chunk list of destination arrays
+        (C-contiguous, the chunk's shape/dtype) — bulk slice reads pass
+        views of one span-wide array so the diffed chunks land in place
+        and the caller skips its per-chunk concatenate copy. Entries
+        may be None; fallback paths may still return fresh arrays, so
+        callers must check identity.
         """
         dtype = np.dtype(dtype)
+        if outs is None:
+            outs = [None] * len(payloads)
         from .. import native
         if not native.available():
             return [self.decode(p, ns, nc, dtype, order=order)
                     for p, (ns, nc) in zip(payloads, shapes)]
         staged = []
         all_groups = []
-        for payload, (ns, nc) in zip(payloads, shapes):
+        for payload, (ns, nc), out in zip(payloads, shapes, outs):
             parsed = self.parse(payload)
             self._check_geometry(parsed, ns, nc, dtype)
             bufs = self._alloc_bufs(parsed)
             all_groups.extend(self._native_groups(parsed, bufs))
-            staged.append((parsed, bufs, ns, nc))
+            staged.append((parsed, bufs, ns, nc, out))
         if all_groups:     # RAW/CONST-only chunks have no rANS groups
             used_list = native.rans_decode_groups(
                 all_groups, n_threads=max(1, int(n_threads)))
@@ -711,7 +720,7 @@ class AnsCodec:
                 # Re-derive the precise per-chunk error via the slow path.
                 return [self.decode(p, ns, nc, dtype, order=order)
                         for p, (ns, nc) in zip(payloads, shapes)]
-            self._audit_words([g for parsed, _, _, _ in staged
+            self._audit_words([g for parsed, _, _, _, _ in staged
                                for g in parsed['groups']], used_list)
         if int(n_threads) > 1 and len(staged) > 1:
             # Finalize chunks in parallel: outputs are disjoint arrays
@@ -722,13 +731,24 @@ class AnsCodec:
                     min(int(n_threads), len(staged))) as ex:
                 return list(ex.map(
                     lambda s: self._finalize(s[0], s[1], s[2], s[3],
-                                             dtype, order), staged))
-        return [self._finalize(parsed, bufs, ns, nc, dtype, order)
-                for parsed, bufs, ns, nc in staged]
+                                             dtype, order, out=s[4]),
+                    staged))
+        return [self._finalize(parsed, bufs, ns, nc, dtype, order, out=out)
+                for parsed, bufs, ns, nc, out in staged]
 
-    def _finalize(self, parsed, bufs, n_samples, n_channels, dtype, order):
+    def _finalize(self, parsed, bufs, n_samples, n_channels, dtype, order,
+                  out=None):
         n_head = parsed['n_head']
         n_coded = parsed['n_elems'] - n_head
+        # A provided destination must be exactly the chunk's layout to
+        # be written in place; anything else falls back to a fresh
+        # array (callers detect that by identity).
+        if out is not None and not (out.flags.c_contiguous
+                                    and out.flags.writeable
+                                    and out.shape == (n_samples, n_channels)
+                                    and out.dtype == dtype):
+            out = None
+        dest = out
         # Fused native finalize for the standard 2-byte aligned layout:
         # combine planes + inverse zigzag + pad-drop + transpose in one
         # blocked C pass (the host analogue of the device pipeline's
@@ -746,7 +766,8 @@ class AnsCodec:
                     desc.append((1, np.ascontiguousarray(pl['raw'])))
                 else:
                     desc.append((0, bufs[p]))
-            out = np.empty((n_samples, n_channels), dtype=dtype)
+            out = dest if dest is not None \
+                else np.empty((n_samples, n_channels), dtype=dtype)
             # Head bytes are stored little-endian; view with the
             # LE twin and let the assignment cast for '>' dtypes.
             out[0] = parsed['head'].view(
@@ -774,7 +795,8 @@ class AnsCodec:
             if n_head != n_channels:
                 raise IOError("ANS chunk head has %d elements, expected "
                               "%d channels." % (n_head, n_channels))
-            out = np.empty((n_samples, n_channels), dtype=dtype)
+            out = dest if dest is not None \
+                else np.empty((n_samples, n_channels), dtype=dtype)
             # Head bytes are stored little-endian; view with the
             # LE twin and let the assignment cast for '>' dtypes.
             out[0] = parsed['head'].view(
@@ -782,6 +804,10 @@ class AnsCodec:
                 if dtype.byteorder == '>' else dtype)
             out[1:] = flat.reshape((n_samples - 1, n_channels), order=order)
             return out
+        if dest is not None:
+            np.copyto(dest, flat.reshape((n_samples, n_channels),
+                                         order=order))
+            return dest
         return flat.reshape((n_samples, n_channels), order=order)
 
     # --- container parsing (shared with the device decode path) -----------

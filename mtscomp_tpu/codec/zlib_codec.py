@@ -62,8 +62,15 @@ class ZlibCodec:
             return out
         return [zlib.compress(b) for b in bufs]
 
-    def decode_batch(self, payloads, shapes, dtype, order='F', n_threads=1):
-        """Inflate several payloads; ``shapes`` is a list of (ns, nc)."""
+    def decode_batch(self, payloads, shapes, dtype, order='F', n_threads=1,
+                     outs=None):
+        """Inflate several payloads; ``shapes`` is a list of (ns, nc).
+
+        ``outs`` (optional) is a per-chunk list of destination arrays:
+        matching C-contiguous destinations receive the diffed chunk in
+        place (sparing the caller's later concatenate/contiguity copy);
+        non-matching or None entries get fresh views as before.
+        """
         if len(payloads) != len(shapes):
             raise ValueError("decode_batch got %d payloads but %d shapes."
                              % (len(payloads), len(shapes)))
@@ -77,12 +84,20 @@ class ZlibCodec:
                 raws = [zlib.decompress(p) for p in payloads]
             except Exception as e:
                 raise IOError("Corrupted zlib chunk payload (%s)." % (e,))
+        if outs is None:
+            outs = [None] * len(payloads)
         out = []
-        for k, (raw, (ns, nc)) in enumerate(zip(raws, shapes)):
+        for k, (raw, (ns, nc), dest) in enumerate(zip(raws, shapes, outs)):
             flat = np.frombuffer(raw, dtype=dtype)
             if flat.size != ns * nc:
                 raise IOError(
                     "Decompressed chunk (batch item %d) has %d elements, "
                     "expected %d." % (k, flat.size, ns * nc))
-            out.append(flat.reshape((ns, nc), order=order))
+            chunk = flat.reshape((ns, nc), order=order)
+            if dest is not None and dest.flags.c_contiguous \
+                    and dest.flags.writeable and dest.shape == chunk.shape \
+                    and dest.dtype == chunk.dtype:
+                np.copyto(dest, chunk)
+                chunk = dest
+            out.append(chunk)
         return out

@@ -194,7 +194,14 @@ def deflate_batch(buffers, n_threads=1):
 
 
 def inflate_batch(payloads, out_sizes, n_threads=1):
-    """zlib-decompress payloads into exact-size buffers; None if no lib."""
+    """zlib-decompress payloads into exact-size buffers; None if no lib.
+
+    Returns uint8 ndarrays (zero-copy views of the inflate
+    destinations): ctypes string buffers would pay a memset on
+    allocation plus a full ``.raw`` copy on return — two extra memory
+    passes over multi-MB chunks.
+    """
+    import numpy as np
     lib = _load()
     if lib is None or not payloads:
         return None
@@ -210,15 +217,15 @@ def inflate_batch(payloads, out_sizes, n_threads=1):
         keepalive.append(b)
         in_ptrs[i] = ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
         in_lens[i] = len(b)
-        ob = ctypes.create_string_buffer(size if size > 0 else 1)
+        ob = np.empty(size if size > 0 else 1, dtype=np.uint8)
         outs.append(ob)
-        out_ptrs[i] = ctypes.cast(ob, ctypes.c_void_p)
+        out_ptrs[i] = ctypes.c_void_p(ob.ctypes.data)
         out_lens[i] = size
     rc = lib.mts_inflate_batch(n, in_ptrs, in_lens, out_ptrs, out_lens,
                                int(n_threads))
     if rc != 0:
         return None
-    return [outs[i].raw[:out_sizes[i]] for i in range(n)]
+    return [outs[i][:out_sizes[i]] for i in range(n)]
 
 
 def rans_encode_groups(groups, n_threads=1):

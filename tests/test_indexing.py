@@ -164,3 +164,37 @@ def test_window_results_are_safely_writable(reader_and_arr):
     win[:] = -1
     again = np.asarray(r[10:50])
     assert np.array_equal(again, np.asarray(arr[10:50], dtype=again.dtype))
+
+
+def test_bulk_span_path(reader_and_arr):
+    """Slices spanning >= _BULK_SPAN_CHUNKS chunks batch-decode into one
+    span array (no LRU); results must match the oracle, stay fresh
+    (safely writable), and steps/offsets must apply after assembly."""
+    from mtscomp_tpu.api import _BULK_SPAN_CHUNKS
+    r, arr = reader_and_arr
+    assert r.n_chunks >= _BULK_SPAN_CHUNKS + 1
+    i1 = int(r.chunk_bounds[_BULK_SPAN_CHUNKS]) + 7
+    for expr in (slice(3, i1), slice(3, i1, 5), slice(None)):
+        _check(r, arr, expr)
+    full = r[:]
+    full[:] = -1
+    assert np.array_equal(r[:], arr)        # mutation must not alias
+
+
+@pytest.mark.parametrize('algorithm', ['zlib', 'ans'])
+def test_bulk_span_spatial_diff(tmp_path, algorithm):
+    """Spatial diff makes the in-place inverse decline its destination
+    views (the axis-1 cumsum allocates); the bulk span path must then
+    fall back to copying per-chunk results without corruption."""
+    arr = to_int16(make_signal('colored'))
+    path = write_arr(tmp_path / 'sd.bin', arr)
+    compress(path, tmp_path / 'sd.cbin', tmp_path / 'sd.ch',
+             sample_rate=SAMPLE_RATE, n_channels=arr.shape[1],
+             dtype=arr.dtype, algorithm=algorithm, quiet=True,
+             do_spatial_diff=True)
+    r = decompress(tmp_path / 'sd.cbin', tmp_path / 'sd.ch', device='none')
+    try:
+        assert np.array_equal(r[:], arr)
+        _check(r, arr, slice(5, arr.shape[0] - 3, 2))
+    finally:
+        r.close()
