@@ -927,11 +927,28 @@ def check(data, out, outmeta):
     associative).
     """
     unc = decompress(out, outmeta)
+
+    def chunks():
+        """Decoded chunks, batch-decoded when the codec supports it
+        (the C++ workers then span each batch instead of the serial
+        per-chunk loop — this check runs by default after every
+        compress, so its speed is part of the write path)."""
+        if not hasattr(unc, '_decompress_chunks_batch') \
+                or not hasattr(unc.codec, 'decode_batch'):
+            for chunk_idx, start, length in unc.iter_chunks():
+                yield chunk_idx, unc.read_chunk(chunk_idx, start, length)
+            return
+        batch = max(1, unc.batch_size)
+        for first in range(0, unc.n_chunks, batch):
+            ids = list(range(first, min(first + batch, unc.n_chunks)))
+            decoded = unc._decompress_chunks_batch(ids)
+            for i in ids:
+                yield i, decoded[i]
+
     try:
-        for chunk_idx, start, length in progress(
-                unc.iter_chunks(), total=unc.n_chunks, desc='Checking',
+        for chunk_idx, chunk in progress(
+                chunks(), total=unc.n_chunks, desc='Checking',
                 disable=getattr(unc, 'quiet', False)):
-            chunk = unc.read_chunk(chunk_idx, start, length)
             i0, i1 = unc.chunk_bounds[chunk_idx], unc.chunk_bounds[chunk_idx + 1]
             expected = data[i0:i1]
             assert chunk.dtype == expected.dtype
