@@ -203,6 +203,9 @@ def mtsdesc(args=None):
     sys.excepthook = exception_handler
     parser = mtsdecomp_parser()
     parser.description = 'Describe a compressed file.'
+    parser.add_argument('--json', action='store_true',
+                        help='print the description as one JSON object '
+                             '(for scripts)')
     pargs = parser.parse_args(args or sys.argv[1:])
     r = Reader()
     r.open(pargs.cdata, pargs.cmeta)
@@ -227,6 +230,11 @@ def mtsdesc(args=None):
     if part is not None:
         info['part'] = 'chunks [%d, %d) of %s' % (
             part[0], part[1], r.cmeta.get('part_of', '?'))
+    if pargs.json:
+        import json as _json
+        info['dtype'] = str(info['dtype'])
+        print(_json.dumps(info))
+        return
     for k, v in info.items():
         print('{:<15}'.format(k), str(v))
 

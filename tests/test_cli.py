@@ -54,6 +54,15 @@ def test_cli_roundtrip(data, capsys):
     assert re.search(r'dtype\s+int16', desc)
     assert re.search(r'n_channels\s+5', desc)
 
+    # --json emits one machine-readable object with the same fields.
+    cli.mtsdesc([str(out), str(outmeta), '--json'])
+    import json as _json
+    info = _json.loads(capsys.readouterr().out)
+    assert info['dtype'] == 'int16'
+    assert info['n_channels'] == 5
+    assert info['algorithm'] == 'zlib'
+    assert info['n_samples'] == arr.shape[0]
+
     dec = tmp / 'dec.bin'
     cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec)])
     loaded = load_raw_data(dec, n_channels=5, dtype='int16')
