@@ -152,19 +152,25 @@ class Writer:
         """Transform + entropy-code one chunk; returns (idx, (raw, payload))."""
         chunk = self.get_chunk(chunk_idx)
         assert chunk.ndim == 2 and chunk.shape[1] == self.n_channels
+        # Prefer the parts form (a list of byte-like container pieces):
+        # the write-back loop streams parts straight to the file, so
+        # the multi-MB per-chunk container join never happens.
+        enc = getattr(self.codec, 'encode_parts', self.codec.encode)
         if (self.algorithm == 'ans' and self.do_time_diff
                 and not self.do_spatial_diff):
             # The ANS codec fuses the axis-0 diff into its native prep
             # pass (byte-identical output; saves a memory round trip —
             # and reads the memmap pages directly instead of through a
             # diffed copy).
-            payload = self.codec.encode(chunk, order=self.chunk_order,
-                                        time_diff_pending=True)
+            payload = enc(chunk, order=self.chunk_order,
+                          time_diff_pending=True)
         else:
             chunkd = self._transform_chunk(chunk)
-            payload = self.codec.encode(chunkd, order=self.chunk_order)
+            payload = enc(chunkd, order=self.chunk_order)
+        size = (sum(len(p) for p in payload)
+                if isinstance(payload, list) else len(payload))
         logger.debug("Chunk %d/%d: -%.3f%%.", chunk_idx + 1, self.n_chunks,
-                     100 - 100 * len(payload) / (chunk.size * chunk.itemsize))
+                     100 - 100 * size / (chunk.size * chunk.itemsize))
         return chunk_idx, (chunk, payload)
 
     def _use_device(self):
@@ -320,12 +326,17 @@ class Writer:
                     raws, payloads = [], []
                     for idx in sorted(compressed):
                         chunk, payload = compressed[idx]
-                        fb.write(payload)
-                        offset += len(payload)
+                        parts = (payload if isinstance(payload, list)
+                                 else (payload,))
+                        for part in parts:
+                            fb.write(part)
+                            offset += len(part)
+                            # Hash the parts in byte order (identical
+                            # digest to hashing the joined container).
+                            payloads.append(part)
                         self.chunk_offsets.append(offset)
                         # Contiguous memmap slices hash zero-copy.
                         raws.append(np.ascontiguousarray(chunk))
-                        payloads.append(payload)
                     for f in hash_pending:
                         f.result()
                     hash_pending = [

@@ -111,16 +111,22 @@ def _crc32(buf, crc=0):
     return zlib.crc32(buf, crc)
 
 
-def _append_crc(parts):
-    """Join container parts with the trailing CRC32 appended.
+def _parts_with_crc(parts):
+    """Container parts plus the trailing CRC32 part.
 
-    The CRC accumulates across parts so the (potentially multi-MB)
-    container is joined exactly once on the encode hot path.
+    The CRC accumulates across parts; callers that can write parts
+    sequentially (the Writer) skip joining the multi-MB container
+    entirely — byte-wise the stream is identical to the joined form.
     """
     crc = 0
     for p in parts:
         crc = _crc32(p, crc)
-    return b''.join(parts + [struct.pack('<I', crc)])
+    return parts + [struct.pack('<I', crc)]
+
+
+def _append_crc(parts):
+    """Join container parts with the trailing CRC32 appended."""
+    return b''.join(_parts_with_crc(parts))
 
 _HEADER = struct.Struct('<IBBBBIBBBBHH')
 assert _HEADER.size == 20
@@ -394,7 +400,17 @@ class AnsCodec:
     # --- encode -----------------------------------------------------------
 
     def encode(self, chunkd, order='F', time_diff_pending=False):
-        """Encode one transformed chunk into a self-contained container.
+        """Encode one transformed chunk into one container bytestring."""
+        return b''.join(self.encode_parts(
+            chunkd, order=order, time_diff_pending=time_diff_pending))
+
+    def encode_parts(self, chunkd, order='F', time_diff_pending=False):
+        """Encode one transformed chunk into container parts.
+
+        Returns the list of byte-like parts (CRC32 tail included) whose
+        concatenation is the self-contained chunk container — the
+        Writer streams the parts straight to the output file, skipping
+        the multi-MB join of :meth:`encode`.
 
         With ``time_diff_pending=True`` the argument is the RAW chunk
         and the axis-0 time diff is still owed: the fast native prep
@@ -485,8 +501,8 @@ class AnsCodec:
             # restart on the generic path. diff_along_axis keeps row 0
             # verbatim, so head semantics are identical.
             from ..ops.delta import diff_along_axis
-            return self.encode(diff_along_axis(chunkd, axis=0),
-                               order=order)
+            return self.encode_parts(diff_along_axis(chunkd, axis=0),
+                                     order=order)
         if fast is None:
             elements = (chunkd[1:] if split_head else chunkd
                         ).ravel(order=order)
@@ -599,7 +615,7 @@ class AnsCodec:
             parts.append(struct.pack('<I', n_groups))
             parts.append(np.asarray(word_counts, '<u4').tobytes())
             parts.extend(group_blobs)
-        return _append_crc(parts)
+        return _parts_with_crc(parts)
 
     def _encode_groups(self, group_inputs):
         """Encode groups via the native batch encoder when available."""
