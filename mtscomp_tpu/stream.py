@@ -124,24 +124,32 @@ class StreamWriter:
 
     def _flush_chunk(self, chunk):
         chunk = np.ascontiguousarray(chunk)
+        # Parts form when available: the container streams to the file
+        # part by part instead of through one multi-MB join (see
+        # Writer._compress_chunk).
+        enc = getattr(self.codec, 'encode_parts', self.codec.encode)
         if (self.algorithm == 'ans' and self.do_time_diff
                 and not self.do_spatial_diff):
             # The codec fuses the axis-0 diff into its native prep
             # pass (byte-identical output; saves a memory round trip).
-            payload = self.codec.encode(chunk, order=self.chunk_order,
-                                        time_diff_pending=True)
+            payload = enc(chunk, order=self.chunk_order,
+                          time_diff_pending=True)
         else:
             chunkd = diff_along_axis(chunk,
                                      axis=0 if self.do_time_diff else None)
             chunkd = diff_along_axis(chunkd,
                                      axis=1 if self.do_spatial_diff else None)
-            payload = self.codec.encode(chunkd, order=self.chunk_order)
-        self._fb.write(payload)
+            payload = enc(chunkd, order=self.chunk_order)
+        parts = payload if isinstance(payload, list) else (payload,)
+        size = 0
+        for part in parts:
+            self._fb.write(part)
+            self.sha1_compressed.update(part)
+            size += len(part)
         self.n_samples += chunk.shape[0]
         self.chunk_bounds.append(self.n_samples)
-        self.chunk_offsets.append(self.chunk_offsets[-1] + len(payload))
+        self.chunk_offsets.append(self.chunk_offsets[-1] + size)
         self.sha1_uncompressed.update(chunk)
-        self.sha1_compressed.update(payload)
         logger.debug("Streamed chunk %d (%d samples).",
                      len(self.chunk_bounds) - 2, chunk.shape[0])
         if self.live_sidecar:

@@ -94,10 +94,18 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
                         chunk, axis=0 if time_diff else None)
                     chunkd = diff_along_axis(
                         chunkd, axis=1 if spatial_diff else None)
-                    payload = codec.encode(chunkd, order=order)
-                    fb.write(payload)
-                    sha_c.update(payload)
-                    offsets.append(offsets[-1] + len(payload))
+                    # Parts form when available: stream the container
+                    # to the file without the multi-MB join.
+                    enc = getattr(codec, 'encode_parts', codec.encode)
+                    payload = enc(chunkd, order=order)
+                    parts = (payload if isinstance(payload, list)
+                             else (payload,))
+                    size = 0
+                    for part in parts:
+                        fb.write(part)
+                        sha_c.update(part)
+                        size += len(part)
+                    offsets.append(offsets[-1] + size)
             want = src.get('sha1_uncompressed')
             if want and sha_u.hexdigest() != want:
                 raise IOError(
