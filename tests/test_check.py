@@ -117,3 +117,33 @@ def test_no_check_flag(tmp_path_):
     w.open(path, sample_rate=SAMPLE_RATE, n_channels=3, dtype=arr.dtype)
     w.write(tmp_path_ / 'o.cbin', tmp_path_ / 'o.ch')
     w.close()
+
+
+def test_corrupted_chunk_surfaces_in_bulk_span(tmp_path_, algorithm):
+    """The bulk span read path (>= 4 chunks batch-decoded into one
+    array) must surface corruption exactly like the per-chunk path."""
+    from mtscomp_tpu.api import _BULK_SPAN_CHUNKS
+    arr = to_int16(make_signal('randn'))
+    path = write_arr(tmp_path_ / 'data.bin', arr)
+    out, outmeta = tmp_path_ / 'data.cbin', tmp_path_ / 'data.ch'
+    compress(path, out, outmeta, sample_rate=SAMPLE_RATE,
+             n_channels=arr.shape[1], dtype=arr.dtype,
+             algorithm=algorithm, quiet=True)
+    blob = bytearray(out.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    out.write_bytes(bytes(blob))
+    r = decompress(out, outmeta, device='none')
+    try:
+        assert r.n_chunks >= _BULK_SPAN_CHUNKS
+        if algorithm == 'ans':
+            # The v2 container CRC32 makes detection deterministic.
+            with pytest.raises(IOError):
+                r[:]
+        else:
+            try:
+                detected = not np.array_equal(r[:], arr)
+            except Exception:
+                detected = True
+            assert detected
+    finally:
+        r.close()
