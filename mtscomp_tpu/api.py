@@ -39,11 +39,12 @@ from .utils.misc import Bunch, clip, logger, progress
 # BEFORE JAX is touched so small-file operations stay instant.
 AUTO_DEVICE_MIN_BYTES = 1 << 28
 
-# Host slice reads spanning at least this many chunks skip the LRU
-# chunk cache and run the codec's batch decoder straight into one
-# span-wide array (Reader._read_span_bulk): short window reads keep
-# the cache's repeat-read latency, wide reads get the C++ worker pool
-# and lose a full-span concatenate copy.
+# Host slice reads spanning at least this many chunks — and more than
+# the reader's LRU capacity, so repeated reads could never be cache
+# hits anyway — skip the chunk cache and run the codec's batch decoder
+# straight into one span-wide array (Reader._read_span_bulk): cacheable
+# window reads keep the LRU's repeat-read latency, wide reads get the
+# C++ worker pool and lose a full-span concatenate copy.
 _BULK_SPAN_CHUNKS = 4
 
 
@@ -573,12 +574,12 @@ class Reader:
     def _read_span_bulk(self, first_chunk, last_chunk):
         """Decode a multi-chunk span straight into one fresh array.
 
-        Large slice reads (>= ``_BULK_SPAN_CHUNKS`` chunks) skip the LRU
-        chunk cache (they would only thrash its few entries) and hand
-        the whole span to the codec's batch decoder with per-chunk
-        destination views of the result, so the native workers
-        parallelize across chunks and the per-chunk concatenate copy of
-        the cached path disappears.
+        Slice reads wider than the LRU capacity (and at least
+        ``_BULK_SPAN_CHUNKS`` chunks) skip the chunk cache — they could
+        only thrash it — and hand the whole span to the codec's batch
+        decoder with per-chunk destination views of the result, so the
+        native workers parallelize across chunks and the per-chunk
+        concatenate copy of the cached path disappears.
         """
         n0 = self.chunk_bounds[first_chunk]
         arr = np.empty((self.chunk_bounds[last_chunk + 1] - n0,
@@ -860,7 +861,8 @@ class Reader:
                 return out
             first_chunk, last_chunk = self._chunks_for_interval(i0, i1)
             single = None
-            if (last_chunk - first_chunk + 1 >= _BULK_SPAN_CHUNKS
+            n_span = last_chunk - first_chunk + 1
+            if (n_span >= _BULK_SPAN_CHUNKS and n_span > self.cache_size
                     and hasattr(self.codec, 'decode_batch')):
                 # Wide spans: batch-decode into one array (no LRU, no
                 # per-chunk concat copy; C++ workers span the chunks).
@@ -949,7 +951,15 @@ def check(data, out, outmeta):
             for chunk_idx, start, length in unc.iter_chunks():
                 yield chunk_idx, unc.read_chunk(chunk_idx, start, length)
             return
-        batch = max(1, unc.batch_size)
+        # The whole batch is held decoded at once, so bound it by bytes
+        # as well as by worker count: batch_size follows cpu_count, and
+        # on many-core hosts with ~23 MB Neuropixels chunks an
+        # unbounded batch would stage multi-GB transients inside what
+        # is supposed to be a safety check.
+        chunk_bytes = max(
+            int(np.max(np.diff(unc.chunk_bounds))) * unc.n_channels
+            * unc.dtype.itemsize, 1)
+        batch = max(1, min(unc.batch_size, (1 << 28) // chunk_bytes))
         for first in range(0, unc.n_chunks, batch):
             ids = list(range(first, min(first + batch, unc.n_chunks)))
             decoded = unc._decompress_chunks_batch(ids)

@@ -71,6 +71,7 @@ import zlib
 
 import numpy as np
 
+from .buffers import dest_matches
 from ..models import rans
 
 MAGIC = 0x3253544D
@@ -759,12 +760,8 @@ class AnsCodec:
         # A provided destination must be exactly the chunk's layout to
         # be written in place; anything else falls back to a fresh
         # array (callers detect that by identity).
-        if out is not None and not (out.flags.c_contiguous
-                                    and out.flags.writeable
-                                    and out.shape == (n_samples, n_channels)
-                                    and out.dtype == dtype):
-            out = None
-        dest = out
+        dest = out if dest_matches(out, (n_samples, n_channels), dtype) \
+            else None
         # Fused native finalize for the standard 2-byte aligned layout:
         # combine planes + inverse zigzag + pad-drop + transpose in one
         # blocked C pass (the host analogue of the device pipeline's

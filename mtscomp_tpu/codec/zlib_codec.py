@@ -17,6 +17,8 @@ import zlib
 
 import numpy as np
 
+from .buffers import dest_matches
+
 
 class ZlibCodec:
     """Deflate/inflate one diffed chunk."""
@@ -94,9 +96,7 @@ class ZlibCodec:
                     "Decompressed chunk (batch item %d) has %d elements, "
                     "expected %d." % (k, flat.size, ns * nc))
             chunk = flat.reshape((ns, nc), order=order)
-            if dest is not None and dest.flags.c_contiguous \
-                    and dest.flags.writeable and dest.shape == chunk.shape \
-                    and dest.dtype == chunk.dtype:
+            if dest_matches(dest, chunk.shape, chunk.dtype):
                 np.copyto(dest, chunk)
                 chunk = dest
             out.append(chunk)

@@ -84,6 +84,9 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
             with open(tmp, 'wb') as fb:
                 it = progress(range(r.n_chunks), desc='Transcoding',
                               disable=quiet)
+                # Parts form when available: stream each container to
+                # the file without the multi-MB join.
+                enc = getattr(codec, 'encode_parts', codec.encode)
                 for idx in it:
                     _, chunk = r._decompress_chunk(idx)
                     # C-order chunk bytes == the raw file's byte order
@@ -94,9 +97,6 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
                         chunk, axis=0 if time_diff else None)
                     chunkd = diff_along_axis(
                         chunkd, axis=1 if spatial_diff else None)
-                    # Parts form when available: stream the container
-                    # to the file without the multi-MB join.
-                    enc = getattr(codec, 'encode_parts', codec.encode)
                     payload = enc(chunkd, order=order)
                     parts = (payload if isinstance(payload, list)
                              else (payload,))

@@ -132,9 +132,11 @@ def test_corrupted_chunk_surfaces_in_bulk_span(tmp_path_, algorithm):
     blob = bytearray(out.read_bytes())
     blob[len(blob) // 2] ^= 0xFF
     out.write_bytes(bytes(blob))
-    r = decompress(out, outmeta, device='none')
+    # cache_size below the span so the bulk path engages.
+    r = decompress(out, outmeta, device='none', cache_size=2)
     try:
         assert r.n_chunks >= _BULK_SPAN_CHUNKS
+        assert r.n_chunks > r.cache_size
         if algorithm == 'ans':
             # The v2 container CRC32 makes detection deterministic.
             with pytest.raises(IOError):

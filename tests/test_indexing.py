@@ -192,7 +192,10 @@ def test_bulk_span_spatial_diff(tmp_path, algorithm):
              sample_rate=SAMPLE_RATE, n_channels=arr.shape[1],
              dtype=arr.dtype, algorithm=algorithm, quiet=True,
              do_spatial_diff=True)
-    r = decompress(tmp_path / 'sd.cbin', tmp_path / 'sd.ch', device='none')
+    # cache_size below the span so the bulk path engages (spans that
+    # fit the LRU keep the cached per-chunk path).
+    r = decompress(tmp_path / 'sd.cbin', tmp_path / 'sd.ch', device='none',
+                   cache_size=2)
     try:
         assert np.array_equal(r[:], arr)
         _check(r, arr, slice(5, arr.shape[0] - 3, 2))
