@@ -910,6 +910,15 @@ class Reader:
                 "Indexing with multiple values is currently unsupported.")
         return fallback  # pragma: no cover
 
+    def __array__(self, dtype=None, copy=None):
+        """NumPy protocol: ``np.asarray(reader)`` materializes the full
+        recording (beyond-reference convenience; the reference Reader
+        exposes only shape/ndim/dtype/__getitem__)."""
+        arr = self[:]
+        if dtype is not None and arr.dtype != np.dtype(dtype):
+            arr = arr.astype(dtype)
+        return arr
+
     def close(self):
         # Only close handles we opened ourselves: a Reader may be given an
         # already-open file object (e.g. by check() during tofile), and

@@ -201,3 +201,15 @@ def test_bulk_span_spatial_diff(tmp_path, algorithm):
         _check(r, arr, slice(5, arr.shape[0] - 3, 2))
     finally:
         r.close()
+
+
+def test_numpy_asarray_protocol(reader_and_arr):
+    """np.asarray(reader) materializes the recording (beyond-reference
+    convenience via __array__)."""
+    r, arr = reader_and_arr
+    got = np.asarray(r)
+    assert got.dtype == arr.dtype
+    assert np.array_equal(got, arr)
+    widened = np.asarray(r, dtype=np.int32)
+    assert widened.dtype == np.int32
+    assert np.array_equal(widened, arr.astype(np.int32))
