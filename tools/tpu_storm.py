@@ -309,7 +309,24 @@ def main():
             raw = sub / 'x.bin'
             arr.tofile(raw)
             quant = kw.pop('quantizer', None)
-            patches = {(rans, 'quantize_freqs'): quant} if quant else {}
+            patches = {}
+            if quant:
+                # Patch EVERY quantizer seam the encode paths use: the
+                # scalar normative entry (device-encoder fallback) AND
+                # the batched fast path the host codec's decide_plane
+                # now routes through (codec.ans._quantize_rows — the
+                # native row-batched quantizer made the old scalar-only
+                # patch silently dead, which this storm caught as
+                # two_fixup == 0).
+                from mtscomp_tpu.codec import ans as ans_mod
+
+                def quant_rows(sums, _q=quant):
+                    return np.stack(
+                        [_q(row) for row in np.asarray(sums)]
+                    ).astype(np.uint16)
+
+                patches[(rans, 'quantize_freqs')] = quant
+                patches[(ans_mod, '_quantize_rows')] = quant_rows
             with _patched(patches):
                 compress(raw, sub / 'x.cbin', sub / 'x.ch',
                          sample_rate=SR, n_channels=C, dtype=dt.name,
