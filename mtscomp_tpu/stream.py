@@ -44,6 +44,9 @@ class StreamWriter:
     def __init__(self, out, outmeta, sample_rate=None, n_channels=None,
                  dtype=None, live_sidecar=False, **kwargs):
         self.quiet = kwargs.pop('quiet', True)
+        # Internal: resume() reopens the existing payload in place
+        # instead of truncating it (see StreamWriter.resume).
+        reopen = kwargs.pop('_reopen', False)
         self.live_sidecar = bool(live_sidecar)
         config = read_config(**kwargs)
         self.config = config
@@ -71,7 +74,7 @@ class StreamWriter:
         self.out = Path(out)
         self.outmeta = Path(outmeta)
         self.out.parent.mkdir(exist_ok=True, parents=True)
-        self._fb = open(self.out, 'wb')
+        self._fb = open(self.out, 'r+b' if reopen else 'wb')
         # Preallocated one-chunk staging buffer, filled in place: every
         # appended sample is copied exactly once, and the writer never
         # aliases a caller's (possibly reused) acquisition buffer.
@@ -121,6 +124,143 @@ class StreamWriter:
             if self._fill == self.chunk_size:
                 self._flush_chunk(self._buffer)
                 self._fill = 0
+
+    @classmethod
+    def resume(cls, out, outmeta, live_sidecar=None, quiet=True,
+               **overrides):
+        """Reopen an interrupted stream and continue where it left off.
+
+        Crash recovery for live acquisition: a
+        ``StreamWriter(live_sidecar=True)`` that dies (power loss,
+        kill) leaves a payload plus a snapshot sidecar referencing only
+        fully flushed chunks. ``resume`` re-derives the writer state
+        from that pair so appending can continue, and the finished file
+        is **byte-identical** to an uninterrupted stream (and therefore
+        to ``compress()`` of the whole recording):
+
+        - format parameters (algorithm, diffs, order, chunk geometry,
+          ANS table settings) come from the sidecar — ``overrides`` may
+          add non-format options only;
+        - payload bytes past the last published chunk offset (an
+          unflushed partial write) are truncated away;
+        - both SHA1 accumulators are re-derived over the surviving
+          prefix — the compressed stream by re-hashing the file, the
+          raw stream by decoding every chunk — and checked against the
+          sidecar, so a resume doubles as a full integrity audit
+          (IOError on any mismatch);
+        - samples that were still in the crashed writer's one-chunk
+          buffer were never on disk and are NOT recovered — the
+          acquisition must replay from ``writer.n_samples``.
+
+        A finalized (non-streaming) sidecar is also accepted — i.e.
+        this doubles as append-to-existing — provided its last chunk is
+        full (a partial tail chunk cannot be extended byte-identically).
+        """
+        from .format import read_cmeta
+        out, outmeta = Path(out), Path(outmeta)
+        cm = read_cmeta(outmeta)
+        bounds = [int(b) for b in cm['chunk_bounds']]
+        offsets = [int(o) for o in cm['chunk_offsets']]
+        if len(bounds) < 2:
+            raise ValueError("Cannot resume %s: the sidecar references "
+                             "no complete chunks." % out)
+        sizes = set(b1 - b0 for b0, b1 in zip(bounds, bounds[1:]))
+        if len(sizes) != 1:
+            raise ValueError(
+                "Cannot resume %s: its last chunk is partial — a longer "
+                "recording would place a full chunk there, so appending "
+                "cannot stay byte-identical to a batch compress." % out)
+        chunk_size = sizes.pop()
+        for key in ('sample_rate', 'n_channels', 'dtype', 'algorithm'):
+            if key in overrides:
+                raise ValueError("resume derives %r from the sidecar; "
+                                 "it cannot be overridden." % key)
+        kwargs = dict(
+            algorithm=cm['algorithm'],
+            do_time_diff=cm['do_time_diff'],
+            do_spatial_diff=cm['do_spatial_diff'],
+            chunk_order=cm.get('chunk_order', 'F'),
+            comp_level=cm.get('comp_level', -1),
+            chunk_duration=chunk_size / float(cm['sample_rate']),
+        )
+        if cm.get('ans_seg_log2') is not None:
+            kwargs['ans_seg_log2'] = cm['ans_seg_log2']
+        # The sidecar records ans_table_mode only when it is not
+        # 'plane' — absence means plane, which must NOT fall back to
+        # the library default (segment since round 2) or the resumed
+        # chunks would diverge from the batch-compressed bytes.
+        kwargs['ans_table_mode'] = cm.get('ans_table_mode') or 'plane'
+        kwargs.update(overrides)
+        if live_sidecar is None:
+            live_sidecar = bool(cm.get('streaming', False))
+        w = cls(out, outmeta, sample_rate=cm['sample_rate'],
+                n_channels=cm['n_channels'], dtype=cm['dtype'],
+                live_sidecar=live_sidecar, quiet=quiet, _reopen=True,
+                **kwargs)
+        try:
+            if w.chunk_size != chunk_size:
+                # Guard against chunk_duration float round-trip drift.
+                w.chunk_size = chunk_size
+                w._buffer = np.empty((chunk_size, w.n_channels),
+                                     dtype=w.dtype)
+            import os
+            size = os.fstat(w._fb.fileno()).st_size
+            if size < offsets[-1]:
+                raise IOError(
+                    "Cannot resume %s: payload is %d bytes but the "
+                    "sidecar references %d — the file is truncated "
+                    "below its last published chunk."
+                    % (out, size, offsets[-1]))
+            if size > offsets[-1]:
+                # Unflushed bytes past the last published chunk (the
+                # crash interrupted a write): drop them.
+                w._fb.truncate(offsets[-1])
+            w._fb.seek(0)
+            while True:
+                block = w._fb.read(1 << 20)
+                if not block:
+                    break
+                w.sha1_compressed.update(block)
+            if w.sha1_compressed.hexdigest() != cm['sha1_compressed']:
+                raise IOError(
+                    "Cannot resume %s: payload does not match the "
+                    "sidecar's sha1_compressed — the surviving prefix "
+                    "is corrupt." % out)
+            from .api import Reader
+            r = Reader(quiet=True, device='none')
+            r.open(out, outmeta)
+            try:
+                for i, start, length in r.iter_chunks():
+                    chunk = r.read_chunk(i, start, length)
+                    w.sha1_uncompressed.update(np.ascontiguousarray(chunk))
+            finally:
+                r.close()
+            if w.sha1_uncompressed.hexdigest() != cm['sha1_uncompressed']:
+                raise IOError(
+                    "Cannot resume %s: decoded data does not match the "
+                    "sidecar's sha1_uncompressed." % out)
+            if w.algorithm == 'ans' and 'ans_channel_segments' \
+                    not in overrides:
+                # The sidecar does not record the channel-aligned
+                # layout choice (it is a per-container flag, bit2);
+                # derive it from the first surviving chunk so resumed
+                # chunks keep the file's layout.
+                w._fb.seek(offsets[0])
+                parsed0 = w.codec.parse(
+                    w._fb.read(offsets[1] - offsets[0]))
+                w.codec.channel_aligned = bool(parsed0['aligned'])
+            w.chunk_bounds = bounds
+            w.chunk_offsets = offsets
+            w.n_samples = bounds[-1]
+            w._fb.seek(offsets[-1])
+        except BaseException:
+            w._fb.close()
+            w._closed = True
+            raise
+        if not quiet:
+            logger.info("Resumed stream %s at sample %d (%d chunks).",
+                        out, w.n_samples, len(bounds) - 1)
+        return w
 
     def _flush_chunk(self, chunk):
         chunk = np.ascontiguousarray(chunk)

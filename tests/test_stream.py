@@ -347,3 +347,131 @@ def test_chop_of_live_snapshot_drops_streaming_marker(tmp_path_):
         assert np.array_equal(rd[:], arr[:2 * 2000])
     finally:
         rd.close()
+
+
+def _crash(writer):
+    """Simulate a process crash: drop the writer without close() —
+    whatever was not flushed to disk is lost."""
+    writer._fb.close()
+    writer._closed = True
+
+
+@pytest.mark.parametrize('algorithm', ['zlib', 'ans'])
+def test_stream_resume_matches_batch(tmp_path_, algorithm):
+    """Crash mid-stream, resume from the snapshot, finish: the output
+    must be byte-identical to an uninterrupted batch compress."""
+    arr = to_int16(make_signal('colored', ns=5 * 2000 + 333, nc=NC))
+    path = write_arr(tmp_path_ / 'batch.bin', arr)
+    compress(path, tmp_path_ / 'batch.cbin', tmp_path_ / 'batch.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm=algorithm, quiet=True)
+    w = StreamWriter(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm=algorithm, live_sidecar=True)
+    cut = 2 * 2000 + 777                 # 2 full chunks + buffered tail
+    w.append(arr[:cut])
+    _crash(w)
+    w2 = StreamWriter.resume(tmp_path_ / 'live.cbin', tmp_path_ / 'live.ch')
+    assert w2.n_samples == 2 * 2000      # the buffered tail was lost
+    w2.append(arr[w2.n_samples:])        # replay from the last sample
+    w2.close()
+    assert (tmp_path_ / 'live.cbin').read_bytes() == \
+        (tmp_path_ / 'batch.cbin').read_bytes()
+    import json
+    assert json.loads((tmp_path_ / 'live.ch').read_text()) == \
+        json.loads((tmp_path_ / 'batch.ch').read_text())
+
+
+def test_stream_resume_truncates_unflushed_bytes(tmp_path_):
+    """Bytes past the last published chunk offset (a write the crash
+    interrupted) are dropped on resume."""
+    arr = to_int16(make_signal('colored', ns=3 * 2000, nc=NC))
+    w = StreamWriter(tmp_path_ / 's.cbin', tmp_path_ / 's.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm='ans', live_sidecar=True)
+    w.append(arr[:2 * 2000])
+    _crash(w)
+    with open(tmp_path_ / 's.cbin', 'ab') as f:
+        f.write(b'\x01\x02\x03garbage-partial-write')
+    w2 = StreamWriter.resume(tmp_path_ / 's.cbin', tmp_path_ / 's.ch')
+    w2.append(arr[w2.n_samples:])
+    w2.close()
+    r = decompress(tmp_path_ / 's.cbin', tmp_path_ / 's.ch', quiet=True,
+                   device='none')
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_stream_resume_rejects_corrupt_prefix(tmp_path_):
+    """A flipped byte in the surviving payload must fail the resume
+    audit instead of silently continuing a corrupt recording."""
+    arr = to_int16(make_signal('colored', ns=3 * 2000, nc=NC))
+    w = StreamWriter(tmp_path_ / 'c.cbin', tmp_path_ / 'c.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm='ans', live_sidecar=True)
+    w.append(arr[:2 * 2000])
+    _crash(w)
+    blob = bytearray((tmp_path_ / 'c.cbin').read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    (tmp_path_ / 'c.cbin').write_bytes(bytes(blob))
+    with pytest.raises(IOError):
+        StreamWriter.resume(tmp_path_ / 'c.cbin', tmp_path_ / 'c.ch')
+
+
+def test_stream_resume_rejects_partial_tail(tmp_path_):
+    """A finalized recording whose last chunk is partial cannot be
+    extended byte-identically."""
+    arr = to_int16(make_signal('colored', ns=2 * 2000 + 500, nc=NC))
+    with StreamWriter(tmp_path_ / 'p.cbin', tmp_path_ / 'p.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans') as w:
+        w.append(arr)
+    with pytest.raises(ValueError, match='partial'):
+        StreamWriter.resume(tmp_path_ / 'p.cbin', tmp_path_ / 'p.ch')
+
+
+def test_stream_resume_append_to_finalized(tmp_path_):
+    """resume() doubles as append-to-existing when the finalized
+    recording ends on a chunk boundary."""
+    arr = to_int16(make_signal('colored', ns=4 * 2000, nc=NC))
+    with StreamWriter(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans') as w:
+        w.append(arr[:2 * 2000])
+    w2 = StreamWriter.resume(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch')
+    assert w2.live_sidecar is False      # finalized source: batch style
+    w2.append(arr[2 * 2000:])
+    w2.close()
+    path = write_arr(tmp_path_ / 'full.bin', arr)
+    compress(path, tmp_path_ / 'full.cbin', tmp_path_ / 'full.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True)
+    assert (tmp_path_ / 'a.cbin').read_bytes() == \
+        (tmp_path_ / 'full.cbin').read_bytes()
+
+
+@pytest.mark.parametrize('opts', [
+    dict(ans_table_mode='plane'),
+    dict(ans_channel_segments=False),
+])
+def test_stream_resume_preserves_layout_choices(tmp_path_, opts):
+    """Layout options the sidecar does not spell out (plane tables are
+    recorded by omission; channel alignment is a container flag) must
+    survive a resume, or resumed chunks diverge from the batch bytes."""
+    arr = to_int16(make_signal('colored', ns=4 * 2000, nc=NC))
+    path = write_arr(tmp_path_ / 'full.bin', arr)
+    compress(path, tmp_path_ / 'full.cbin', tmp_path_ / 'full.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, **opts)
+    w = StreamWriter(tmp_path_ / 'l.cbin', tmp_path_ / 'l.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm='ans', live_sidecar=True, **opts)
+    w.append(arr[:2 * 2000])
+    _crash(w)
+    w2 = StreamWriter.resume(tmp_path_ / 'l.cbin', tmp_path_ / 'l.ch')
+    w2.append(arr[2 * 2000:])
+    w2.close()
+    assert (tmp_path_ / 'l.cbin').read_bytes() == \
+        (tmp_path_ / 'full.cbin').read_bytes()
