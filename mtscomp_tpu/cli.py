@@ -8,12 +8,13 @@ hook. New: ``-a/--algorithm`` to select the TPU rANS format (v2).
 
 import argparse
 import sys
+from pathlib import Path
 
 import numpy as np
 
 from .api import Reader, compress, decompress
 from .config import read_config, write_config
-from .utils.misc import add_default_handler
+from .utils.misc import add_default_handler, logger
 
 
 def exception_handler(exception_type, exception, traceback,
@@ -180,6 +181,11 @@ def mtsdecomp_parser():
                         help='path to the output decompressed file (.bin)')
     parser.add_argument('--overwrite', '-f', action='store_true',
                         help='overwrite existing output')
+    parser.add_argument('--samples', type=str, default=None,
+                        metavar='A:B',
+                        help='export only samples [A, B) (random access '
+                             'decode of just the covering chunks; the '
+                             'whole-file hash checks do not apply)')
     _shared_options(parser)
     _device_option(parser)
     return parser
@@ -192,6 +198,31 @@ def mtsdecomp(args=None):
     pargs, config = _args_to_config(parser, args or sys.argv[1:],
                                     compress=False)
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
+    if pargs.samples is not None:
+        try:
+            a_s, b_s = pargs.samples.split(':')
+            a = int(a_s) if a_s else None
+            b = int(b_s) if b_s else None
+        except ValueError:
+            raise ValueError("--samples expects A:B (sample indices, "
+                             "either side optional), got %r"
+                             % pargs.samples)
+        config.pop('check_after_decompress', None)
+        r = decompress(pargs.cdata, pargs.cmeta,
+                       check_after_decompress=False, **config)
+        try:
+            out = Path(pargs.out) if pargs.out \
+                else Path(pargs.cdata).with_suffix('.bin')
+            if out.exists() and not pargs.overwrite:
+                raise ValueError("File %s already exists (use -f to "
+                                 "overwrite)." % out)
+            window = r[a:b]
+            window.tofile(out)
+            logger.info("Wrote %s (%d samples x %d channels).",
+                        out, window.shape[0], window.shape[1])
+        finally:
+            r.close()
+        return
     decompress(pargs.cdata, pargs.cmeta, out=pargs.out, write_output=True,
                overwrite=pargs.overwrite, **config)
 
@@ -270,7 +301,6 @@ def mtsmerge(args=None):
                         help='verbose')
     pargs = parser.parse_args(args or sys.argv[1:])
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
-    from pathlib import Path
     from .format import cmeta_sidecar_path
     from .parallel.distributed import merge_parts
     pairs = [(Path(p), cmeta_sidecar_path(p)) for p in pargs.parts]

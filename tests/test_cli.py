@@ -177,3 +177,28 @@ def test_cli_range_and_merge(tmp_path_):
         assert np.array_equal(r[:], arr)
     finally:
         r.close()
+
+
+def test_cli_decomp_samples_window(data, tmp_path):
+    """mtsdecomp --samples A:B exports just a window (random access)."""
+    tmp, path, arr = data
+    out, outmeta = tmp / 'w.cbin', tmp / 'w.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5', '-a', 'ans'])
+    dst = tmp_path / 'win.bin'
+    cli.mtsdecomp([str(out), str(outmeta), '-o', str(dst),
+                   '--samples', '100:300'])
+    got = np.fromfile(dst, dtype=arr.dtype).reshape(-1, 5)
+    assert np.array_equal(got, arr[100:300])
+    # Existing output without -f is refused; -f overwrites.
+    with pytest.raises(ValueError):
+        cli.mtsdecomp([str(out), str(outmeta), '-o', str(dst),
+                       '--samples', '0:10'])
+    cli.mtsdecomp([str(out), str(outmeta), '-o', str(dst),
+                   '--samples=-200:', '-f'])
+    got = np.fromfile(dst, dtype=arr.dtype).reshape(-1, 5)
+    assert np.array_equal(got, arr[-200:])
+    # Malformed range surfaces a descriptive error.
+    with pytest.raises(ValueError, match='A:B'):
+        cli.mtsdecomp([str(out), str(outmeta), '-o', str(dst),
+                       '--samples', 'abc', '-f'])
