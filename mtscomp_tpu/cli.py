@@ -68,10 +68,58 @@ def _args_to_config(parser, args, compress=True):
 
 # -- mtscomp -------------------------------------------------------------------
 
+def _compress_stdin(out, outmeta, config):
+    """Stream raw samples from stdin into a compressed recording."""
+    from .stream import StreamWriter
+    cfg = dict(config)
+    sr = cfg.pop('sample_rate', None)
+    nc = cfg.pop('n_channels', None)
+    dt = cfg.pop('dtype', None)
+    if not (sr and nc and dt):
+        raise ValueError("Compressing from stdin requires -d, -s and -n "
+                         "(there is no file to infer them from).")
+    dtype = np.dtype(dt)
+    nc = int(nc)
+    row = nc * dtype.itemsize
+    cfg.pop('check_after_compress', None)   # the input is gone at EOF
+    w = StreamWriter(out, outmeta, sample_rate=sr, n_channels=nc,
+                     dtype=dtype, **cfg)
+    stream = sys.stdin.buffer
+    leftover = b''
+    try:
+        while True:
+            block = stream.read(1 << 20)
+            if not block:
+                break
+            data = leftover + block
+            n = len(data) // row
+            leftover = data[n * row:]
+            if n:
+                w.append(np.frombuffer(data[:n * row],
+                                       dtype=dtype).reshape(n, nc))
+        if leftover:
+            raise ValueError(
+                "stdin ended mid-sample: %d trailing bytes do not form "
+                "a full %d-channel row (%d bytes/row)."
+                % (len(leftover), nc, row))
+        ratio = w.close()
+    except BaseException:
+        # Mirror StreamWriter.__exit__'s abort semantics: no
+        # half-written outputs on error.
+        if not w._closed:
+            w._fb.close()
+            Path(out).unlink(missing_ok=True)
+            w._closed = True
+        raise
+    logger.info("Wrote %s from stdin (%d samples, -%.3f%%).",
+                out, w.n_samples, 100 - 100 * ratio)
+
+
 def mtscomp_parser():
     parser = argparse.ArgumentParser(description='Compress a raw binary file.')
     parser.add_argument('path', type=str,
-                        help='input path of a raw binary file')
+                        help="input path of a raw binary file, or '-' to "
+                             "stream raw samples from stdin")
     parser.add_argument('out', type=str, nargs='?',
                         help='output path of the compressed binary file (.cbin)')
     parser.add_argument('outmeta', type=str, nargs='?',
@@ -141,6 +189,21 @@ def mtscomp(args=None):
         raise ValueError("--range and --parts/--workers/--rank are "
                          "mutually exclusive: --range compresses ONE "
                          "explicit chunk range.")
+    if pargs.path == '-':
+        # Shell-pipeline streaming: `acquisition | mtscomp - out.cbin
+        # out.ch -d int16 -s 30000 -n 385` compresses as samples
+        # arrive (StreamWriter), byte-identical to compressing the
+        # finished file.
+        if (pargs.chunk_range or pargs.n_parts
+                or pargs.rank is not None):
+            raise ValueError("stdin input cannot be combined with "
+                             "--range/--parts/--rank (streams have no "
+                             "random access to split).")
+        if not (pargs.out and pargs.outmeta):
+            raise ValueError("Compressing from stdin requires explicit "
+                             "out and outmeta paths.")
+        _compress_stdin(pargs.out, pargs.outmeta, config)
+        return
     if pargs.chunk_range:
         from .parallel.distributed import compress_range
         if not (pargs.out and pargs.outmeta):

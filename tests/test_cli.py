@@ -202,3 +202,37 @@ def test_cli_decomp_samples_window(data, tmp_path):
     with pytest.raises(ValueError, match='A:B'):
         cli.mtsdecomp([str(out), str(outmeta), '-o', str(dst),
                        '--samples', 'abc', '-f'])
+
+
+def test_cli_compress_from_stdin(data, tmp_path, monkeypatch):
+    """mtscomp - streams raw samples from stdin, byte-identical to
+    compressing the finished file."""
+    import io
+
+    class _Stdin:
+        def __init__(self, payload):
+            self.buffer = io.BytesIO(payload)
+
+    tmp, path, arr = data
+    cli.mtscomp([str(path), str(tmp / 'file.cbin'), str(tmp / 'file.ch'),
+                 '-d', 'int16', '-s', str(SAMPLE_RATE), '-n', '5',
+                 '-a', 'ans'])
+    monkeypatch.setattr(cli.sys, 'stdin', _Stdin(arr.tobytes()))
+    cli.mtscomp(['-', str(tmp_path / 'pipe.cbin'), str(tmp_path / 'pipe.ch'),
+                 '-d', 'int16', '-s', str(SAMPLE_RATE), '-n', '5',
+                 '-a', 'ans'])
+    assert (tmp_path / 'pipe.cbin').read_bytes() == \
+        (tmp / 'file.cbin').read_bytes()
+
+    # Trailing bytes that do not form a full row must error and leave
+    # no output behind.
+    monkeypatch.setattr(cli.sys, 'stdin', _Stdin(arr.tobytes() + b'\x01'))
+    with pytest.raises(ValueError, match='trailing'):
+        cli.mtscomp(['-', str(tmp_path / 'bad.cbin'),
+                     str(tmp_path / 'bad.ch'), '-d', 'int16',
+                     '-s', str(SAMPLE_RATE), '-n', '5', '-a', 'ans'])
+    assert not (tmp_path / 'bad.cbin').exists()
+
+    # stdin requires explicit outputs and the required params.
+    with pytest.raises(ValueError, match='out'):
+        cli.mtscomp(['-', '-d', 'int16', '-s', '1000', '-n', '5'])
