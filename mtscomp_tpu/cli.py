@@ -254,6 +254,16 @@ def mtsdecomp_parser():
     return parser
 
 
+def _parse_samples(spec):
+    """'A:B' (either side optional, negatives allowed) -> (a, b)."""
+    try:
+        a_s, b_s = spec.split(':')
+        return (int(a_s) if a_s else None, int(b_s) if b_s else None)
+    except ValueError:
+        raise ValueError("--samples expects A:B (sample indices, either "
+                         "side optional), got %r" % spec)
+
+
 def mtsdecomp(args=None):
     """Decompress a file."""
     sys.excepthook = exception_handler
@@ -261,28 +271,43 @@ def mtsdecomp(args=None):
     pargs, config = _args_to_config(parser, args or sys.argv[1:],
                                     compress=False)
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
-    if pargs.samples is not None:
-        try:
-            a_s, b_s = pargs.samples.split(':')
-            a = int(a_s) if a_s else None
-            b = int(b_s) if b_s else None
-        except ValueError:
-            raise ValueError("--samples expects A:B (sample indices, "
-                             "either side optional), got %r"
-                             % pargs.samples)
+    if pargs.out == '-' or pargs.samples is not None:
+        # Partial export and/or stdout streaming: random access for a
+        # window, ordered batch decode for the full stream; the
+        # whole-file hash check does not apply to either.
         config.pop('check_after_decompress', None)
         r = decompress(pargs.cdata, pargs.cmeta,
                        check_after_decompress=False, **config)
         try:
-            out = Path(pargs.out) if pargs.out \
-                else Path(pargs.cdata).with_suffix('.bin')
-            if out.exists() and not pargs.overwrite:
-                raise ValueError("File %s already exists (use -f to "
-                                 "overwrite)." % out)
-            window = r[a:b]
-            window.tofile(out)
-            logger.info("Wrote %s (%d samples x %d channels).",
-                        out, window.shape[0], window.shape[1])
+            if pargs.out == '-':
+                # `mtsdecomp data.cbin -o - | analyze`
+                stream = sys.stdout.buffer
+                if pargs.samples is not None:
+                    a, b = _parse_samples(pargs.samples)
+                    stream.write(np.ascontiguousarray(r[a:b]))
+                else:
+                    batch = max(1, r.batch_size)
+                    use_batch = hasattr(r.codec, 'decode_batch')
+                    for first in range(0, r.n_chunks, batch):
+                        ids = list(range(first,
+                                         min(first + batch, r.n_chunks)))
+                        decoded = (r._decompress_chunks_batch(ids)
+                                   if use_batch
+                                   else r.decompress_chunks(ids))
+                        for i in ids:
+                            stream.write(np.ascontiguousarray(decoded[i]))
+                stream.flush()
+            else:
+                a, b = _parse_samples(pargs.samples)
+                out = Path(pargs.out) if pargs.out \
+                    else Path(pargs.cdata).with_suffix('.bin')
+                if out.exists() and not pargs.overwrite:
+                    raise ValueError("File %s already exists (use -f to "
+                                     "overwrite)." % out)
+                window = r[a:b]
+                window.tofile(out)
+                logger.info("Wrote %s (%d samples x %d channels).",
+                            out, window.shape[0], window.shape[1])
         finally:
             r.close()
         return

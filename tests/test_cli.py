@@ -236,3 +236,21 @@ def test_cli_compress_from_stdin(data, tmp_path, monkeypatch):
     # stdin requires explicit outputs and the required params.
     with pytest.raises(ValueError, match='out'):
         cli.mtscomp(['-', '-d', 'int16', '-s', '1000', '-n', '5'])
+
+
+def test_cli_decomp_to_stdout(data, monkeypatch, capsysbinary):
+    """mtsdecomp -o - streams raw decoded bytes to stdout; with
+    --samples only the window is written."""
+    tmp, path, arr = data
+    out, outmeta = tmp / 'so.cbin', tmp / 'so.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5', '-a', 'ans'])
+    cli.mtsdecomp([str(out), str(outmeta), '-o', '-'])
+    got = np.frombuffer(capsysbinary.readouterr().out,
+                        dtype=arr.dtype).reshape(-1, 5)
+    assert np.array_equal(got, arr)
+    cli.mtsdecomp([str(out), str(outmeta), '-o', '-',
+                   '--samples', '50:250'])
+    got = np.frombuffer(capsysbinary.readouterr().out,
+                        dtype=arr.dtype).reshape(-1, 5)
+    assert np.array_equal(got, arr[50:250])
