@@ -571,6 +571,17 @@ class Reader:
             out[i] = np.ascontiguousarray(chunki)
         return out
 
+    def bounded_batch_size(self):
+        """Batch size for loops that hold a whole decoded batch at once,
+        bounded by bytes (256 MB of decoded chunks) as well as by
+        worker count — ``batch_size`` follows cpu_count, and on
+        many-core hosts with ~23 MB Neuropixels chunks an unbounded
+        batch would stage multi-GB transients."""
+        chunk_bytes = max(
+            int(np.max(np.diff(self.chunk_bounds))) * self.n_channels
+            * self.dtype.itemsize, 1)
+        return max(1, min(self.batch_size, (1 << 28) // chunk_bytes))
+
     def _read_span_bulk(self, first_chunk, last_chunk):
         """Decode a multi-chunk span straight into one fresh array.
 
@@ -960,15 +971,7 @@ def check(data, out, outmeta):
             for chunk_idx, start, length in unc.iter_chunks():
                 yield chunk_idx, unc.read_chunk(chunk_idx, start, length)
             return
-        # The whole batch is held decoded at once, so bound it by bytes
-        # as well as by worker count: batch_size follows cpu_count, and
-        # on many-core hosts with ~23 MB Neuropixels chunks an
-        # unbounded batch would stage multi-GB transients inside what
-        # is supposed to be a safety check.
-        chunk_bytes = max(
-            int(np.max(np.diff(unc.chunk_bounds))) * unc.n_channels
-            * unc.dtype.itemsize, 1)
-        batch = max(1, min(unc.batch_size, (1 << 28) // chunk_bytes))
+        batch = unc.bounded_batch_size()
         for first in range(0, unc.n_chunks, batch):
             ids = list(range(first, min(first + batch, unc.n_chunks)))
             decoded = unc._decompress_chunks_batch(ids)

@@ -19,11 +19,16 @@ from .utils.misc import add_default_handler, logger
 
 def exception_handler(exception_type, exception, traceback,
                       debug_hook=sys.excepthook):  # pragma: no cover
-    """Hide tracebacks unless -v/--debug was passed."""
+    """Hide tracebacks unless -v/--debug was passed.
+
+    Diagnostics go to stderr: stdout may be a binary sample stream
+    (``mtsdecomp -o -``) that a consumer is parsing.
+    """
     if '--debug' in sys.argv or '-v' in sys.argv:
         debug_hook(exception_type, exception, traceback)
     else:
-        print("%s: %s" % (exception_type.__name__, exception))
+        print("%s: %s" % (exception_type.__name__, exception),
+              file=sys.stderr)
 
 
 def _shared_options(parser):
@@ -82,11 +87,13 @@ def _compress_stdin(out, outmeta, config):
     nc = int(nc)
     row = nc * dtype.itemsize
     cfg.pop('check_after_compress', None)   # the input is gone at EOF
-    w = StreamWriter(out, outmeta, sample_rate=sr, n_channels=nc,
-                     dtype=dtype, **cfg)
-    stream = sys.stdin.buffer
-    leftover = b''
-    try:
+    # The context manager supplies the abort semantics: an error mid-
+    # stream (including the trailing-bytes one below) leaves no
+    # half-written outputs behind.
+    with StreamWriter(out, outmeta, sample_rate=sr, n_channels=nc,
+                      dtype=dtype, **cfg) as w:
+        stream = sys.stdin.buffer
+        leftover = b''
         while True:
             block = stream.read(1 << 20)
             if not block:
@@ -103,14 +110,6 @@ def _compress_stdin(out, outmeta, config):
                 "a full %d-channel row (%d bytes/row)."
                 % (len(leftover), nc, row))
         ratio = w.close()
-    except BaseException:
-        # Mirror StreamWriter.__exit__'s abort semantics: no
-        # half-written outputs on error.
-        if not w._closed:
-            w._fb.close()
-            Path(out).unlink(missing_ok=True)
-            w._closed = True
-        raise
     logger.info("Wrote %s from stdin (%d samples, -%.3f%%).",
                 out, w.n_samples, 100 - 100 * ratio)
 
@@ -273,30 +272,16 @@ def mtsdecomp(args=None):
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
     if pargs.out == '-' or pargs.samples is not None:
         # Partial export and/or stdout streaming: random access for a
-        # window, ordered batch decode for the full stream; the
-        # whole-file hash check does not apply to either.
-        config.pop('check_after_decompress', None)
+        # window, ordered batch decode for the full stream. The
+        # whole-file re-read check does not apply; the full stream is
+        # instead hash-verified incrementally (below).
+        check = config.pop('check_after_decompress', True)
         r = decompress(pargs.cdata, pargs.cmeta,
                        check_after_decompress=False, **config)
         try:
             if pargs.out == '-':
                 # `mtsdecomp data.cbin -o - | analyze`
-                stream = sys.stdout.buffer
-                if pargs.samples is not None:
-                    a, b = _parse_samples(pargs.samples)
-                    stream.write(np.ascontiguousarray(r[a:b]))
-                else:
-                    batch = max(1, r.batch_size)
-                    use_batch = hasattr(r.codec, 'decode_batch')
-                    for first in range(0, r.n_chunks, batch):
-                        ids = list(range(first,
-                                         min(first + batch, r.n_chunks)))
-                        decoded = (r._decompress_chunks_batch(ids)
-                                   if use_batch
-                                   else r.decompress_chunks(ids))
-                        for i in ids:
-                            stream.write(np.ascontiguousarray(decoded[i]))
-                stream.flush()
+                _stream_to_stdout(r, pargs.samples, check)
             else:
                 a, b = _parse_samples(pargs.samples)
                 out = Path(pargs.out) if pargs.out \
@@ -315,16 +300,76 @@ def mtsdecomp(args=None):
                overwrite=pargs.overwrite, **config)
 
 
+def _stream_to_stdout(r, samples, check):
+    """Write decoded samples (or a --samples window) to stdout.
+
+    The full stream is exactly the ``sha1_uncompressed`` preimage, so
+    unless ``-nc`` was passed the streamed bytes are hashed
+    incrementally and checked against the sidecar (chopped files carry
+    no hash — skipped). A consumer closing the pipe early (e.g.
+    ``| head``) ends the stream quietly like standard Unix tools.
+    """
+    import hashlib
+    stream = sys.stdout.buffer
+    try:
+        if samples is not None:
+            a, b = _parse_samples(samples)
+            stream.write(np.ascontiguousarray(r[a:b]))
+            stream.flush()
+            return
+        want = r.cmeta.get('sha1_uncompressed') if check else None
+        sha = hashlib.sha1() if want else None
+        batch = r.bounded_batch_size()
+        use_batch = hasattr(r.codec, 'decode_batch')
+        if not use_batch:
+            r.start_thread_pool()   # legacy zlib: thread over chunks
+        try:
+            for first in range(0, r.n_chunks, batch):
+                ids = list(range(first, min(first + batch, r.n_chunks)))
+                decoded = (r._decompress_chunks_batch(ids) if use_batch
+                           else r.decompress_chunks(ids, pool=r.pool))
+                for i in ids:
+                    buf = np.ascontiguousarray(decoded[i])
+                    if sha is not None:
+                        sha.update(buf)
+                    stream.write(buf)
+        finally:
+            if not use_batch:
+                r.stop_thread_pool()
+        stream.flush()
+        if sha is not None and sha.hexdigest() != want:
+            raise IOError(
+                "Streamed data does not match the sidecar's "
+                "sha1_uncompressed — the compressed file is corrupt.")
+    except BrokenPipeError:
+        # Downstream closed stdout (head -c, a dying consumer): not an
+        # error. Detach so interpreter shutdown does not re-flush the
+        # broken pipe and print a secondary error.
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+
+
 # -- mtsdesc -------------------------------------------------------------------
 
 def mtsdesc(args=None):
     """Describe a compressed file."""
     sys.excepthook = exception_handler
-    parser = mtsdecomp_parser()
-    parser.description = 'Describe a compressed file.'
+    # Dedicated parser: reusing mtsdecomp's would advertise dead flags
+    # (-o/--overwrite/--samples) that describe-only never reads.
+    parser = argparse.ArgumentParser(
+        description='Describe a compressed file.')
+    parser.add_argument('cdata', type=str,
+                        help='path to the compressed binary file (.cbin)')
+    parser.add_argument('cmeta', type=str, nargs='?',
+                        help='path to the compression metadata JSON file '
+                             '(.ch)')
     parser.add_argument('--json', action='store_true',
                         help='print the description as one JSON object '
                              '(for scripts)')
+    parser.add_argument('-v', '--debug', action='store_true',
+                        help='verbose')
     pargs = parser.parse_args(args or sys.argv[1:])
     r = Reader()
     r.open(pargs.cdata, pargs.cmeta)

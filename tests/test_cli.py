@@ -254,3 +254,25 @@ def test_cli_decomp_to_stdout(data, monkeypatch, capsysbinary):
     got = np.frombuffer(capsysbinary.readouterr().out,
                         dtype=arr.dtype).reshape(-1, 5)
     assert np.array_equal(got, arr[50:250])
+
+
+def test_cli_decomp_stdout_hash_check(data, capsysbinary):
+    """The full-stream stdout path hash-verifies the streamed bytes
+    against sha1_uncompressed (a decodable-but-wrong corruption must
+    not stream silently)."""
+    tmp, path, arr = data
+    out, outmeta = tmp / 'hc.cbin', tmp / 'hc.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5'])   # zlib: no CRC
+    meta = json.loads(outmeta.read_text())
+    # Tamper with the sidecar hash to emulate wrong decoded content.
+    meta['sha1_uncompressed'] = '0' * 40
+    outmeta.write_text(json.dumps(meta))
+    with pytest.raises(IOError, match='sha1_uncompressed'):
+        cli.mtsdecomp([str(out), str(outmeta), '-o', '-'])
+    capsysbinary.readouterr()
+    # -nc skips the incremental check.
+    cli.mtsdecomp([str(out), str(outmeta), '-o', '-', '-nc'])
+    got = np.frombuffer(capsysbinary.readouterr().out,
+                        dtype=arr.dtype).reshape(-1, 5)
+    assert np.array_equal(got, arr)
