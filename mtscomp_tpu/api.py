@@ -115,6 +115,21 @@ class Writer:
                 offset=offset, mmap=mmap)
             self.shape = self.data.shape
 
+        # Byte-exact floats (v2 only): code the IEEE bit pattern as the
+        # same-width integer — the modular int diff/cumsum pair is an
+        # exact inverse, unlike float arithmetic (the reference's float
+        # round trips are only allclose, mtscomp.py:880-886, and its
+        # automatic check can fail outright near zero crossings). The
+        # bitcast also compresses smooth float signals ~5% better
+        # (neighboring floats share sign/exponent/high-mantissa bytes,
+        # so the zigzag diff planes concentrate near zero). Recorded in
+        # the sidecar as ``float_bitcast``; files without the key (v1,
+        # or v2 written before the key existed) decode float-domain.
+        self.float_bitcast = (self.algorithm == 'ans'
+                              and self.dtype.kind == 'f'
+                              and self.dtype.itemsize in (2, 4, 8))
+        self.code_dtype = (np.dtype('int%d' % (self.dtype.itemsize * 8))
+                           if self.float_bitcast else self.dtype)
         self.sample_rate = float(sample_rate)
         assert self.sample_rate > 0
         assert self.data.ndim == 2
@@ -136,10 +151,17 @@ class Writer:
     # -- per-chunk pipeline ---------------------------------------------------
 
     def get_chunk(self, chunk_idx):
-        """Raw data of one chunk, shape ``(n_samples_chunk, n_channels)``."""
+        """Raw data of one chunk, shape ``(n_samples_chunk, n_channels)``.
+
+        Under ``float_bitcast`` the returned array is the same-width
+        integer view of the chunk (identical bytes — the raw SHA1 and
+        the ratio accounting are unaffected); every compression path
+        downstream transforms and codes that integer view.
+        """
         assert 0 <= chunk_idx < self.n_chunks
         i0, i1 = self.chunk_bounds[chunk_idx], self.chunk_bounds[chunk_idx + 1]
-        return self.data[i0:i1, :]
+        chunk = self.data[i0:i1, :]
+        return chunk.view(self.code_dtype) if self.float_bitcast else chunk
 
     def _transform_chunk(self, chunk):
         """Delta stage: time and/or spatial first-order diff."""
@@ -382,6 +404,8 @@ class Writer:
             extra['ans_seg_log2'] = self.codec.seg_log2
             if self.codec.table_mode != 'plane':
                 extra['ans_table_mode'] = self.codec.table_mode
+            if self.float_bitcast:
+                extra['float_bitcast'] = True
         part = getattr(self, '_part', None)
         bounds = self.chunk_bounds
         shape = self.shape
@@ -453,6 +477,15 @@ class Reader:
         self.chunk_bounds = self.cmeta.chunk_bounds
         self.chunk_order = self.cmeta.get('chunk_order', 'F')
         self.algorithm = self.cmeta.get('algorithm', 'zlib')
+        # Sidecar flag written by v2 float compressions: chunk payloads
+        # hold the same-width integer view of the IEEE bit patterns
+        # (exact modular transform). Only meaningful for float dtypes;
+        # absent on v1 files and on v2 files written before the flag
+        # existed (those decode float-domain).
+        self.float_bitcast = (bool(self.cmeta.get('float_bitcast', False))
+                              and self.dtype.kind == 'f')
+        self.code_dtype = (np.dtype('int%d' % (self.dtype.itemsize * 8))
+                           if self.float_bitcast else self.dtype)
         self.codec = get_codec(self.algorithm,
                                seg_log2=self.cmeta.get('ans_seg_log2', 16))
         self.n_samples = self.chunk_bounds[-1]
@@ -501,7 +534,7 @@ class Reader:
             # paths set _chunk_decode_threads to 1 (they already run
             # one chunk per pool worker).
             chunkd = self.codec.decode(cbuffer, ns, self.n_channels,
-                                       self.dtype, order=self.chunk_order,
+                                       self.code_dtype, order=self.chunk_order,
                                        n_threads=self._chunk_decode_threads)
         except IOError:
             raise
@@ -514,9 +547,12 @@ class Reader:
         chunki = cumsum_along_axis(
             chunki, axis=0 if self.cmeta.do_time_diff else None,
             inplace=True)
-        assert chunki.dtype == self.dtype
+        assert chunki.dtype == self.code_dtype
         assert chunki.shape == (ns, self.n_channels)
-        return np.ascontiguousarray(chunki)
+        chunki = np.ascontiguousarray(chunki)
+        # Bitcast files: the inverse transform ran in integer space;
+        # reinterpret (zero-copy) back to the user dtype.
+        return chunki.view(self.dtype) if self.float_bitcast else chunki
 
     def _decompress_chunk(self, chunk_idx):
         assert 0 <= chunk_idx < self.n_chunks
@@ -551,11 +587,18 @@ class Reader:
                     for i in chunk_ids]
         shapes = [(self.chunk_bounds[i + 1] - self.chunk_bounds[i],
                    self.n_channels) for i in chunk_ids]
+        # Bitcast files decode + inverse-transform in integer space; the
+        # codec then writes into integer views of the caller's float
+        # destinations (same memory).
+        outs_c = outs
+        if outs and self.float_bitcast:
+            outs_c = {i: (o.view(self.code_dtype) if o is not None else None)
+                      for i, o in outs.items()}
         try:
             chunkds = self.codec.decode_batch(
-                payloads, shapes, self.dtype, order=self.chunk_order,
+                payloads, shapes, self.code_dtype, order=self.chunk_order,
                 n_threads=self.batch_size,
-                outs=[outs.get(i) for i in chunk_ids] if outs else None)
+                outs=[outs_c.get(i) for i in chunk_ids] if outs else None)
         except IOError:
             raise
         except Exception:
@@ -568,7 +611,16 @@ class Reader:
             chunki = cumsum_along_axis(
                 chunki, axis=0 if self.cmeta.do_time_diff else None,
                 inplace=True)
-            out[i] = np.ascontiguousarray(chunki)
+            chunki = np.ascontiguousarray(chunki)
+            if self.float_bitcast:
+                # Keep the caller's in-place identity contract: when the
+                # whole pipeline ran inside the caller's buffer, hand
+                # back the caller's own float view object.
+                if outs and outs.get(i) is not None and chunki is outs_c[i]:
+                    chunki = outs[i]
+                else:
+                    chunki = chunki.view(self.dtype)
+            out[i] = chunki
         return out
 
     def bounded_batch_size(self):
@@ -955,9 +1007,10 @@ class Reader:
 def check(data, out, outmeta):
     """Verify that the compressed file round-trips to ``data``.
 
-    Integer dtypes must match byte-for-byte; floats to within
-    ``CHECK_ATOL`` (the in-dtype diff/cumsum of floats is not exactly
-    associative).
+    Integer dtypes must match byte-for-byte, and so must v2 float files
+    (their ``float_bitcast`` transform is exact); legacy float files
+    only to within ``CHECK_ATOL`` (the in-dtype diff/cumsum of floats
+    is not exactly associative).
     """
     unc = decompress(out, outmeta)
 
@@ -988,6 +1041,12 @@ def check(data, out, outmeta):
             assert chunk.shape == expected.shape
             if np.issubdtype(chunk.dtype, np.integer):
                 assert np.array_equal(chunk, expected)
+            elif getattr(unc, 'float_bitcast', False):
+                # Exact float round trip: compare bit patterns (a float
+                # compare would pass NaN-free corruption and fail NaNs).
+                u = 'u%d' % chunk.dtype.itemsize
+                assert np.array_equal(chunk.view(u),
+                                      np.asarray(expected).view(u))
             else:
                 assert np.allclose(chunk, expected, atol=CHECK_ATOL)
     finally:

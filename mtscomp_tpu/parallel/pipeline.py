@@ -352,7 +352,11 @@ class DeviceBatchDecoder:
         self.reader = reader
         assert reader.algorithm == 'ans', \
             "device batch decode requires the ans (v2) format"
-        self.dtype = reader.dtype
+        # Bitcast float files decode in their integer coding dtype
+        # (float16 -> the fused i16 kernels, float32 -> the int32
+        # variant); callers reinterpret the decoded buffers back to the
+        # reader dtype (same bytes, zero copy).
+        self.dtype = np.dtype(getattr(reader, 'code_dtype', reader.dtype))
         self.order = reader.chunk_order
         self.do_time_diff = bool(reader.cmeta.do_time_diff)
         self.do_spatial_diff = bool(reader.cmeta.do_spatial_diff)
@@ -592,7 +596,9 @@ class DeviceBatchEncoder:
     def __init__(self, writer):
         self.writer = writer
         self.codec = writer.codec
-        self.dtype = np.dtype(writer.dtype)
+        # Bitcast float writers hand the encoder integer views; code in
+        # the coding dtype (float16 -> int16 runs the full device path).
+        self.dtype = np.dtype(getattr(writer, 'code_dtype', writer.dtype))
         self.order = writer.chunk_order
 
     def supported(self, n_samples):
@@ -1006,7 +1012,7 @@ class DeviceChunkCache:
         # np.array (not asarray): the download must be a fresh writable
         # host array, never a read-only view of cached device memory
         # (reference windows are writable, mtscomp.py:815-831).
-        return np.array(dev)
+        return _as_user_dtype(np.array(dev), r)
 
 
 def decompress_to_array(reader, first_chunk=0, last_chunk=None):
@@ -1029,7 +1035,7 @@ def decompress_to_array(reader, first_chunk=0, last_chunk=None):
         parsed = [reader.codec.parse(p) for p in payloads]
         dec = DeviceBatchDecoder(reader)
         if dec.supported(parsed, ns):
-            out = dec.decode_batch(parsed, ns)
+            out = _as_user_dtype(dec.decode_batch(parsed, ns), reader)
             parts.extend(out[i] for i in range(len(chunk_ids)))
         else:  # pragma: no cover - rare mixed-mode batches
             logger.debug("Device decode unsupported for chunks %s; "
@@ -1043,6 +1049,14 @@ def _read_payload(reader, idx):
     start = reader.chunk_offsets[idx]
     length = reader.chunk_offsets[idx + 1] - start
     return pread_exact(reader.cdata, length, start)
+
+
+def _as_user_dtype(arr, reader):
+    """Reinterpret device-decoded buffers (coding dtype) as the user
+    dtype — a zero-copy view; only differs for bitcast float files."""
+    if getattr(reader, 'float_bitcast', False):
+        return arr.view(reader.dtype)
+    return arr
 
 
 def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
@@ -1089,7 +1103,8 @@ def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
     if mergeable:
         dec = DeviceBatchDecoder(readers[0])
         if dec.supported(parsed_all, ns):
-            out = dec.decode_batch(parsed_all, ns, mesh=mesh)
+            out = _as_user_dtype(dec.decode_batch(parsed_all, ns, mesh=mesh),
+                                 r0)
             per = out.reshape(len(readers), n_chunks * ns, -1)
             return [per[i] for i in range(len(readers))]
     return [decompress_to_array(r, first_chunk, last)  # pragma: no cover

@@ -68,6 +68,15 @@ class StreamWriter:
             self.algorithm, seg_log2=config.get('ans_seg_log2', 16),
             channel_aligned=config.get('ans_channel_segments', True),
             table_mode=config.get('ans_table_mode', 'plane'))
+        # Byte-exact floats under v2 (same transform as Writer.open):
+        # code the IEEE bit pattern as the same-width integer. resume()
+        # overrides this from the sidecar so pre-flag float streams
+        # keep their float-domain transform.
+        self.float_bitcast = (self.algorithm == 'ans'
+                              and self.dtype.kind == 'f'
+                              and self.dtype.itemsize in (2, 4, 8))
+        self.code_dtype = (np.dtype('int%d' % (self.dtype.itemsize * 8))
+                           if self.float_bitcast else self.dtype)
         self.chunk_size = int(np.round(config.chunk_duration
                                        * self.sample_rate))
         assert self.chunk_size > 0
@@ -197,6 +206,14 @@ class StreamWriter:
                 n_channels=cm['n_channels'], dtype=cm['dtype'],
                 live_sidecar=live_sidecar, quiet=quiet, _reopen=True,
                 **kwargs)
+        # The float transform domain is a format property of the file:
+        # follow the sidecar, not the library default — float streams
+        # written before the flag existed must keep their float-domain
+        # diffs or resumed chunks would not round-trip.
+        w.float_bitcast = (bool(cm.get('float_bitcast', False))
+                           and w.dtype.kind == 'f')
+        w.code_dtype = (np.dtype('int%d' % (w.dtype.itemsize * 8))
+                        if w.float_bitcast else w.dtype)
         try:
             if w.chunk_size != chunk_size:
                 # Guard against chunk_duration float round-trip drift.
@@ -264,6 +281,10 @@ class StreamWriter:
 
     def _flush_chunk(self, chunk):
         chunk = np.ascontiguousarray(chunk)
+        if self.float_bitcast:
+            # Identical bytes (both SHA1s unaffected); the transform and
+            # the entropy stage run on the integer view.
+            chunk = chunk.view(self.code_dtype)
         # Parts form when available: the container streams to the file
         # part by part instead of through one multi-MB join (see
         # Writer._compress_chunk).
@@ -308,6 +329,8 @@ class StreamWriter:
             extra['ans_seg_log2'] = self.codec.seg_log2
             if self.codec.table_mode != 'plane':
                 extra['ans_table_mode'] = self.codec.table_mode
+            if self.float_bitcast:
+                extra['float_bitcast'] = True
         if streaming:
             extra['streaming'] = True
         cmeta = build_cmeta(

@@ -77,6 +77,16 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
             channel_aligned=cfg.get('ans_channel_segments', True),
             table_mode=cfg.get('ans_table_mode', 'plane'))
 
+        # Float sources re-encode with the target's float transform:
+        # ans targets code the IEEE bit pattern as a same-width integer
+        # (byte-exact round trips, see Writer.open); zlib targets keep
+        # the reference's float-domain diff. The source's own domain is
+        # already undone by the Reader (decoded chunks are raw floats).
+        bitcast = (codec.name == 'ans' and r.dtype.kind == 'f'
+                   and r.dtype.itemsize in (2, 4, 8))
+        code_dtype = (np.dtype('int%d' % (r.dtype.itemsize * 8))
+                      if bitcast else None)
+
         sha_u, sha_c = hashlib.sha1(), hashlib.sha1()
         offsets = [0]
         tmp = out.with_name(out.name + '.transcoding')
@@ -92,7 +102,10 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
                     # C-order chunk bytes == the raw file's byte order
                     # (read_chunk returns C-contiguous arrays; hashing
                     # the buffer directly avoids a tobytes copy).
-                    sha_u.update(np.ascontiguousarray(chunk))
+                    chunk = np.ascontiguousarray(chunk)
+                    sha_u.update(chunk)
+                    if bitcast:
+                        chunk = chunk.view(code_dtype)
                     chunkd = diff_along_axis(
                         chunk, axis=0 if time_diff else None)
                     chunkd = diff_along_axis(
@@ -107,7 +120,13 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
                         size += len(part)
                     offsets.append(offsets[-1] + size)
             want = src.get('sha1_uncompressed')
-            if want and sha_u.hexdigest() != want:
+            # The audit only holds when the source decodes byte-exactly
+            # (integers, or bitcast float files); legacy float files
+            # decode within CHECK_ATOL, not bit-for-bit, so their
+            # re-derived hash legitimately differs from the raw file's.
+            exact_src = (r.dtype.kind in 'iu'
+                         or getattr(r, 'float_bitcast', False))
+            if want and exact_src and sha_u.hexdigest() != want:
                 raise IOError(
                     "Source %s decodes to data that does not match its "
                     "sha1_uncompressed — refusing to transcode a corrupt "
@@ -129,10 +148,13 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
         cm['sha1_uncompressed'] = sha_u.hexdigest()
         cm.pop('ans_seg_log2', None)
         cm.pop('ans_table_mode', None)
+        cm.pop('float_bitcast', None)
         if codec.name == 'ans':
             cm['ans_seg_log2'] = codec.seg_log2
             if codec.table_mode != 'plane':
                 cm['ans_table_mode'] = codec.table_mode
+            if bitcast:
+                cm['float_bitcast'] = True
         write_cmeta(outmeta, cm)
         n_bytes = r.shape[0] * r.shape[1] * r.dtype.itemsize
         ratio = offsets[-1] / n_bytes if n_bytes else 0.0
