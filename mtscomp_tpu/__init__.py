@@ -30,10 +30,11 @@ from .ops.delta import diff_along_axis, cumsum_along_axis  # noqa: E402,F401
 from .api import Writer, Reader, compress, decompress, check  # noqa: E402,F401
 from .stream import StreamWriter, StreamReader  # noqa: E402,F401
 from .transcode import transcode  # noqa: E402,F401
+from .verify import verify_file  # noqa: E402,F401
 
 __all__ = (
     'load_raw_data', 'Writer', 'Reader', 'compress', 'decompress',
-    'check', 'StreamWriter', 'StreamReader', 'transcode', 'read_config',
-    'write_config', 'Bunch',
+    'check', 'StreamWriter', 'StreamReader', 'transcode', 'verify_file',
+    'read_config', 'write_config', 'Bunch',
     'add_default_handler', 'diff_along_axis', 'cumsum_along_axis',
 )

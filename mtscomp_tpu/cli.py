@@ -403,6 +403,43 @@ def mtsdesc(args=None):
         print('{:<15}'.format(k), str(v))
 
 
+# -- mtsverify -----------------------------------------------------------------
+
+def mtsverify(args=None):
+    """Audit a compressed pair in place — no raw file needed."""
+    sys.excepthook = exception_handler
+    parser = argparse.ArgumentParser(
+        description='Verify a compressed pair without the original raw '
+                    'file: sidecar structure, payload SHA1, a full '
+                    'decode with the format\'s corruption machinery '
+                    'live (per-chunk CRC32, table validation, stream '
+                    'audits), and the decoded-data SHA1. Exit code 0 = '
+                    'intact, 1 = verification failed.')
+    parser.add_argument('cdata', type=str,
+                        help='path to the compressed binary file (.cbin)')
+    parser.add_argument('cmeta', type=str, nargs='?',
+                        help='path to the compression metadata JSON file '
+                             '(.ch; default: cdata with .ch suffix)')
+    parser.add_argument('--fast', action='store_true',
+                        help='skip the full decode (structure + payload '
+                             'hash only)')
+    parser.add_argument('-p', '--cpus', type=int,
+                        help='number of CPUs to use for the decode pass')
+    parser.add_argument('-v', '--debug', action='store_true',
+                        help='verbose')
+    pargs = parser.parse_args(args or sys.argv[1:])
+    add_default_handler('DEBUG' if pargs.debug else 'INFO')
+    from .verify import CHECKS, verify_file
+    report = verify_file(pargs.cdata, pargs.cmeta, deep=not pargs.fast,
+                         n_threads=pargs.cpus)
+    for name in CHECKS:
+        if name in report['checks']:
+            print('{:<18}'.format(name), report['checks'][name])
+    print('{:<18}'.format('verdict'), 'OK' if report['ok'] else 'FAILED')
+    if not report['ok']:
+        sys.exit(1)
+
+
 # -- mtsmerge ------------------------------------------------------------------
 
 def mtsmerge(args=None):

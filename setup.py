@@ -18,6 +18,7 @@ setup(
             'mtschop=mtscomp_tpu.cli:mtschop',
             'mtsmerge=mtscomp_tpu.cli:mtsmerge',
             'mtsrecompress=mtscomp_tpu.cli:mtsrecompress',
+            'mtsverify=mtscomp_tpu.cli:mtsverify',
         ],
     },
 )
