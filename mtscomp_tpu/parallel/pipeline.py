@@ -793,7 +793,22 @@ class DeviceBatchEncoder:
                 if mode == ans_mod.MODE_RANS:
                     plane_tables[(b, p)] = (ptables, tidx)
         if not (modes == modes[0]).all():
-            return None  # mixed modes: host path handles it
+            # Plane modes are data-dependent per chunk (RAW/RANS/CONST
+            # decisions near the ratio boundary — common for float
+            # mantissa planes). Split into mode-uniform sub-batches and
+            # encode each on device rather than abandoning the batch;
+            # decide_plane is deterministic, so each sub-batch passes
+            # the uniformity check on re-entry.
+            payloads = [None] * B
+            for row in sorted({tuple(m) for m in modes.tolist()}):
+                ids = [b for b in range(B) if tuple(modes[b]) == row]
+                sub = self.encode_batch(np.ascontiguousarray(chunks[ids]),
+                                        mesh=mesh)
+                if sub is None:  # pragma: no cover - sub-batch declined
+                    return None
+                for j, b in enumerate(ids):
+                    payloads[b] = sub[j]
+            return payloads
         mode_row = [int(m) for m in modes[0]]
         rans_planes = [p for p, m in enumerate(mode_row)
                        if m == ans_mod.MODE_RANS]

@@ -877,3 +877,36 @@ def test_foreign_min8_tables_container_roundtrip(tmp_path_, monkeypatch):
         assert np.array_equal(r[:], arr)        # host path agrees
     finally:
         r.close()
+
+
+def test_device_encode_mixed_mode_batch(tmp_path_):
+    """A batch whose chunks pick different plane modes (RAW/RANS near
+    the boundary) splits into mode-uniform sub-batches on device instead
+    of falling back to host — containers stay byte-identical."""
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
+    rng = np.random.default_rng(11)
+    n, c = 1000, 32
+    smooth = np.cumsum(rng.normal(0, 3, size=(n, c)), axis=0).astype(np.int16)
+    noisy = rng.integers(-32768, 32768, size=(n, c)).astype(np.int16)
+    arr = np.concatenate([smooth, noisy], axis=0)
+    path = write_arr(tmp_path_ / 'm.bin', arr)
+    w = Writer(algorithm='ans', quiet=True)
+    try:
+        w.open(path, sample_rate=float(n), n_channels=c, dtype='int16')
+        assert w.n_chunks == 2
+        chunks = np.stack([np.asarray(w.get_chunk(i)) for i in range(2)])
+        host = [w.codec.encode(w._transform_chunk(chunks[b]),
+                               order=w.chunk_order) for b in range(2)]
+        # The two chunks must actually disagree on some plane's mode
+        # (that is the scenario under test).
+        p0 = w.codec.parse(host[0])
+        p1 = w.codec.parse(host[1])
+        assert p0['modes'] != p1['modes']
+        enc = DeviceBatchEncoder(w)
+        assert enc.supported(n)
+        payloads = enc.encode_batch(chunks)
+        assert payloads is not None, "mixed-mode batch fell back to host"
+        assert payloads[0] == host[0] and payloads[1] == host[1]
+    finally:
+        w.close()
