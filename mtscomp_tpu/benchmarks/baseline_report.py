@@ -318,6 +318,45 @@ def config5_legacy(out):
     out.append("")
 
 
+def config6_float(out):
+    """Float recordings: bit-exactness + ratio of the v2 bitcast
+    transform vs the reference's float-domain zlib (which is only
+    allclose, and whose automatic check can fail near zero crossings).
+    """
+    from mtscomp_tpu import compress, decompress
+    tmp = bench_tmpdir()
+    rng = np.random.default_rng(6)
+    nc = 64
+    arr = np.cumsum(rng.normal(0.0, 1.0, size=(20 * 2500, nc)),
+                    axis=0).astype(np.float32)
+    arr -= arr.mean(axis=0, keepdims=True)
+    arr.tofile(tmp / 'c6.bin')
+    rows = {}
+    for algo in ('zlib', 'ans'):
+        ratio = compress(tmp / 'c6.bin', tmp / ('c6%s.cbin' % algo),
+                         tmp / ('c6%s.ch' % algo), sample_rate=2500.0,
+                         n_channels=nc, dtype='float32', algorithm=algo,
+                         quiet=True, check_after_compress=False)
+        r = decompress(tmp / ('c6%s.cbin' % algo),
+                       tmp / ('c6%s.ch' % algo), quiet=True)
+        try:
+            dec = r[:]
+            exact = np.array_equal(dec.view(np.uint32),
+                                   arr.view(np.uint32))
+        finally:
+            r.close()
+        rows[algo] = (1 / ratio, exact)
+    out.append("## Config 6 — float32 LFP-like: 64-ch @2.5 kHz "
+               "(byte-exact floats are v2-only)\n")
+    out.append("| algorithm | ratio | bit-exact round trip |")
+    out.append("|---|---|---|")
+    out.append("| zlib (reference float semantics) | %.2fx | %s |"
+               % (rows['zlib'][0], rows['zlib'][1]))
+    out.append("| ans (bitcast transform) | %.2fx | %s |"
+               % (rows['ans'][0], rows['ans'][1]))
+    out.append("")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--seconds', type=int, default=8,
@@ -346,6 +385,7 @@ def main(argv=None):
     config3_lfp_windows(args.reps, out)
     config4_multiprobe(max(2, args.seconds // 4), args.reps, out)
     config5_legacy(out)
+    config6_float(out)
     print('\n'.join(out))
     return 0
 

@@ -83,6 +83,14 @@ def make_data(kind, dtype, ns, nc, seed=0):
     """
     rng = np.random.default_rng(seed)
     dtype = np.dtype(dtype)
+    if dtype.kind == 'f':
+        # Smooth float walk (realistic smooth-signal bit patterns for
+        # the bitcast transform) plus sign flips via mean removal.
+        walk = np.cumsum(rng.normal(0.0, 1.0, size=(ns, nc)), axis=0)
+        if kind == 'gradient':
+            walk *= (0.25 + 4.0 * (np.arange(nc) / max(nc - 1, 1)))[None]
+        walk -= walk.mean(axis=0, keepdims=True)
+        return (walk * 0.03).astype(dtype)
     std = {1: 2.0, 2: 6.0, 4: 6.0}[dtype.itemsize]
     walk = np.cumsum(rng.normal(0.0, std, size=(ns, nc)), axis=0)
     if kind == 'gradient':
@@ -304,6 +312,10 @@ def main():
         def fn():
             dt = np.dtype(dtype)
             arr = make_data(kind, dt, NS, C, seed=seed)
+            # Bitcast float files decode (on device) in their integer
+            # coding dtype; compare in that domain (bit equality).
+            code = (arr.view('int%d' % (dt.itemsize * 8))
+                    if dt.kind == 'f' else arr)
             sub = tmp / ("cell_%d" % len(RESULTS))
             sub.mkdir()
             raw = sub / 'x.bin'
@@ -343,7 +355,7 @@ def main():
                     assert n_two == 0, "self-written tables must be " \
                         "single-fixup (%d/%d)" % (n_two, n_tables)
                 d0 = counters['decode']
-                device_decode_all(r, arr)
+                device_decode_all(r, code)
                 if backend == 'tpu':
                     assert counters['decode'] > d0, \
                         "decode never traced a Pallas kernel"
@@ -354,7 +366,9 @@ def main():
                     for (a, b) in [(7, csize // 2), (csize - 3, csize + 9),
                                    (NS - csize // 3, NS)]:
                         got = cache.read_window(a, b)
-                        assert np.array_equal(got, arr[a:b]), \
+                        assert got.dtype == dt
+                        assert np.array_equal(got.view(code.dtype),
+                                              code[a:b]), \
                             "device window [%d:%d) mismatch" % (a, b)
                     extra['windows'] = 'ok'
                 if encode and dt.itemsize <= 2:
@@ -374,6 +388,17 @@ def main():
                  'aligned, plane tables, partial tail',
                  cell_roundtrip(dtype, expect_fixups='one',
                                 window=(dtype == 'int16')))
+
+    # --- bitcast floats: the v2 float transform on silicon --------------
+    # float16 codes through the full i16 path (fused prep, device encode,
+    # 2-byte kernels); float32 through the int32 decode variant. float64
+    # (int64 coding dtype) has no device kernel — host path by design.
+    run_cell('dtype_float16',
+             'bitcast float via the i16 kernels + device encode',
+             cell_roundtrip('float16', expect_fixups='one'))
+    run_cell('dtype_float32',
+             'bitcast float via the int32 decode variant + windows',
+             cell_roundtrip('float32', expect_fixups='one', window=True))
 
     # --- clustered per-segment multitable (flags bit4) -----------------
     run_cell('segment_tables_int16',
@@ -490,7 +515,8 @@ def main():
         def fn():
             rng = np.random.default_rng(args.seed * 1000 + i)
             dt = np.dtype(str(rng.choice(
-                ['int8', 'uint8', 'int16', 'uint16', 'int32', 'uint32'])))
+                ['int8', 'uint8', 'int16', 'uint16', 'int32', 'uint32',
+                 'float16', 'float32'])))
             nc = int(rng.integers(3, 512))
             csz = int(rng.integers(400, 6000))
             ns = int(csz * rng.uniform(1.1, 3.4))
@@ -511,9 +537,11 @@ def main():
             compress(raw, sub / 'x.cbin', sub / 'x.ch',
                      sample_rate=float(csz), n_channels=nc, dtype=dt.name,
                      **cbase(**kw))
+            code = (arr.view('int%d' % (dt.itemsize * 8))
+                    if dt.kind == 'f' else arr)
             r = decompress(sub / 'x.cbin', sub / 'x.ch', quiet=True)
             try:
-                device_decode_all(r, arr)
+                device_decode_all(r, code)
                 extra = dict(dtype=dt.name, nc=nc, csize=csz, ns=ns,
                              mode=kw['ans_table_mode'],
                              aligned=kw['ans_channel_segments'],
@@ -591,6 +619,8 @@ def main():
     lines += [
         "",
         "Axes covered: 6 integer dtypes (1/2/4-byte kernel variants), "
+        "bitcast floats (float16 via the i16 kernels incl. device "
+        "encode, float32 via the int32 decode variant), "
         "plane + segment-multitable (bit4) containers, aligned + "
         "non-aligned layouts, self-written one-fixup + foreign "
         "two-fixup tables, partial tail chunks, chunk_order C, spatial "
