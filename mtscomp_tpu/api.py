@@ -560,6 +560,41 @@ class Reader:
         length = self.chunk_offsets[chunk_idx + 1] - start
         return chunk_idx, self.read_chunk(chunk_idx, start, length)
 
+    def read_chunk_channels(self, chunk_idx, cols):
+        """Decode only ``cols`` (sorted unique channel indices) of one
+        chunk — the entropy stage runs only for the rANS groups whose
+        channel-aligned segments cover those columns (the reference
+        must always inflate whole chunks). Returns ``(ns, len(cols))``
+        or ``None`` when unsupported (non-ans, spatial diff couples
+        channels, non-aligned container): callers fall back to the
+        full-chunk path. Bypasses the LRU cache (partial results would
+        poison full-chunk entries).
+        """
+        if (self.algorithm != 'ans' or self.cmeta.do_spatial_diff
+                or not hasattr(self.codec, 'decode_channels')):
+            return None
+        start = self.chunk_offsets[chunk_idx]
+        length = self.chunk_offsets[chunk_idx + 1] - start
+        cbuffer = pread_exact(self.cdata, length, start)
+        i0, i1 = self.chunk_bounds[chunk_idx:chunk_idx + 2]
+        ns = i1 - i0
+        try:
+            part = self.codec.decode_channels(
+                cbuffer, ns, self.n_channels, self.code_dtype, cols,
+                n_threads=self._chunk_decode_threads)
+        except IOError:
+            raise
+        except Exception:
+            raise IOError("Compressed chunk #%d is corrupted." % chunk_idx)
+        if part is None:
+            return None
+        # Columns are independent under the time diff: the per-column
+        # modular cumsum is the exact inverse restricted to ``cols``.
+        part = cumsum_along_axis(
+            part, axis=0 if self.cmeta.do_time_diff else None,
+            inplace=True)
+        return part.view(self.dtype) if self.float_bitcast else part
+
     def decompress_chunks(self, chunk_ids, pool=None):
         """Decode several chunks (optionally on a thread pool)."""
         if pool is None:
@@ -768,6 +803,67 @@ class Reader:
         except NotImplementedError:  # pragma: no cover
             return None
 
+    def _column_window(self, rows, cols):
+        """``r[rows, cols]`` via column-restricted decode (None = fall
+        back to the materialize-then-slice path).
+
+        Engaged when few channels are selected (<= 1/4 of the probe):
+        the entropy stage then only decodes the groups covering them —
+        plotting a handful of channels of a 385-channel recording stops
+        paying for the other ~380. Any input the fast path does not
+        replicate bit-for-bit (negative steps, out-of-range indices,
+        bool masks, unsupported containers) falls back, so indexing
+        semantics — including exceptions — stay identical to NumPy's.
+        """
+        if not isinstance(rows, slice) or (rows.step or 1) <= 0:
+            return None
+        C = self.n_channels
+        scalar_col = isinstance(cols, (int, np.integer)) \
+            and not isinstance(cols, bool)
+        if scalar_col:
+            c = int(cols)
+            if not -C <= c < C:
+                return None      # generic path raises numpy's IndexError
+            sel = np.array([c % C], dtype=np.int64)
+        elif isinstance(cols, slice):
+            sel = np.arange(*cols.indices(C), dtype=np.int64)
+        elif isinstance(cols, (list, np.ndarray)):
+            sel = np.asarray(cols)
+            if sel.ndim != 1 or sel.size == 0 or sel.dtype.kind not in 'iu':
+                return None      # bool masks / empty / nd: generic path
+            sel = sel.astype(np.int64)
+            if ((sel < -C) | (sel >= C)).any():
+                return None      # generic path raises numpy's IndexError
+            sel = np.where(sel < 0, sel + C, sel)
+        else:
+            return None
+        uniq = np.unique(sel)
+        if uniq.size == 0 or uniq.size > C // 4:
+            return None          # wide selections: full decode is faster
+        i0 = self._validate_index(rows.start, 0)
+        i1 = self._validate_index(rows.stop, self.n_samples)
+        if i1 <= i0:
+            return None
+        first_chunk, last_chunk = self._chunks_for_interval(i0, i1)
+        parts = []
+        for idx in range(first_chunk, last_chunk + 1):
+            part = self.read_chunk_channels(idx, uniq)
+            if part is None:
+                return None      # unsupported container for this file
+            parts.append(part)
+        arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        a = i0 - self.chunk_bounds[first_chunk]
+        out = arr[a:a + (i1 - i0):rows.step]
+        assert out.shape[0] == len(range(i0, i1, rows.step or 1))
+        if scalar_col:
+            return np.ascontiguousarray(out[:, 0])
+        if uniq.size == sel.size and np.array_equal(uniq, sel):
+            return np.ascontiguousarray(out)
+        # Restore the caller's order/duplicates (numpy fancy-index
+        # semantics); searchsorted maps each requested col to its
+        # position in the decoded unique set.
+        return out[:, np.searchsorted(uniq, sel)]
+
     def to_array(self, first_chunk=0, last_chunk=None):
         """Bulk-decode chunks [first, last] into one ndarray.
 
@@ -957,6 +1053,9 @@ class Reader:
             elif len(item) == 2 and np.isscalar(item[0]):
                 return self[item[0]][item[1]]
             elif len(item) == 2:
+                win = self._column_window(item[0], item[1])
+                if win is not None:
+                    return win
                 return self[item[0]][:, item[1]]
         elif isinstance(item, (int, np.integer)):
             item = int(item)

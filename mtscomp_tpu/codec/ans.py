@@ -753,6 +753,82 @@ class AnsCodec:
         return [self._finalize(parsed, bufs, ns, nc, dtype, order, out=out)
                 for parsed, bufs, ns, nc, out in staged]
 
+    def decode_channels(self, payload, n_samples, n_channels, dtype, cols,
+                        n_threads=1):
+        """Decode only the given channels of one chunk container.
+
+        The channel-aligned layout (flags bit2) stores each channel's
+        plane symbols contiguously, so a column subset only needs the
+        rANS *groups* whose segments overlap the selected channels —
+        for a 385-channel AP chunk a single channel touches ~1/13th of
+        the groups, and the entropy stage is ~90% of decode time. The
+        reference must always inflate whole chunks (one zlib stream per
+        chunk, mtscomp.py:619).
+
+        ``cols`` must be a sorted, unique, in-range array of channel
+        indices. Returns a C-contiguous ``(n_samples, len(cols))``
+        array of the *transformed* chunk (the caller applies the
+        inverse time diff per column — columns are independent under
+        the time diff), or ``None`` when the container layout does not
+        support column-restricted decode (non-aligned, C order, no
+        verbatim head): callers fall back to a full decode.
+        """
+        dtype = np.dtype(dtype)
+        parsed = self.parse(payload)
+        self._check_geometry(parsed, n_samples, n_channels, dtype)
+        if not (parsed['aligned'] and parsed['n_head'] == n_channels
+                and n_channels > 0 and n_samples > 1):
+            return None
+        cols = np.asarray(cols, dtype=np.int64)
+        m = len(cols)
+        tp, tcs = parsed['tp'], parsed['tcs']
+        col_set = set(int(c) for c in cols)
+
+        def overlaps(seg_):
+            _, start, n = seg_
+            return any(c in col_set
+                       for c in range(start // tp, -(-(start + n) // tp)))
+
+        needed = [g for g in parsed['groups']
+                  if any(overlaps(s) for s in g['segments'])]
+        if parsed['groups'] and len(needed) == len(parsed['groups']):
+            # No entropy-stage saving (the selection touches every
+            # group — e.g. few-segment LFP-geometry chunks): the
+            # full-chunk path costs the same and feeds the LRU cache.
+            return None
+        bufs = self._alloc_bufs(parsed)
+        if needed:
+            sub = dict(parsed)
+            sub['groups'] = needed
+            used_list = None
+            from .. import native
+            if native.available():
+                used_list = native.rans_decode_groups(
+                    self._native_groups(sub, bufs),
+                    n_threads=max(1, int(n_threads)))
+            if used_list is not None:
+                self._audit_words(needed, used_list)
+            else:
+                self._decode_groups_numpy(sub, bufs)
+
+        planes = np.empty((m * tcs, parsed['itemsize']), dtype=np.uint8)
+        for p, plane in enumerate(parsed['planes']):
+            if plane['mode'] == MODE_CONST:
+                planes[:, p] = plane['value']
+            elif plane['mode'] == MODE_RAW:
+                planes[:, p] = np.ascontiguousarray(plane['raw']).reshape(
+                    n_channels, tcs)[cols].reshape(-1)
+            else:
+                planes[:, p] = bufs[p].reshape(
+                    n_channels, tp)[cols, :tcs].reshape(-1)
+        flat = join_planes(planes, dtype, parsed['zigzag'])
+        out = np.empty((n_samples, m), dtype=dtype)
+        out[0] = parsed['head'].view(
+            dtype.newbyteorder('<')
+            if dtype.byteorder == '>' else dtype)[cols]
+        out[1:] = flat.reshape((n_samples - 1, m), order='F')
+        return out
+
     def _finalize(self, parsed, bufs, n_samples, n_channels, dtype, order,
                   out=None):
         n_head = parsed['n_head']
