@@ -248,6 +248,13 @@ def mtsdecomp_parser():
                         help='export only samples [A, B) (random access '
                              'decode of just the covering chunks; the '
                              'whole-file hash checks do not apply)')
+    parser.add_argument('--channels', type=str, default=None,
+                        metavar='LIST',
+                        help='export only these channels, in this order '
+                             '(comma-separated indices and A:B ranges, '
+                             'e.g. "7,100:104"); on ans files the entropy '
+                             'stage decodes only the channel groups '
+                             'covering the selection')
     _shared_options(parser)
     _device_option(parser)
     return parser
@@ -263,6 +270,58 @@ def _parse_samples(spec):
                          "side optional), got %r" % spec)
 
 
+def _parse_channels(spec, n_channels):
+    """'7,100:104' -> [7, 100, 101, 102, 103].
+
+    Comma-separated channel indices (negatives count from the end, as
+    in NumPy) and half-open A:B ranges (either side optional). Order
+    and duplicates are preserved — the output columns follow the
+    request, exactly like ``arr[:, list]``.
+    """
+    cols = []
+    for tok in spec.split(','):
+        tok = tok.strip()
+        if not tok:
+            continue
+        try:
+            if ':' in tok:
+                a_s, b_s = tok.split(':')
+                sl = slice(int(a_s) if a_s else None,
+                           int(b_s) if b_s else None)
+                cols.extend(range(*sl.indices(n_channels)))
+            else:
+                c = int(tok)
+                if not -n_channels <= c < n_channels:
+                    raise IndexError(
+                        "channel %d out of range for %d channels"
+                        % (c, n_channels))
+                cols.append(c % n_channels)
+        except ValueError:
+            raise ValueError("--channels expects comma-separated indices "
+                             "and A:B ranges, got %r" % tok)
+    if not cols:
+        raise ValueError("--channels selected no channels: %r" % spec)
+    return cols
+
+
+def _iter_column_blocks(r, a, b, cols):
+    """Yield ``r[c0:c1, cols]`` chunk by chunk over samples [a, b).
+
+    Chunk-at-a-time keeps memory bounded for whole-recording exports
+    and lets each block ride the column-restricted decode fast path
+    (falling back to full-chunk decode per block where unsupported).
+    """
+    i0 = r._validate_index(a, 0)
+    i1 = r._validate_index(b, r.n_samples)
+    if i1 <= i0:
+        return
+    first_chunk, last_chunk = r._chunks_for_interval(i0, i1)
+    for idx in range(first_chunk, last_chunk + 1):
+        c0 = max(i0, int(r.chunk_bounds[idx]))
+        c1 = min(i1, int(r.chunk_bounds[idx + 1]))
+        yield r[c0:c1, cols]
+
+
 def mtsdecomp(args=None):
     """Decompress a file."""
     sys.excepthook = exception_handler
@@ -270,7 +329,8 @@ def mtsdecomp(args=None):
     pargs, config = _args_to_config(parser, args or sys.argv[1:],
                                     compress=False)
     add_default_handler('DEBUG' if pargs.debug else 'INFO')
-    if pargs.out == '-' or pargs.samples is not None:
+    if (pargs.out == '-' or pargs.samples is not None
+            or pargs.channels is not None):
         # Partial export and/or stdout streaming: random access for a
         # window, ordered batch decode for the full stream. The
         # whole-file re-read check does not apply; the full stream is
@@ -281,18 +341,29 @@ def mtsdecomp(args=None):
         try:
             if pargs.out == '-':
                 # `mtsdecomp data.cbin -o - | analyze`
-                _stream_to_stdout(r, pargs.samples, check)
+                _stream_to_stdout(r, pargs.samples, check, pargs.channels)
             else:
-                a, b = _parse_samples(pargs.samples)
+                a, b = (_parse_samples(pargs.samples)
+                        if pargs.samples is not None else (None, None))
                 out = Path(pargs.out) if pargs.out \
                     else Path(pargs.cdata).with_suffix('.bin')
                 if out.exists() and not pargs.overwrite:
                     raise ValueError("File %s already exists (use -f to "
                                      "overwrite)." % out)
-                window = r[a:b]
-                window.tofile(out)
-                logger.info("Wrote %s (%d samples x %d channels).",
-                            out, window.shape[0], window.shape[1])
+                if pargs.channels is not None:
+                    cols = _parse_channels(pargs.channels, r.n_channels)
+                    ns = 0
+                    with open(out, 'wb') as fb:
+                        for block in _iter_column_blocks(r, a, b, cols):
+                            fb.write(np.ascontiguousarray(block))
+                            ns += block.shape[0]
+                    logger.info("Wrote %s (%d samples x %d channels).",
+                                out, ns, len(cols))
+                else:
+                    window = r[a:b]
+                    window.tofile(out)
+                    logger.info("Wrote %s (%d samples x %d channels).",
+                                out, window.shape[0], window.shape[1])
         finally:
             r.close()
         return
@@ -300,18 +371,27 @@ def mtsdecomp(args=None):
                overwrite=pargs.overwrite, **config)
 
 
-def _stream_to_stdout(r, samples, check):
-    """Write decoded samples (or a --samples window) to stdout.
+def _stream_to_stdout(r, samples, check, channels=None):
+    """Write decoded samples (or a --samples/--channels window) to stdout.
 
     The full stream is exactly the ``sha1_uncompressed`` preimage, so
     unless ``-nc`` was passed the streamed bytes are hashed
     incrementally and checked against the sidecar (chopped files carry
-    no hash — skipped). A consumer closing the pipe early (e.g.
-    ``| head``) ends the stream quietly like standard Unix tools.
+    no hash — skipped; column exports are not the preimage either). A
+    consumer closing the pipe early (e.g. ``| head``) ends the stream
+    quietly like standard Unix tools.
     """
     import hashlib
     stream = sys.stdout.buffer
     try:
+        if channels is not None:
+            cols = _parse_channels(channels, r.n_channels)
+            a, b = (_parse_samples(samples)
+                    if samples is not None else (None, None))
+            for block in _iter_column_blocks(r, a, b, cols):
+                stream.write(np.ascontiguousarray(block))
+            stream.flush()
+            return
         if samples is not None:
             a, b = _parse_samples(samples)
             stream.write(np.ascontiguousarray(r[a:b]))

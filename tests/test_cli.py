@@ -276,3 +276,52 @@ def test_cli_decomp_stdout_hash_check(data, capsysbinary):
     got = np.frombuffer(capsysbinary.readouterr().out,
                         dtype=arr.dtype).reshape(-1, 5)
     assert np.array_equal(got, arr)
+
+
+def test_cli_decomp_channels(data, capsysbinary):
+    """mtsdecomp --channels exports only the selected columns, in the
+    requested order, to a file or stdout, with or without --samples."""
+    tmp, path, arr = data
+    out, outmeta = tmp / 'ch.cbin', tmp / 'ch.ch'
+    cli.mtscomp([str(path), str(out), str(outmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5', '-a', 'ans'])
+
+    # File export: ranges + indices + duplicates + negatives, order kept.
+    dec = tmp / 'cols.bin'
+    cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec),
+                   '--channels', '3,0:2,-1,3'])
+    cols = [3, 0, 1, 4, 3]
+    got = np.fromfile(dec, dtype=arr.dtype).reshape(-1, len(cols))
+    assert np.array_equal(got, arr[:, cols])
+
+    # Combined with --samples; overwrite guard applies.
+    with pytest.raises(ValueError, match='exists'):
+        cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec),
+                       '--channels', '2', '--samples', '100:300'])
+    cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec), '-f',
+                   '--channels', '2', '--samples', '100:300'])
+    got = np.fromfile(dec, dtype=arr.dtype).reshape(-1, 1)
+    assert np.array_equal(got, arr[100:300, [2]])
+
+    # stdout form streams the same bytes.
+    cli.mtsdecomp([str(out), str(outmeta), '-o', '-',
+                   '--channels', '1:3', '--samples', '50:250'])
+    got = np.frombuffer(capsysbinary.readouterr().out,
+                        dtype=arr.dtype).reshape(-1, 2)
+    assert np.array_equal(got, arr[50:250, 1:3])
+
+    # Also exercised on the legacy zlib container (full-chunk fallback).
+    zout, zmeta = tmp / 'chz.cbin', tmp / 'chz.ch'
+    cli.mtscomp([str(path), str(zout), str(zmeta), '-d', 'int16',
+                 '-s', str(SAMPLE_RATE), '-n', '5'])
+    dec2 = tmp / 'colsz.bin'
+    cli.mtsdecomp([str(zout), str(zmeta), '-o', str(dec2),
+                   '--channels', '4,0'])
+    got = np.fromfile(dec2, dtype=arr.dtype).reshape(-1, 2)
+    assert np.array_equal(got, arr[:, [4, 0]])
+
+    # Bad specs are rejected with a clear error.
+    for spec in ('', 'a', '1;2', '9'):
+        with pytest.raises((ValueError, IndexError)):
+            cli.mtsdecomp([str(out), str(outmeta), '-o', str(dec), '-f',
+                           '--channels', spec])
