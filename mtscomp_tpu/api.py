@@ -233,12 +233,14 @@ class Writer:
             # native C++ encoder is faster; only explicit device='cpu'
             # (tests, kernels-on-CPU validation) routes through it.
             return False
-        from .parallel.pipeline import link_profile
+        from .parallel.pipeline import host_profile, link_profile
         import multiprocessing
         lat, bw = link_profile()
-        from .native import available as native_available
-        host_rate = (300e6 * min(multiprocessing.cpu_count(), 8)
-                     if native_available() else 15e6)
+        # Measured single-core encode rate of the actual codec in use
+        # (native runtime or numpy fallback — the probe times whichever
+        # is live), scaled by cores (the C++ pool threads per group).
+        enc_rate, _ = host_profile()
+        host_rate = enc_rate * min(multiprocessing.cpu_count(), 8)
         dev_rate = min(bw, 4e9)     # upload-bound, kernel ~5 GB/s
         return dev_rate > host_rate
 
@@ -749,6 +751,12 @@ class Reader:
             return False
         if self._device in ('tpu', 'cpu'):
             return True
+        # auto: 8-byte dtypes always decode on the host (the device
+        # decoder declines them — see DeviceBatchDecoder.supported);
+        # decided here so such files never pay backend init for a path
+        # that falls back anyway.
+        if np.dtype(getattr(self, 'code_dtype', self.dtype)).itemsize > 4:
+            return False
         # auto: small recordings never amortize the device path's
         # fixed costs (backend init ~1 s on PCIe, ~20 s through
         # relays) — decided BEFORE touching JAX so small-file reads
@@ -764,21 +772,23 @@ class Reader:
             # Host-resident XLA arrays: no link to pay for, and the
             # size gate above already filtered the small recordings.
             return True
-        from .parallel.pipeline import link_profile
-        from .native import available as native_available
+        from .parallel.pipeline import host_profile, link_profile
+        import multiprocessing
         lat, bw = link_profile()
-        # Host decode rate: ~250 MB/s/core with the native codec
-        # (conservative); the numpy fallback is ~20x slower. Coarse,
-        # but the links it must separate differ by ~100x.
-        host_rate = 250e6 if native_available() else 12e6
+        # Measured single-core decode rate of the actual codec in use
+        # (native runtime or numpy fallback — the probe times whichever
+        # is live). Coarse is fine: the links it must separate differ
+        # by ~100x.
+        _, host_rate = host_profile()
         itemsize = self.dtype.itemsize
         if window is None:
             # Bulk decodes materialize every decoded byte on the host
             # (tofile/to_array), so the device only wins when the
             # download link outruns the host codec — true on PCIe
             # (GB/s), false through dev relays (~10-40 MB/s), where
-            # the fetch would dominate end-to-end by ~10x.
-            return bw > host_rate
+            # the fetch would dominate end-to-end by ~10x. Bulk host
+            # decode threads across cores (the native pool).
+            return bw > host_rate * min(multiprocessing.cpu_count(), 8)
         i0, i1 = window
         first, last = self._chunks_for_interval(i0, max(i0, i1 - 1))
         chunk_bytes = ((self.chunk_bounds[last + 1]

@@ -110,44 +110,130 @@ def link_profile(refresh=False):
 _LINK_CACHE_TTL = 24 * 3600.0
 
 
-def _link_cache_path():
+def _profile_cache_path(name):
     import os
-    return os.path.join(os.path.expanduser('~/.cache/mtscomp_tpu'),
-                        'link_profile.json')
+    return os.path.join(os.path.expanduser('~/.cache/mtscomp_tpu'), name)
 
 
-def _load_link_cache():
-    """Probing costs a full backend init (~20 s through dev relays) —
-    one measured profile serves every process on the machine for a day.
-    A stale entry only costs speed, never correctness (both routes are
-    byte-exact)."""
+def _load_profile_cache(name, keys):
+    """Probing costs time (a backend init for the link, ~100 ms of
+    codec work for the host) — one measured profile serves every
+    process on the machine for a day. A stale entry only costs speed,
+    never correctness (every route is byte-exact)."""
     import json
     import os
     import time
     try:
-        path = _link_cache_path()
+        path = _profile_cache_path(name)
         if time.time() - os.stat(path).st_mtime > _LINK_CACHE_TTL:
             return None
         with open(path) as f:
             d = json.load(f)
-        return (float(d['latency_s']), float(d['bytes_per_s']))
+        return tuple(float(d[k]) for k in keys)
     except (OSError, ValueError, KeyError, TypeError):
         return None
 
 
-def _store_link_cache(profile):
+def _store_profile_cache(name, keys, values):
     import json
     import os
     try:
-        path = _link_cache_path()
+        path = _profile_cache_path(name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = '%s.%d.tmp' % (path, os.getpid())
         with open(tmp, 'w') as f:
-            json.dump({'latency_s': profile[0],
-                       'bytes_per_s': profile[1]}, f)
+            json.dump(dict(zip(keys, values)), f)
         os.replace(tmp, path)
     except OSError:  # pragma: no cover - cache is best-effort
         pass
+
+
+_LINK_KEYS = ('latency_s', 'bytes_per_s')
+
+
+def _load_link_cache():
+    return _load_profile_cache('link_profile.json', _LINK_KEYS)
+
+
+def _store_link_cache(profile):
+    _store_profile_cache('link_profile.json', _LINK_KEYS, profile)
+
+
+_HOST_PROFILE = None
+_HOST_KEYS = ('encode_bytes_per_s', 'decode_bytes_per_s')
+# Fallbacks if the measurement itself fails (never expected): the
+# round-1/2 hardcoded estimates (~300 MB/s native encode, ~250 MB/s
+# native decode per core on a commodity core).
+_HOST_FALLBACK = (300e6, 250e6)
+
+
+def host_profile(refresh=False):
+    """Measured ``(encode_bytes_per_s, decode_bytes_per_s)`` of ONE
+    host core running the ans codec on a synthetic Neuropixels-like
+    block; cached in-process and on disk (24 h, beside the link
+    profile).
+
+    Auto routing (``Writer._use_device`` / ``Reader._use_device``)
+    compares the accelerator link against the host codec; the host
+    side was a hardcoded ``300e6 x cores`` guess through round 2 —
+    wrong on hosts whose cores aren't ~300 MB/s, and blind to whether
+    the native runtime is actually loaded. Measuring a ~4 MB block
+    through the real encode/decode entry points (~100 ms with the C++
+    runtime, sub-second even on the numpy fallback) makes the decision
+    derive from two measurements instead of one measurement and one
+    guess.
+    """
+    global _HOST_PROFILE
+    if _HOST_PROFILE is not None and not refresh:
+        return _HOST_PROFILE
+    if not refresh:
+        cached = _load_profile_cache('host_profile.json', _HOST_KEYS)
+        if cached is not None:
+            _HOST_PROFILE = cached
+            return _HOST_PROFILE
+    _HOST_PROFILE = _measure_host_rates()
+    logger.debug("Host codec profile: encode %.0f MB/s, decode %.0f MB/s "
+                 "per core.", _HOST_PROFILE[0] / 1e6,
+                 _HOST_PROFILE[1] / 1e6)
+    _store_profile_cache('host_profile.json', _HOST_KEYS, _HOST_PROFILE)
+    return _HOST_PROFILE
+
+
+def _measure_host_rates():
+    """One-shot single-thread codec rates on a ~4 MB synthetic chunk.
+
+    Times the same entry points the production paths use: encode with
+    the fused time-diff prep (Writer._compress_chunk) and decode +
+    in-dtype inverse cumsum (Reader.read_chunk). Best of 3 reps — the
+    routing decision separates links that differ ~100x, so scheduler
+    jitter is immaterial.
+    """
+    import time
+    try:
+        from ..codec.ans import AnsCodec
+        from ..ops.delta import cumsum_along_axis
+        ns, nc = 16384, 128                     # 4 MB int16
+        rng = np.random.default_rng(0)
+        arr = np.ascontiguousarray(np.cumsum(
+            rng.normal(0.0, 6.0, size=(ns, nc)), axis=0).astype(np.int16))
+        codec = AnsCodec()
+        enc_t = dec_t = float('inf')
+        payload = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            payload = codec.encode(arr, order='F', time_diff_pending=True)
+            enc_t = min(enc_t, time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = codec.decode(payload, ns, nc, arr.dtype, order='F')
+            cumsum_along_axis(out, axis=0, inplace=True)
+            dec_t = min(dec_t, time.perf_counter() - t0)
+        return (arr.nbytes / max(enc_t, 1e-7),
+                arr.nbytes / max(dec_t, 1e-7))
+    except Exception:  # pragma: no cover - fallback only
+        logger.debug("Host codec rate probe failed; using fallback "
+                     "estimates.", exc_info=True)
+        return _HOST_FALLBACK
 
 
 def _timed(fn):
@@ -370,6 +456,16 @@ class DeviceBatchDecoder:
         producing wrong bytes or raw broadcast errors.
         """
         if self.dtype.kind not in 'iu':
+            return False
+        if self.dtype.itemsize > 4:
+            # 8-byte dtypes (int64/uint64, and float64 via bitcast)
+            # must decode on the host: under JAX's default x64-disabled
+            # mode a uint64 plane accumulator silently truncates to
+            # uint32, OR-shifting the upper four byte planes into
+            # oblivion — wrong values with the wrong dtype, and every
+            # payload-level guard (CRC, table validation, word audit)
+            # still passes. The host codec is exact for any width
+            # (reference semantics, mtscomp.py:143-169, 375-397).
             return False
         if self.dtype.byteorder not in '<=|':
             return False     # JAX has no non-native dtypes; host path
@@ -999,7 +1095,9 @@ class DeviceChunkCache:
         ns = r.chunk_bounds[idx + 1] - r.chunk_bounds[idx]
         parsed = [r.codec.parse(_read_payload(r, idx))]
         dec = DeviceBatchDecoder(r)
-        if not dec.supported(parsed, ns):  # pragma: no cover
+        if not dec.supported(parsed, ns):
+            # e.g. 8-byte dtypes; Reader._device_window catches this
+            # and serves the window through the (exact) host path.
             raise NotImplementedError("unsupported chunk for device cache")
         fn, args = dec.pack(parsed, ns)
         chunks, used = fn(*args)

@@ -42,6 +42,16 @@ def _isolate_user_config(tmp_path_factory):
     yield
 
 
+@pytest.fixture(autouse=True)
+def _pin_host_profile(monkeypatch):
+    """Pin the measured host-codec rates so auto-routing tests are
+    deterministic and the probe never runs (nor writes the real
+    ~/.cache profile) inside the suite. Tests that exercise
+    host_profile() itself override/clear this."""
+    from mtscomp_tpu.parallel import pipeline
+    monkeypatch.setattr(pipeline, '_HOST_PROFILE', (300e6, 250e6))
+
+
 @pytest.fixture
 def tmp_path_(tmp_path, monkeypatch):
     """tmpdir with the user config redirected inside it."""

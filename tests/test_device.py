@@ -427,6 +427,88 @@ def test_device_decode_narrow_dtypes(tmp_path_, dtype, monkeypatch):
         r.close()
 
 
+@pytest.mark.parametrize('dtype', ['int64', 'uint64', 'float64'])
+def test_device_paths_wide_dtypes_exact(tmp_path_, dtype, monkeypatch):
+    """8-byte dtypes: the device decoder must DECLINE them (JAX's
+    default x64-disabled mode silently truncates a uint64 plane
+    accumulator to uint32, OR-shifting planes 4-7 away — wrong values
+    with the wrong dtype, and no payload guard fires; confirmed round
+    2), so every forced device path falls back to the host codec and
+    still returns byte-exact data with the right dtype. Values exceed
+    2**32 so upper-plane loss cannot hide."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    rng = np.random.default_rng(11)
+    ns, nc = 3 * 1000, 12
+    base = np.int64(3) << 40
+    walk = np.cumsum(rng.integers(-1000, 1000, size=(ns, nc),
+                                  dtype=np.int64), axis=0) + base
+    if dtype == 'int64':
+        arr = walk
+    elif dtype == 'uint64':
+        arr = walk.astype(np.uint64) + (np.uint64(1) << np.uint64(63))
+    else:
+        arr = walk.astype(np.float64) * 1.5
+        arr[0, 0] = np.nan
+        arr[0, 1] = -np.inf                 # bitcast path: bit-exact
+    path = write_arr(tmp_path_ / 'wide.bin', arr)
+    compress(path, tmp_path_ / 'wide.cbin', tmp_path_ / 'wide.ch',
+             sample_rate=1000.0, n_channels=nc, dtype=dtype,
+             algorithm='ans', quiet=True, ans_seg_log2=12)
+    r = decompress(tmp_path_ / 'wide.cbin', tmp_path_ / 'wide.ch',
+                   quiet=True, device='cpu')
+    try:
+        from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                                   _read_payload)
+        parsed = [r.codec.parse(_read_payload(r, 0))]
+        ns0 = r.chunk_bounds[1] - r.chunk_bounds[0]
+        assert not DeviceBatchDecoder(r).supported(parsed, ns0)
+        # Forced-device bulk decode: host fallback, byte-exact.
+        got = decompress_to_array(r)
+        assert got.dtype == arr.dtype
+        assert got.tobytes() == arr.tobytes()
+        got = r.to_array()
+        assert got.dtype == arr.dtype and got.tobytes() == arr.tobytes()
+        # Forced-device window reads: DeviceChunkCache declines, the
+        # host path serves them.
+        for i0, i1 in [(0, 100), (900, 1100), (2950, 3000)]:
+            win = r[i0:i1]
+            assert win.dtype == arr.dtype
+            assert win.tobytes() == arr[i0:i1].tobytes()
+        assert r[50:60, 3:9].tobytes() == arr[50:60, 3:9].tobytes()
+    finally:
+        r.close()
+
+
+def test_wide_dtypes_auto_routing_declines_before_jax(tmp_path_,
+                                                      monkeypatch):
+    """device='auto' on an 8-byte-dtype file must decide 'host' without
+    initializing a backend or probing the link."""
+    from mtscomp_tpu.parallel import pipeline
+    rng = np.random.default_rng(12)
+    arr = (rng.integers(-1000, 1000, size=(2000, 8), dtype=np.int64)
+           + (np.int64(5) << 40))
+    path = write_arr(tmp_path_ / 'a.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=1000.0, n_channels=8, dtype='int64',
+             algorithm='ans', quiet=True, check_after_compress=False)
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("link_profile probed for a 64-bit file")
+
+    monkeypatch.setattr(pipeline, 'link_profile', boom)
+    # Defeat the small-file gate so the dtype gate is what's tested.
+    import mtscomp_tpu.api as api_mod
+    monkeypatch.setattr(api_mod, 'AUTO_DEVICE_MIN_BYTES', 0)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True,
+                   device='auto')
+    try:
+        assert not r._use_device()
+        assert not r._use_device(window=(0, 100))
+        assert np.array_equal(r.to_array(), arr)
+    finally:
+        r.close()
+
+
 def test_second_fixup_flag_matches_bucket_occupancy():
     """pack_device_tables' needs2 flag == brute-force bucket occupancy."""
     from mtscomp_tpu.ops.pallas_rans import pack_device_tables
@@ -760,6 +842,66 @@ def test_auto_routing_follows_link_profile(tmp_path_, monkeypatch):
         assert w._use_device() is False
         monkeypatch.setattr(pl, '_LINK_PROFILE', (0.0002, 10e9))
         assert w._use_device() is True
+    finally:
+        w.close()
+
+
+def test_host_profile_measures_and_caches(tmp_path_, monkeypatch):
+    """host_profile() measures real single-core codec rates (finite,
+    positive) and persists them beside the link profile; a fresh
+    process state reads the cache back instead of re-probing."""
+    from mtscomp_tpu.parallel import pipeline as pl
+    monkeypatch.setattr(pl, '_HOST_PROFILE', None)
+    monkeypatch.setattr(pl, '_profile_cache_path',
+                        lambda name: str(tmp_path_ / name))
+    enc, dec = pl.host_profile()
+    assert 0 < enc < float('inf')
+    assert 0 < dec < float('inf')
+    assert (tmp_path_ / 'host_profile.json').exists()
+    # Fresh in-process state: served from the disk cache, not re-probed.
+    monkeypatch.setattr(pl, '_HOST_PROFILE', None)
+    monkeypatch.setattr(pl, '_measure_host_rates', lambda: (_ for _ in ())
+                        .throw(AssertionError('re-probed')))
+    assert pl.host_profile() == (enc, dec)
+
+
+def test_auto_routing_uses_measured_host_rate(tmp_path_, monkeypatch):
+    """Auto decisions derive from BOTH measurements: with the link held
+    fixed, a fast-measured host keeps the work on the host and a
+    slow-measured host routes it to the device — a mis-calibrated
+    hardcoded constant can no longer flip the route."""
+    import jax
+    import mtscomp_tpu.api as api_mod
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel import pipeline as pl
+    monkeypatch.setattr(api_mod, 'AUTO_DEVICE_MIN_BYTES', 0)
+    sr, nc = 4000, 32
+    arr = to_int16(make_signal('colored', ns=4 * sr, nc=nc))
+    path = write_arr(tmp_path_ / 'm.bin', arr)
+    compress(path, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+             sample_rate=float(sr), n_channels=nc, dtype='int16',
+             algorithm='ans', quiet=True)
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(pl, '_LINK_PROFILE', (0.001, 1e9))  # fixed link
+    r = decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch', quiet=True)
+    try:
+        import multiprocessing
+        cores = min(multiprocessing.cpu_count(), 8)
+        monkeypatch.setattr(pl, '_HOST_PROFILE', (300e6, 2e9 / cores))
+        assert r._use_device() is False           # fast host wins
+        monkeypatch.setattr(pl, '_HOST_PROFILE', (300e6, 20e6))
+        assert r._use_device() is True            # slow host loses
+    finally:
+        r.close()
+    w = Writer(algorithm='ans', quiet=True)
+    try:
+        w.open(path, sample_rate=float(sr), n_channels=nc, dtype='int16')
+        import multiprocessing
+        cores = min(multiprocessing.cpu_count(), 8)
+        monkeypatch.setattr(pl, '_HOST_PROFILE', (2e9 / cores, 250e6))
+        assert w._use_device() is False           # fast host encode
+        monkeypatch.setattr(pl, '_HOST_PROFILE', (20e6, 250e6))
+        assert w._use_device() is True            # slow host encode
     finally:
         w.close()
 

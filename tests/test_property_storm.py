@@ -15,7 +15,8 @@ import pytest
 from mtscomp_tpu.codec.ans import AnsCodec
 from mtscomp_tpu.codec.zlib_codec import ZlibCodec
 
-DTYPES = ['uint8', 'int8', 'int16', 'uint16', 'int32', 'uint32', 'int64']
+DTYPES = ['uint8', 'int8', 'int16', 'uint16', 'int32', 'uint32',
+          'int64', 'uint64']
 
 
 def _random_chunk(rng):
@@ -29,14 +30,17 @@ def _random_chunk(rng):
         arr = rng.integers(-2, 3, size=(ns, nc))
     elif kind == 2:                     # full-range noise (RAW planes)
         info = np.iinfo(dtype)
-        arr = rng.integers(info.min, info.max, size=(ns, nc),
-                           endpoint=True, dtype=np.int64)
+        return rng.integers(info.min, info.max, size=(ns, nc),
+                            endpoint=True, dtype=dtype)
     elif kind == 3:                     # heterogeneous channels
         stds = np.exp(rng.uniform(0, 4, nc))
         arr = rng.normal(0, 1, size=(ns, nc)) * stds
     else:                               # smooth walks
         arr = np.cumsum(rng.normal(0, 10, size=(ns, nc)), axis=0)
-    return np.asarray(arr).astype(dtype)
+    # Round-trip through int64 first: float -> unsigned casts of
+    # negative values are undefined; int64 -> uintN wraps mod 2^N
+    # deterministically.
+    return np.asarray(arr).astype(np.int64).astype(dtype)
 
 
 @pytest.mark.parametrize('seed', range(4))

@@ -400,6 +400,67 @@ def main():
              'bitcast float via the int32 decode variant + windows',
              cell_roundtrip('float32', expect_fixups='one', window=True))
 
+    # --- 8-byte dtypes: the device decoder must DECLINE (JAX x64-off
+    # truncates a uint64 plane accumulator — the round-2 silent
+    # corruption) and every forced-device entry point must fall back to
+    # the host codec byte-exactly. Values exceed 2**32 so upper-plane
+    # loss cannot hide.
+    def cell_wide_dtype(dtype):
+        def fn():
+            from mtscomp_tpu.parallel.pipeline import (
+                DeviceBatchDecoder, DeviceChunkCache, _read_payload,
+                decompress_to_array)
+            rng = np.random.default_rng(13)
+            walk = np.cumsum(rng.integers(-2000, 2000, size=(NS, C),
+                                          dtype=np.int64), axis=0) \
+                + (np.int64(3) << 40)
+            if dtype == 'int64':
+                arr = walk
+            elif dtype == 'uint64':
+                arr = walk.astype(np.uint64) + (np.uint64(1) << np.uint64(63))
+            else:
+                arr = walk.astype(np.float64) * 1.5
+                arr[0, 0] = np.nan
+                arr[0, 1] = -np.inf
+            sub = tmp / ("wide_%s" % dtype)
+            sub.mkdir()
+            raw = sub / 'x.bin'
+            arr.tofile(raw)
+            compress(raw, sub / 'x.cbin', sub / 'x.ch', sample_rate=SR,
+                     n_channels=C, dtype=dtype, **cbase())
+            r = decompress(sub / 'x.cbin', sub / 'x.ch', quiet=True,
+                           device='tpu' if backend == 'tpu' else 'cpu')
+            try:
+                parsed = [r.codec.parse(_read_payload(r, 0))]
+                ns0 = r.chunk_bounds[1] - r.chunk_bounds[0]
+                assert not DeviceBatchDecoder(r).supported(parsed, ns0), \
+                    "device decoder accepted an 8-byte dtype"
+                try:
+                    DeviceChunkCache(r)._chunk(0)
+                    raise AssertionError(
+                        "device chunk cache accepted an 8-byte dtype")
+                except NotImplementedError:
+                    pass
+                got = decompress_to_array(r)   # forced-device bulk entry
+                assert got.dtype == arr.dtype, got.dtype
+                assert got.tobytes() == arr.tobytes(), \
+                    "host-fallback bulk decode mismatch"
+                for (a, b) in [(7, csize // 2), (csize - 3, csize + 9),
+                               (NS - csize // 3, NS)]:
+                    win = r[a:b]               # forced-device window entry
+                    assert win.dtype == arr.dtype
+                    assert win.tobytes() == arr[a:b].tobytes(), \
+                        "window [%d:%d) mismatch" % (a, b)
+                return {'declined': 'host-exact'}
+            finally:
+                r.close()
+        return fn
+
+    for dtype in ('int64', 'uint64', 'float64'):
+        run_cell('wide_dtype_%s' % dtype,
+                 'device path declines; host fallback byte-exact',
+                 cell_wide_dtype(dtype))
+
     # --- clustered per-segment multitable (flags bit4) -----------------
     run_cell('segment_tables_int16',
              'bit4 multitable on gradient data',
@@ -621,6 +682,8 @@ def main():
         "Axes covered: 6 integer dtypes (1/2/4-byte kernel variants), "
         "bitcast floats (float16 via the i16 kernels incl. device "
         "encode, float32 via the int32 decode variant), "
+        "8-byte dtypes (int64/uint64/float64: device path declines, "
+        "host fallback byte-exact through every forced-device entry), "
         "plane + segment-multitable (bit4) containers, aligned + "
         "non-aligned layouts, self-written one-fixup + foreign "
         "two-fixup tables, partial tail chunks, chunk_order C, spatial "
