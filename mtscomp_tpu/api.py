@@ -874,16 +874,19 @@ class Reader:
         # position in the decoded unique set.
         return out[:, np.searchsorted(uniq, sel)]
 
-    def to_array(self, first_chunk=0, last_chunk=None):
+    def to_array(self, first_chunk=0, last_chunk=None, writable=True):
         """Bulk-decode chunks [first, last] into one ndarray.
 
         Uses the batched device pipeline for the ans format (TPU when
-        available), the host codec otherwise.
+        available), the host codec otherwise. ``writable=False`` lets
+        read-only consumers (``tofile``, ``check``) skip the final
+        span copy on the device route.
         """
         last_chunk = self.n_chunks - 1 if last_chunk is None else last_chunk
         if self._use_device():
             from .parallel.pipeline import decompress_to_array
-            return decompress_to_array(self, first_chunk, last_chunk)
+            return decompress_to_array(self, first_chunk, last_chunk,
+                                       writable=writable)
         ids = range(first_chunk, last_chunk + 1)
         if hasattr(self.codec, 'decode_batch'):
             # Native batch decode (and no LRU traffic — bulk reads
@@ -923,7 +926,7 @@ class Reader:
             first = batch_size * batch
             last = min(batch_size * (batch + 1), self.n_chunks)
             if use_device:
-                return [self.to_array(first, last - 1)]
+                return [self.to_array(first, last - 1, writable=False)]
             if hasattr(self.codec, 'decode_batch'):
                 decoded = self._decompress_chunks_batch(range(first, last))
             else:

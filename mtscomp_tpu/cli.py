@@ -254,7 +254,8 @@ def mtsdecomp_parser():
                              '(comma-separated indices and A:B ranges, '
                              'e.g. "7,100:104"); on ans files the entropy '
                              'stage decodes only the channel groups '
-                             'covering the selection')
+                             'covering the selection; the whole-file '
+                             'hash checks do not apply')
     _shared_options(parser)
     _device_option(parser)
     return parser
@@ -305,21 +306,48 @@ def _parse_channels(spec, n_channels):
 
 
 def _iter_column_blocks(r, a, b, cols):
-    """Yield ``r[c0:c1, cols]`` chunk by chunk over samples [a, b).
+    """Yield ``r[c0:c1, cols]`` block by block over samples [a, b).
 
-    Chunk-at-a-time keeps memory bounded for whole-recording exports
-    and lets each block ride the column-restricted decode fast path
-    (falling back to full-chunk decode per block where unsupported).
+    Memory stays bounded for whole-recording exports. When the file
+    supports column-restricted entropy decode (ans, narrow selection),
+    each chunk rides that fast path; otherwise (legacy zlib, spatial
+    diff, wide selections) chunks are decoded in small multi-chunk
+    batches — the native batch decoder / thread pool — and
+    column-sliced on the host, instead of running a whole recording
+    serially through the per-chunk LRU path.
     """
     i0 = r._validate_index(a, 0)
     i1 = r._validate_index(b, r.n_samples)
     if i1 <= i0:
         return
     first_chunk, last_chunk = r._chunks_for_interval(i0, i1)
-    for idx in range(first_chunk, last_chunk + 1):
-        c0 = max(i0, int(r.chunk_bounds[idx]))
-        c1 = min(i1, int(r.chunk_bounds[idx + 1]))
-        yield r[c0:c1, cols]
+    uniq = np.unique(np.asarray(cols, dtype=np.int64))
+    fast = (r.algorithm == 'ans' and not r.cmeta.do_spatial_diff
+            and hasattr(r.codec, 'decode_channels')
+            and 0 < uniq.size <= r.n_channels // 4)
+    if fast:
+        for idx in range(first_chunk, last_chunk + 1):
+            c0 = max(i0, int(r.chunk_bounds[idx]))
+            c1 = min(i1, int(r.chunk_bounds[idx + 1]))
+            yield r[c0:c1, cols]
+        return
+    batch = max(1, min(int(r.bounded_batch_size()), 8))
+    use_batch = hasattr(r.codec, 'decode_batch')
+    if not use_batch:
+        r.start_thread_pool()   # legacy codecs: thread over chunks
+    try:
+        for first in range(first_chunk, last_chunk + 1, batch):
+            ids = list(range(first, min(first + batch, last_chunk + 1)))
+            decoded = (r._decompress_chunks_batch(ids) if use_batch
+                       else r.decompress_chunks(ids, pool=r.pool))
+            for idx in ids:
+                base = int(r.chunk_bounds[idx])
+                c0 = max(i0, base)
+                c1 = min(i1, int(r.chunk_bounds[idx + 1]))
+                yield decoded[idx][c0 - base:c1 - base][:, cols]
+    finally:
+        if not use_batch:
+            r.stop_thread_pool()
 
 
 def mtsdecomp(args=None):
@@ -339,19 +367,23 @@ def mtsdecomp(args=None):
         r = decompress(pargs.cdata, pargs.cmeta,
                        check_after_decompress=False, **config)
         try:
+            # Parse the export specs ONCE (shared by the file and the
+            # stdout forms, so the two cannot drift).
+            window = (_parse_samples(pargs.samples)
+                      if pargs.samples is not None else None)
+            cols = (_parse_channels(pargs.channels, r.n_channels)
+                    if pargs.channels is not None else None)
             if pargs.out == '-':
                 # `mtsdecomp data.cbin -o - | analyze`
-                _stream_to_stdout(r, pargs.samples, check, pargs.channels)
+                _stream_to_stdout(r, window, check, cols)
             else:
-                a, b = (_parse_samples(pargs.samples)
-                        if pargs.samples is not None else (None, None))
+                a, b = window if window is not None else (None, None)
                 out = Path(pargs.out) if pargs.out \
                     else Path(pargs.cdata).with_suffix('.bin')
                 if out.exists() and not pargs.overwrite:
                     raise ValueError("File %s already exists (use -f to "
                                      "overwrite)." % out)
-                if pargs.channels is not None:
-                    cols = _parse_channels(pargs.channels, r.n_channels)
+                if cols is not None:
                     ns = 0
                     with open(out, 'wb') as fb:
                         for block in _iter_column_blocks(r, a, b, cols):
@@ -371,8 +403,9 @@ def mtsdecomp(args=None):
                overwrite=pargs.overwrite, **config)
 
 
-def _stream_to_stdout(r, samples, check, channels=None):
-    """Write decoded samples (or a --samples/--channels window) to stdout.
+def _stream_to_stdout(r, window, check, cols=None):
+    """Write decoded samples (or a pre-parsed ``window``/``cols``
+    selection, see ``mtsdecomp``) to stdout.
 
     The full stream is exactly the ``sha1_uncompressed`` preimage, so
     unless ``-nc`` was passed the streamed bytes are hashed
@@ -384,16 +417,14 @@ def _stream_to_stdout(r, samples, check, channels=None):
     import hashlib
     stream = sys.stdout.buffer
     try:
-        if channels is not None:
-            cols = _parse_channels(channels, r.n_channels)
-            a, b = (_parse_samples(samples)
-                    if samples is not None else (None, None))
+        if cols is not None:
+            a, b = window if window is not None else (None, None)
             for block in _iter_column_blocks(r, a, b, cols):
                 stream.write(np.ascontiguousarray(block))
             stream.flush()
             return
-        if samples is not None:
-            a, b = _parse_samples(samples)
+        if window is not None:
+            a, b = window
             stream.write(np.ascontiguousarray(r[a:b]))
             stream.flush()
             return

@@ -680,6 +680,12 @@ def _build_transform_fn(B, T, C, dtype_str, order, do_time_diff,
     return transform
 
 
+# Mixed-mode encode batches split into mode-uniform sub-batches; rows
+# smaller than this take the host codec (byte-identical) instead of
+# compiling tiny device signatures.
+MIN_DEVICE_SUBBATCH = 4
+
+
 class DeviceBatchEncoder:
     """Encode batches of equal-size integer chunks on the device.
 
@@ -894,10 +900,22 @@ class DeviceBatchEncoder:
             # mantissa planes). Split into mode-uniform sub-batches and
             # encode each on device rather than abandoning the batch;
             # decide_plane is deterministic, so each sub-batch passes
-            # the uniformity check on re-entry.
+            # the uniformity check on re-entry. Sub-batches below
+            # MIN_DEVICE_SUBBATCH chunks go to the host codec instead
+            # (byte-identical by the cross-implementation invariant):
+            # a pathological batch with B distinct mode rows would
+            # otherwise compile B one-chunk device signatures, thrashing
+            # the lru_cached builders.
             payloads = [None] * B
             for row in sorted({tuple(m) for m in modes.tolist()}):
                 ids = [b for b in range(B) if tuple(modes[b]) == row]
+                if len(ids) < MIN_DEVICE_SUBBATCH:
+                    enc_one = getattr(self.codec, 'encode', None)
+                    for b in ids:
+                        payloads[b] = enc_one(
+                            self.writer._transform_chunk(chunks[b]),
+                            order=self.order)
+                    continue
                 sub = self.encode_batch(np.ascontiguousarray(chunks[ids]),
                                         mesh=mesh)
                 if sub is None:  # pragma: no cover - sub-batch declined
@@ -1128,33 +1146,62 @@ class DeviceChunkCache:
         return _as_user_dtype(np.array(dev), r)
 
 
-def decompress_to_array(reader, first_chunk=0, last_chunk=None):
+def decompress_to_array(reader, first_chunk=0, last_chunk=None, out=None,
+                        writable=True):
     """Bulk-decode chunks [first, last] to one array via the device path.
 
+    Decodes straight into one span-wide destination (``out`` if given,
+    else allocated here) — a batch's device output is chunk-major, so a
+    whole group lands with ONE reshape/copy and the old per-chunk view
+    list + full-span ``np.concatenate`` copy is gone. With
+    ``writable=False`` (bulk consumers that only read the result, e.g.
+    ``tofile``) a single-uniform-batch span returns the fetched device
+    buffer itself (read-only, zero extra copies). Mirrors the host bulk
+    path's ``outs=`` span-destination contract
+    (``Reader._read_span_bulk``).
+
     Falls back to the host codec for chunk groups the device path cannot
-    batch (mixed plane modes, trailing partial chunk, float dtypes).
+    batch (mixed plane modes, 8-byte dtypes, foreign geometry).
     """
     last_chunk = reader.n_chunks - 1 if last_chunk is None else last_chunk
-    parts = []
+    bounds = reader.chunk_bounds
+    C = reader.n_channels
+    total = bounds[last_chunk + 1] - bounds[first_chunk]
+    if out is not None:
+        assert out.shape == (total, C) and out.dtype == reader.dtype
     groups = []
     for idx in range(first_chunk, last_chunk + 1):
-        ns = reader.chunk_bounds[idx + 1] - reader.chunk_bounds[idx]
+        ns = bounds[idx + 1] - bounds[idx]
         if groups and groups[-1][1] == ns:
             groups[-1][0].append(idx)
         else:
             groups.append(([idx], ns))
+    pos = 0
     for chunk_ids, ns in groups:
         payloads = [_read_payload(reader, i) for i in chunk_ids]
         parsed = [reader.codec.parse(p) for p in payloads]
         dec = DeviceBatchDecoder(reader)
+        n_span = len(chunk_ids) * ns
         if dec.supported(parsed, ns):
-            out = _as_user_dtype(dec.decode_batch(parsed, ns), reader)
-            parts.extend(out[i] for i in range(len(chunk_ids)))
-        else:  # pragma: no cover - rare mixed-mode batches
+            block = dec.decode_batch(parsed, ns)       # (B, ns, C)
+            if out is None and len(groups) == 1 and not writable:
+                # The fetched batch is chunk-major: the span IS its
+                # flat view — no destination copy at all.
+                return _as_user_dtype(block.reshape(total, C), reader)
+            if out is None:
+                out = np.empty((total, C), reader.dtype)
+            np.copyto(out[pos:pos + n_span],
+                      _as_user_dtype(block.reshape(n_span, C), reader))
+        else:
             logger.debug("Device decode unsupported for chunks %s; "
                          "using host path.", chunk_ids)
-            parts.extend(reader._decompress_chunk(i)[1] for i in chunk_ids)
-    return np.concatenate(parts, axis=0)
+            if out is None:
+                out = np.empty((total, C), reader.dtype)
+            for j, i in enumerate(chunk_ids):
+                np.copyto(out[pos + j * ns:pos + (j + 1) * ns],
+                          reader._decompress_chunk(i)[1])
+        pos += n_span
+    return out
 
 
 def _read_payload(reader, idx):

@@ -747,6 +747,116 @@ def test_device_storm_fixed_geometry(tmp_path_):
         w.close()
 
 
+def test_decompress_to_array_span_destinations(tmp_path_):
+    """Device bulk reads decode into one span-wide destination: out=
+    views are honored, the partial-tail file round-trips identically,
+    read-only consumers get the zero-extra-copy fast path, and chunk
+    groups the device declines land in the same span via the host
+    codec."""
+    from mtscomp_tpu.parallel.pipeline import decompress_to_array
+    rng = np.random.default_rng(5)
+    ns, nc = 3 * 1000 + 400, 16          # partial tail chunk
+    arr = np.cumsum(rng.normal(0, 5, size=(ns, nc)), axis=0).astype(np.int16)
+    path = write_arr(tmp_path_ / 's.bin', arr)
+    compress(path, tmp_path_ / 's.cbin', tmp_path_ / 's.ch',
+             sample_rate=1000.0, n_channels=nc, dtype='int16',
+             algorithm='ans', quiet=True, ans_seg_log2=12)
+    r = decompress(tmp_path_ / 's.cbin', tmp_path_ / 's.ch', quiet=True)
+    try:
+        got = decompress_to_array(r)
+        assert got.flags.writeable
+        assert np.array_equal(got, arr)
+        # Caller-provided span destination.
+        dst = np.empty_like(arr)
+        ret = decompress_to_array(r, out=dst)
+        assert ret is dst and np.array_equal(dst, arr)
+        # Read-only fast path over the uniform prefix (one group).
+        pre = decompress_to_array(r, 0, r.n_chunks - 2, writable=False)
+        assert np.array_equal(pre, arr[:r.chunk_bounds[r.n_chunks - 1]])
+        # Sub-ranges with explicit destinations.
+        n1 = r.chunk_bounds[2] - r.chunk_bounds[1]
+        d1 = np.empty((n1, nc), np.int16)
+        decompress_to_array(r, 1, 1, out=d1)
+        assert np.array_equal(d1, arr[r.chunk_bounds[1]:r.chunk_bounds[2]])
+    finally:
+        r.close()
+    # Host-fallback groups (mixed plane modes within one batch) write
+    # into the same span: chunk 0 constant (CONST planes), chunk 1
+    # noisy (RANS) -> the 2-chunk group fails the uniformity check.
+    arr2 = np.concatenate([
+        np.full((1000, nc), 3, np.int16),
+        rng.integers(-3000, 3000, size=(1000, nc)).astype(np.int16)])
+    path2 = write_arr(tmp_path_ / 'm.bin', arr2)
+    compress(path2, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+             sample_rate=1000.0, n_channels=nc, dtype='int16',
+             algorithm='ans', quiet=True)
+    r2 = decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch', quiet=True)
+    try:
+        from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                                   _read_payload)
+        parsed = [r2.codec.parse(_read_payload(r2, i)) for i in range(2)]
+        if not DeviceBatchDecoder(r2).supported(parsed, 1000):
+            got2 = decompress_to_array(r2)
+            assert np.array_equal(got2, arr2)
+            dst2 = np.empty_like(arr2)
+            assert decompress_to_array(r2, out=dst2) is dst2
+            assert np.array_equal(dst2, arr2)
+    finally:
+        r2.close()
+
+
+def test_mixed_mode_encode_small_subbatches_use_host(tmp_path_):
+    """A pathological batch whose chunks all decide different plane
+    modes must not compile one device signature per chunk: sub-batches
+    below MIN_DEVICE_SUBBATCH go through the host codec (byte-identical
+    containers either way). Asserted via a transform-builder probe —
+    only the top-level batch signature may be built."""
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel import pipeline as pl
+    rng = np.random.default_rng(9)
+    ns, nc = 1000, 16
+    info = np.iinfo(np.int16)
+    blocks = [
+        np.cumsum(rng.normal(0, 6, (ns, nc)), axis=0),        # RANS/RANS
+        np.full((ns, nc), 5.0),                               # CONST
+        rng.integers(info.min, info.max, (ns, nc)),           # near-RAW
+        rng.integers(-1, 2, (ns, nc)),                        # tiny alpha
+    ]
+    arr = np.concatenate([np.clip(b, info.min, info.max) for b in blocks]
+                         ).astype(np.int16)
+    path = write_arr(tmp_path_ / 'p.bin', arr)
+    w = Writer(algorithm='ans', quiet=True)
+    try:
+        w.open(path, sample_rate=float(ns), n_channels=nc, dtype='int16')
+        chunks = np.stack([np.asarray(w.get_chunk(i))
+                           for i in range(w.n_chunks)])
+        enc = pl.DeviceBatchEncoder(w)
+        built = []
+        orig = pl._build_transform_fn
+
+        def probe(B, *a, **k):
+            built.append(B)
+            return orig(B, *a, **k)
+
+        try:
+            pl._build_transform_fn = probe
+            payloads = enc.encode_batch(chunks)
+        finally:
+            pl._build_transform_fn = orig
+        # The chunks genuinely disagree on modes (else the scenario
+        # under test did not materialize).
+        assert payloads is not None
+        rows = {tuple(w.codec.parse(p)['modes']) for p in payloads}
+        assert len(rows) >= 2, rows
+        assert all(B == len(chunks) for B in built), built
+        for i, p in enumerate(payloads):
+            host = w.codec.encode(w._transform_chunk(chunks[i]),
+                                  order=w.chunk_order)
+            assert p == host, i
+    finally:
+        w.close()
+
+
 def test_decompress_multi_mismatched_probes_fall_back(tmp_path_):
     """Probes differing in diff flags or dtype must not merge into one
     device batch (they would decode with probe 0's metadata)."""
