@@ -79,7 +79,13 @@ def _mulhi32_i32(a, b):
 
 def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 states_ref, nw_ref, x_scr, epos_scr, *, steps_per_block,
-                cb_total, cap_rows, fuse_steps):
+                cb_total, cap_rows, fuse_steps, small_alpha=False,
+                butterfly=True, ablate=None):
+    # ``ablate`` (compile-time, tools/enc_ablate.py only): truncate the
+    # emit machinery after a named stage — 'state', 'rank', 'search',
+    # 'noscat' — keeping earlier stages live via cheap XOR folds, to
+    # attribute kernel time per stage. None (production) compiles the
+    # exact original program.
     cb = pl.program_id(1)
     R = x_scr.shape[0]
     G = fuse_steps
@@ -109,9 +115,60 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     win_row = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 0)
     win_col = jax.lax.broadcasted_iota(jnp.int32, (WROWS, LANES), 1)
 
+    def compact_row_words(emit2, word2, inc, row_tot):
+        """Left-compact each row's emitted words to lanes [0, rank-1).
+
+        Two formulations, bit-identical:
+
+        - 'butterfly' (default): every emitted word moves LEFT by
+          ``dist = lane - (rank - 1)``; distances are applied LSB->MSB
+          as masked static lane-rotates. For monotone distinct
+          destinations this is collision-free (after rounds 0..b-1 all
+          remaining distances are multiples of 2^b; two elements
+          colliding at round b would need equal remaining distances,
+          i.e. be the same element). ~10 cheap vreg ops per round,
+          ZERO gathers.
+        - 'search': branchless 7-step binary search over the sorted
+          inclusive rank + one gather per probe (8 gathers total) —
+          the round-2 form, kept for A/B on other attachments
+          (gathers cost per-element on the measured ones).
+        """
+        if butterfly:
+            dist = jnp.where(emit2, lane_col2 - inc + 1, 0)
+            cw = jnp.where(emit2, word2, 0)
+            for b in range(7):
+                k = 1 << b
+                # Left-rotate by k == right-rotate by LANES - k
+                # (pltpu.roll requires a non-negative shift).
+                mv_w = pltpu.roll(cw, shift=LANES - k, axis=1)
+                mv_d = pltpu.roll(dist, shift=LANES - k, axis=1)
+                arriving = ((mv_d & k) != 0) & (lane_col2 < LANES - k)
+                moving = (dist & k) != 0
+                cw = jnp.where(arriving, mv_w,
+                               jnp.where(moving, 0, cw))
+                dist = jnp.where(arriving, mv_d - k,
+                                 jnp.where(moving, 0, dist))
+            return cw
+        lo = jnp.zeros((R2, LANES), jnp.int32)
+        step = 64
+        while step >= 1:
+            cand = lo + step
+            probe = jnp.take_along_axis(inc, cand - 1, axis=1)
+            lo = jnp.where(probe < lane_col2 + 1, cand, lo)
+            step //= 2
+        inv = jnp.minimum(lo, 127)
+        cw = jnp.take_along_axis(word2, inv, axis=1)
+        return jnp.where(lane_col2 < row_tot, cw, 0)
+
     def lookup2(tbl_ref, idx):
         col = idx & 127
         lo = jnp.take_along_axis(tbl_ref[0, :, 0, :], col, axis=1)
+        if small_alpha:
+            # Every occurring symbol is < 128 (caller checked the freq
+            # tables): the hi-half gather + select disappear. Inactive
+            # lanes may carry idx >= 128 but their lookup results are
+            # never used (every consumer is masked by ``active``).
+            return lo
         hi = jnp.take_along_axis(tbl_ref[0, :, 1, :], col, axis=1)
         return jnp.where(idx < 128, lo, hi)
 
@@ -137,6 +194,64 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         q = _srl(_srl(x - t, 1) + t, rshift)
         x = jnp.where(active, x + cum + q * cmpl, x)
         return emit, word, x
+
+    def substep_group_ablate(s_hi, x, epos, acc):
+        """Ablated variant (tools/enc_ablate.py): run stages up to
+        ``ablate``, folding live results into ``acc`` so Mosaic cannot
+        dead-code them; NOT bit-correct output, timing only."""
+        ew = []
+        for d in range(G):                  # backward: s_hi - d
+            e, w, x = state_step(s_hi - d, x)
+            ew.append((e, w))
+        if ablate == 'state':
+            for _, w in ew:
+                acc = acc ^ w
+            return x, epos, acc
+        emit2 = jnp.concatenate([e for e, _ in reversed(ew)], axis=0)
+        word2 = jnp.concatenate([w for _, w in reversed(ew)], axis=0)
+        m = emit2.astype(jnp.int32)
+        inc = jax.lax.dot(m.astype(jnp.float32), triu,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+        row_tot = jnp.broadcast_to(inc[:, 127:128], (R2, LANES))
+        run = row_tot
+        k = 1
+        while k < R2:
+            rolled = pltpu.roll(run, shift=k, axis=0)
+            run = run + jnp.where(row_id2 >= k, rolled, 0)
+            k *= 2
+        row_off = run - row_tot
+        ks = run[R2 - 1, 0]
+
+        def fold(acc, a2):                  # (G*R, 128) -> (R, 128) XOR
+            out = acc
+            for d in range(G):
+                out = out ^ a2[d * R:(d + 1) * R]   # static slices
+            return out
+
+        if ablate == 'rank':
+            return x, epos + ks, fold(acc ^ word2[:R], row_off)
+        cw = compact_row_words(emit2, word2, inc, row_tot)
+        if ablate == 'search':
+            return x, epos + ks, fold(acc, cw)
+        wstart = jnp.maximum(CAPW - epos - ks, 0)
+        base_row = pl.multiple_of(_srl(wstart, 10) * 8, 8)
+        first = (wstart - base_row * LANES) + row_off
+        brow = _srl(first, 7)
+        off = first & 127
+        rot_idx = (lane_col2 - off) & 127
+        rotated = jnp.take_along_axis(cw, rot_idx, axis=1)
+        c0 = lane_col2 - off
+        c1 = lane_col2 + LANES - off
+        part0 = jnp.where((lane_col2 >= off) & (c0 < row_tot), rotated, 0)
+        part1 = jnp.where((lane_col2 < off) & (c1 < row_tot), rotated, 0)
+        brow_c = brow[:, 0:1]
+        oh0 = (wrow_iota == brow_c).astype(jnp.float32)
+        oh1 = (wrow_iota == brow_c + 1).astype(jnp.float32)
+        # 'noscat': everything but the scatter matmuls + window RW.
+        acc = fold(fold(acc, part0), part1)
+        acc = acc ^ (oh0[:R, :LANES] + oh1[:R, :LANES]).astype(jnp.int32)
+        return x, epos + ks, acc
 
     def substep_group(s_hi, x, epos):
         """Steps ``s_hi`` down to ``s_hi - G + 1``, ONE joint scatter.
@@ -179,20 +294,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         row_off = run - row_tot
         # Words this pair: the prefix's last row (saves a reduction).
         ks = run[R2 - 1, 0]
-        # Per-row left-compaction: target index c takes the word of the
-        # first lane whose inclusive rank reaches c+1 (branchless binary
-        # search over the sorted per-row prefix).
-        lo = jnp.zeros((R2, LANES), jnp.int32)
-        step = 64
-        while step >= 1:
-            cand = lo + step
-            probe = jnp.take_along_axis(inc, cand - 1, axis=1)
-            lo = jnp.where(probe < lane_col2 + 1, cand, lo)
-            step //= 2
-        inv = jnp.minimum(lo, 127)
-        cw = jnp.take_along_axis(word2, inv, axis=1)
-        valid = lane_col2 < row_tot
-        cw = jnp.where(valid, cw, 0)
+        cw = compact_row_words(emit2, word2, inc, row_tot)
         # Place each row's compacted block at its stream range
         # [wstart + row_off, wstart + row_off + k_r): rotate to the
         # in-row offset, split across the (at most two) stream rows,
@@ -253,6 +355,22 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                     steps_per_block)
     runs_todo = (todo + (G - 1)) // G
 
+    if ablate is not None:
+        def body_a(i, carry):
+            x, epos, acc = carry
+            p = runs_todo - 1 - i           # run index, descending
+            return substep_group_ablate(G * p + (G - 1), x, epos, acc)
+
+        acc0 = jnp.zeros((R, LANES), jnp.int32)
+        x, epos, acc = jax.lax.fori_loop(0, runs_todo, body_a,
+                                         (x0, epos0, acc0))
+        x_scr[...] = x
+        epos_scr[0] = epos
+        states_ref[0] = x ^ acc             # keep every stage live
+        nw_ref[0] = jnp.broadcast_to(epos, nw_ref.shape[1:]) \
+            ^ acc[:nw_ref.shape[1]]
+        return
+
     def body(i, carry):
         x, epos = carry
         p = runs_todo - 1 - i               # run index, descending
@@ -268,10 +386,12 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
 @functools.partial(jax.jit, static_argnames=('n_steps', 'cap_rows',
                                              'interpret',
                                              'steps_per_block',
-                                             'fuse_steps'))
+                                             'fuse_steps', 'small_alpha',
+                                             'butterfly', 'ablate'))
 def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
                          cap_rows, interpret=False, steps_per_block=None,
-                         fuse_steps=None):
+                         fuse_steps=None, small_alpha=False,
+                         butterfly=None, ablate=None):
     """Encode N groups on TPU; bit-identical to the normative encoder.
 
     symbols  (N, R, S*128) uint8 — row-linear segment rows (S*128
@@ -289,6 +409,10 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
     """
     interpret = interpret or force_interpret()
     N, R_in, SK = symbols.shape
+    if butterfly is None:
+        import os
+        butterfly = os.environ.get('MTSCOMP_ENC_COMPACT',
+                                   'butterfly') != 'search'
     if fuse_steps is None:
         # Hardware A/B (fresh processes, this attachment): G=2 7.9,
         # G=4 11.5, G=8 {12.4, 12.3}, G=16 {11.2, 11.6} GB/s — 8 is
@@ -312,7 +436,9 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
     buf_rows = -(-(cap_rows + WROWS) // 8) * 8
     out = pl.pallas_call(
         functools.partial(_enc_kernel, steps_per_block=spb, cb_total=CB,
-                          cap_rows=cap_rows, fuse_steps=fuse_steps),
+                          cap_rows=cap_rows, fuse_steps=fuse_steps,
+                          small_alpha=small_alpha, butterfly=butterfly,
+                          ablate=ablate),
         grid=(N, CB),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),

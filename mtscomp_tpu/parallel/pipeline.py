@@ -743,10 +743,14 @@ class DeviceBatchEncoder:
         pk_d = jnp.asarray(pk_arr)
         rcp_d = jnp.asarray(rcp_arr)
         cb_d = jnp.asarray(counts_b)
+        # Every occurring symbol < 128 (zigzag low planes of smooth data
+        # usually qualify): the kernel's table lookups halve.
+        small_alpha = not freq_arr[:, :, 128:].any()
 
         def run_kernel():
             return encode_groups_pallas(symbols, pk_d, rcp_d, cb_d,
-                                        n_steps=S, cap_rows=cap_rows)
+                                        n_steps=S, cap_rows=cap_rows,
+                                        small_alpha=small_alpha)
 
         with phase('encode.kernel'):
             states_d, words_d, nw_d = run_kernel()

@@ -509,6 +509,78 @@ def test_wide_dtypes_auto_routing_declines_before_jax(tmp_path_,
         r.close()
 
 
+def test_encode_kernel_small_alpha_bit_identical(monkeypatch):
+    """The small_alpha encode-kernel variant (all occurring symbols
+    < 128 -> hi-half table lookups skipped) must emit bit-identical
+    states/streams to the generic variant."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    import jax.numpy as jnp
+    from mtscomp_tpu.ops.pallas_rans_enc import (encode_groups_pallas,
+                                                 pack_enc_device_tables)
+    rng = np.random.default_rng(17)
+    N, R, S = 2, rans.GROUP_ROWS, 16
+    syms = np.minimum(rng.geometric(0.08, size=(N, R, S * 128)), 120
+                      ).astype(np.uint8)
+    counts = rng.integers(1, S * 128, size=(N, R)).astype(np.int32)
+    pk = np.zeros((N, R, 2, 128), np.int32)
+    rcp = np.zeros_like(pk)
+    for i in range(N):
+        for r in range(R):
+            f = rans.quantize_freqs(np.bincount(
+                syms[i, r, :counts[i, r]], minlength=256))
+            assert not f[128:].any()
+            pk[i, r], rcp[i, r] = pack_enc_device_tables(f)
+    cb = np.ascontiguousarray(np.broadcast_to(
+        counts[:, :, None], (N, R, 128)))
+    args = (jnp.asarray(syms), jnp.asarray(pk), jnp.asarray(rcp),
+            jnp.asarray(cb))
+    a = encode_groups_pallas(*args, n_steps=S, cap_rows=512,
+                             small_alpha=False)
+    b = encode_groups_pallas(*args, n_steps=S, cap_rows=512,
+                             small_alpha=True)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_encode_kernel_butterfly_compaction_bit_identical(monkeypatch):
+    """The butterfly (masked static lane-rotates) stream compaction
+    must emit bit-identical streams to the binary-search form across
+    random alphabets/counts (varied emit densities drive all distance
+    patterns)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    import jax.numpy as jnp
+    from mtscomp_tpu.ops.pallas_rans_enc import (encode_groups_pallas,
+                                                 pack_enc_device_tables)
+    rng = np.random.default_rng(23)
+    N, R, S = 3, rans.GROUP_ROWS, 16
+    # Mix dense (near-uniform bytes -> ~1 word/lane/step) and sparse
+    # (tiny alphabet -> rare emits) rows.
+    syms = np.where(rng.integers(0, 2, (N, 1, 1)).astype(bool),
+                    rng.integers(0, 256, (N, R, S * 128)),
+                    np.minimum(rng.geometric(0.3, (N, R, S * 128)), 250)
+                    ).astype(np.uint8)
+    counts = rng.integers(1, S * 128, size=(N, R)).astype(np.int32)
+    pk = np.zeros((N, R, 2, 128), np.int32)
+    rcp = np.zeros_like(pk)
+    for i in range(N):
+        for r in range(R):
+            f = rans.quantize_freqs(np.bincount(
+                syms[i, r, :counts[i, r]], minlength=256))
+            pk[i, r], rcp[i, r] = pack_enc_device_tables(f)
+    cb = np.ascontiguousarray(np.broadcast_to(
+        counts[:, :, None], (N, R, 128)))
+    args = (jnp.asarray(syms), jnp.asarray(pk), jnp.asarray(rcp),
+            jnp.asarray(cb))
+    a = encode_groups_pallas(*args, n_steps=S, cap_rows=1024,
+                             butterfly=False)
+    b = encode_groups_pallas(*args, n_steps=S, cap_rows=1024,
+                             butterfly=True)
+    nw = np.asarray(a[2])[:, 0, 0]
+    assert (nw > 0).all() and (nw <= 1024 * 128).all()
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_second_fixup_flag_matches_bucket_occupancy():
     """pack_device_tables' needs2 flag == brute-force bucket occupancy."""
     from mtscomp_tpu.ops.pallas_rans import pack_device_tables
