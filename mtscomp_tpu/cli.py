@@ -50,6 +50,14 @@ def _device_option(parser):
                              "on machines with slow accelerator links)")
 
 
+def _parse_diff_order(val):
+    """CLI '--diff-order' string -> config value (None passes through
+    so the config merge falls back to defaults)."""
+    if val is None or val == 'auto':
+        return val
+    return int(val)
+
+
 def _args_to_config(parser, args, compress=True):
     pargs = parser.parse_args(args)
     # no_check stays True when the flag was NOT given => defer to defaults.
@@ -65,6 +73,8 @@ def _args_to_config(parser, args, compress=True):
             check_after_compress=check_after,
             algorithm=getattr(pargs, 'algorithm', None),
             ans_table_mode=getattr(pargs, 'ans_table_mode', None),
+            time_diff_order=_parse_diff_order(
+                getattr(pargs, 'time_diff_order', None)),
         )
     else:
         kwargs.update(check_after_decompress=check_after)
@@ -138,6 +148,13 @@ def mtscomp_parser():
                              "better ratio on channel-heterogeneous "
                              "bands, e.g. LFP) or one per byte plane "
                              "('plane')")
+    parser.add_argument('--diff-order', type=str, dest='time_diff_order',
+                        choices=('1', '2', 'auto'),
+                        help="ans time-prediction order: 'auto' "
+                             "(default) probes the first chunk and "
+                             "keeps the winner — order 2 compresses "
+                             "oversampled/LFP-like bands far better; "
+                             "'1' is the reference transform")
     parser.add_argument('--range', type=str, dest='chunk_range',
                         help='compress only chunks FIRST:LAST (exclusive) '
                              'into a standalone part file; merge parts '
@@ -501,6 +518,10 @@ def mtsdesc(args=None):
         info['streaming'] = 'in progress (sidecar snapshot)'
     if r.cmeta.get('ans_table_mode'):
         info['ans_tables'] = r.cmeta['ans_table_mode']
+    if int(r.cmeta.get('time_diff_order', 1)) != 1:
+        info['time_diff_order'] = int(r.cmeta['time_diff_order'])
+    if r.cmeta.get('float_bitcast'):
+        info['float_bitcast'] = True
     part = r.cmeta.get('part')
     if part is not None:
         info['part'] = 'chunks [%d, %d) of %s' % (

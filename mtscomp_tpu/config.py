@@ -41,6 +41,12 @@ DEFAULT_CONFIG = (
                                     # heterogeneous bands for ~10% encode
                                     # cost; decode speed unchanged) | 'plane'
     ('batch_chunks', 0),            # 0 = auto batch size for the device pipeline
+    ('time_diff_order', 'auto'),    # 1 | 2 | 'auto' — time-diff prediction
+                                    # order for ans files ('auto' probes the
+                                    # first chunk both ways: order 2 wins big
+                                    # on oversampled/LFP-like bands, loses on
+                                    # noise-dominated ones; zlib stays order 1
+                                    # for reference byte-identity)
 )
 
 CHECK_ATOL = 1e-16  # float comparison tolerance (reference mtscomp.py:59)

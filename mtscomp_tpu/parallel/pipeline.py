@@ -247,7 +247,7 @@ def _timed(fn):
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                      do_time_diff, do_spatial_diff, zigzag, has_head,
                      use_pallas, small_alpha=False, aligned=False,
-                     one_fixup=False):
+                     one_fixup=False, diff_order=1):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
@@ -343,7 +343,12 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             heads_p = jnp.pad(as_i16(heads), ((0, 0), (0, c_cap - C)))
             out = cumsum_time_transposed_u8(chan, heads_p,
                                             const_vals[:, 0])
-            return from_i16(out[:, :T, :C]), used
+            res = out[:, :T, :C]
+            if diff_order == 2:
+                # The fused scan inverted the SECOND diff (d2 -> d1);
+                # one more carried scan pass restores the samples.
+                res = cumsum_time(res, use_pallas=True)
+            return from_i16(res), used
         ubits = 'uint%d' % (dtype.itemsize * 8)
         acc = jnp.zeros((B, n_elems), dtype=jnp.dtype(ubits))
         used = jnp.zeros((B,), dtype=jnp.int32)
@@ -393,7 +398,10 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                                      axis=2)
             T_out = ct.shape[2]
             ct = pad_to(pad_to(ct, 128, axis=2), 128, axis=1)
-            return from_i16(cumsum_time_transposed(ct)[:, :T_out, :C]), used
+            res = cumsum_time_transposed(ct)[:, :T_out, :C]
+            if diff_order == 2:
+                res = cumsum_time(res, use_pallas=True)
+            return from_i16(res), used
         if order == 'F':
             chunks = jnp.transpose(elems.reshape(B, C, Tc), (0, 2, 1))
         else:
@@ -406,10 +414,13 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             # The Pallas carried-scan kernel: XLA's cumsum lowering over
             # tens of thousands of timesteps is unusable on TPU.
             if use_pallas and scan_kinds:
-                chunks = from_i16(cumsum_time(as_i16(chunks),
-                                              use_pallas=True))
+                x = as_i16(chunks)
+                for _ in range(diff_order):
+                    x = cumsum_time(x, use_pallas=True)
+                chunks = from_i16(x)
             else:
-                chunks = cumsum_time_jnp(chunks)
+                for _ in range(diff_order):
+                    chunks = cumsum_time_jnp(chunks)
         return chunks, used
 
     return decode
@@ -446,6 +457,7 @@ class DeviceBatchDecoder:
         self.order = reader.chunk_order
         self.do_time_diff = bool(reader.cmeta.do_time_diff)
         self.do_spatial_diff = bool(reader.cmeta.do_spatial_diff)
+        self.diff_order = int(getattr(reader, 'time_diff_order', 1))
 
     def supported(self, parsed_list, n_samples):
         """Uniform geometry/modes across the batch, integer dtype.
@@ -619,7 +631,7 @@ class DeviceBatchDecoder:
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
                 self.order, self.do_time_diff, self.do_spatial_diff,
                 first['zigzag'], has_head, use_pallas, small_alpha,
-                aligned, one_fixup)
+                aligned, one_fixup, self.diff_order)
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -637,7 +649,7 @@ class DeviceBatchDecoder:
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
             first['zigzag'], has_head, use_pallas, small_alpha, aligned,
-            one_fixup)
+            one_fixup, self.diff_order)
         spec = PartitionSpec(axis)
         fn = jax.jit(shard_map(
             lambda *a: inner(*a), mesh=mesh,
@@ -648,7 +660,7 @@ class DeviceBatchDecoder:
 
 @functools.lru_cache(maxsize=16)
 def _build_transform_fn(B, T, C, dtype_str, order, do_time_diff,
-                        do_spatial_diff, split_head):
+                        do_spatial_diff, split_head, diff_order=1):
     """Device transform stage: diff -> zigzag -> byte planes + histograms."""
     jax, jnp = _jax()
     from ..ops.device_delta import (diff_time_jnp, diff_space_jnp,
@@ -661,7 +673,8 @@ def _build_transform_fn(B, T, C, dtype_str, order, do_time_diff,
     def transform(chunks):
         d = chunks
         if do_time_diff:
-            d = diff_time_jnp(d)
+            for _ in range(diff_order):
+                d = diff_time_jnp(d)
         if do_spatial_diff:
             d = diff_space_jnp(d)
         coded = d[:, 1:, :] if split_head else d
@@ -702,6 +715,7 @@ class DeviceBatchEncoder:
         # the coding dtype (float16 -> int16 runs the full device path).
         self.dtype = np.dtype(getattr(writer, 'code_dtype', writer.dtype))
         self.order = writer.chunk_order
+        self.diff_order = int(getattr(writer, 'time_diff_order', 1))
 
     def supported(self, n_samples):
         return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
@@ -840,7 +854,7 @@ class DeviceBatchEncoder:
         w = self.writer
         transform = _build_transform_fn(
             B, T, C, str(self.dtype), self.order, bool(w.do_time_diff),
-            bool(w.do_spatial_diff), True)
+            bool(w.do_spatial_diff), True, self.diff_order)
         with phase('encode.transform'):
             planes_d, hists_d, head_d = transform(jnp.asarray(chunks))
         hists = np.asarray(hists_d)

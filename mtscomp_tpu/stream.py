@@ -62,6 +62,16 @@ class StreamWriter:
         self.algorithm = config.algorithm
         self.do_time_diff = config.do_time_diff
         self.do_spatial_diff = config.do_spatial_diff
+        # Streams have no data to probe at open time: 'auto' resolves
+        # to the reference transform (order 1). Explicit 2 is honored;
+        # resume() restores the sidecar's recorded order.
+        order_cfg = config.get('time_diff_order', 'auto')
+        if order_cfg not in (1, 2, 'auto'):
+            raise ValueError("time_diff_order must be 1, 2 or 'auto' "
+                             "(got %r)." % (order_cfg,))
+        self.time_diff_order = (2 if (order_cfg == 2
+                                      and config.algorithm == 'ans'
+                                      and config.do_time_diff) else 1)
         self.chunk_order = config.chunk_order
         self.comp_level = config.comp_level
         self.codec = get_codec(
@@ -191,6 +201,9 @@ class StreamWriter:
             chunk_order=cm.get('chunk_order', 'F'),
             comp_level=cm.get('comp_level', -1),
             chunk_duration=chunk_size / float(cm['sample_rate']),
+            # Continue with the recorded prediction order (absent key =
+            # order 1), never the library default.
+            time_diff_order=int(cm.get('time_diff_order', 1)),
         )
         if cm.get('ans_seg_log2') is not None:
             kwargs['ans_seg_log2'] = cm['ans_seg_log2']
@@ -293,11 +306,15 @@ class StreamWriter:
                 and not self.do_spatial_diff):
             # The codec fuses the axis-0 diff into its native prep
             # pass (byte-identical output; saves a memory round trip).
-            payload = enc(chunk, order=self.chunk_order,
+            src = (diff_along_axis(chunk, axis=0)
+                   if self.time_diff_order == 2 else chunk)
+            payload = enc(src, order=self.chunk_order,
                           time_diff_pending=True)
         else:
             chunkd = diff_along_axis(chunk,
                                      axis=0 if self.do_time_diff else None)
+            if self.do_time_diff and self.time_diff_order == 2:
+                chunkd = diff_along_axis(chunkd, axis=0)
             chunkd = diff_along_axis(chunkd,
                                      axis=1 if self.do_spatial_diff else None)
             payload = enc(chunkd, order=self.chunk_order)
@@ -331,6 +348,8 @@ class StreamWriter:
                 extra['ans_table_mode'] = self.codec.table_mode
             if self.float_bitcast:
                 extra['float_bitcast'] = True
+            if self.do_time_diff and self.time_diff_order == 2:
+                extra['time_diff_order'] = 2
         if streaming:
             extra['streaming'] = True
         cmeta = build_cmeta(

@@ -71,6 +71,18 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
                          if do_time_diff is None else do_time_diff)
         spatial_diff = bool(src.get('do_spatial_diff', False)
                             if do_spatial_diff is None else do_spatial_diff)
+        # Prediction order of the TARGET: inherit the source's recorded
+        # order for ans targets (absent key = 1); zlib targets always
+        # order 1 (reference byte-identity). Explicit override via
+        # kwargs['time_diff_order'] (1 or 2).
+        tdo = kwargs.get('time_diff_order')
+        diff_order = int(src.get('time_diff_order', 1)
+                         if tdo is None else tdo)
+        if algorithm != 'ans' or not time_diff:
+            diff_order = 1
+        if diff_order not in (1, 2):
+            raise ValueError("time_diff_order must be 1 or 2 for "
+                             "transcode (got %r)." % (tdo,))
         order = src.get('chunk_order', 'F')
         codec = get_codec(
             algorithm, seg_log2=cfg.get('ans_seg_log2', 16),
@@ -108,6 +120,8 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
                         chunk = chunk.view(code_dtype)
                     chunkd = diff_along_axis(
                         chunk, axis=0 if time_diff else None)
+                    if time_diff and diff_order == 2:
+                        chunkd = diff_along_axis(chunkd, axis=0)
                     chunkd = diff_along_axis(
                         chunkd, axis=1 if spatial_diff else None)
                     payload = enc(chunkd, order=order)
@@ -149,6 +163,9 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
         cm.pop('ans_seg_log2', None)
         cm.pop('ans_table_mode', None)
         cm.pop('float_bitcast', None)
+        cm.pop('time_diff_order', None)
+        if time_diff and diff_order == 2:
+            cm['time_diff_order'] = 2
         if codec.name == 'ans':
             cm['ans_seg_log2'] = codec.seg_log2
             if codec.table_mode != 'plane':
