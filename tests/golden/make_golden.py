@@ -12,7 +12,14 @@ The corpus pins the on-disk formats across framework versions:
 
 Only regenerate when the format intentionally changes; the tests in
 ``test_golden.py`` otherwise guarantee old files stay readable.
+
+CAUTION: a full run rewrites EVERY artifact with the current writer,
+destroying the frozen past-version bytes (e.g. the pre-segment-default
+plane containers). When adding a case, pass its name as argv[1] to
+regenerate only that artifact: ``python make_golden.py f32_11ch``.
 """
+
+import sys
 
 from pathlib import Path
 
@@ -44,10 +51,31 @@ MT_CASES = [
      dict(ns=4000, nc=48, seed=2, dtype=np.int16, hetero=True), 1000.0),
 ]
 
+# v2 sidecar-extension artifacts: once frozen, every future reader must
+# keep decoding these byte-exactly even if the writer defaults change.
+#  - o2_int16: `time_diff_order: 2` (second-order time prediction) —
+#    smooth data so the order-2 probe genuinely wins;
+#  - f32:      `float_bitcast: true` (integer view of the IEEE bits).
+
+
+def smooth_signal(ns, nc, seed):
+    """Twice-integrated noise: near-linear locally, order-2 friendly."""
+    rng = np.random.default_rng(seed)
+    accel = rng.normal(0, 0.02, size=(ns, nc))
+    walk = np.cumsum(np.cumsum(accel, axis=0), axis=0)
+    return np.clip(walk, -30000, 30000).astype(np.int16)
+
 
 def main():
     from mtscomp_tpu import compress
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+
+    def wanted(name):
+        return only is None or only in name
+
     for name, kw, rate in CASES:
+        if not wanted(name):
+            continue
         arr = signal(**kw)
         raw = HERE / ('np_%s.bin' % name)
         arr.tofile(raw)
@@ -58,6 +86,8 @@ def main():
                      dtype=np.dtype(kw['dtype']).name, algorithm=algo,
                      quiet=True)
     for name, kw, rate in MT_CASES:
+        if not wanted(name):
+            continue
         arr = signal(**kw)
         raw = HERE / ('np_%s.bin' % name)
         arr.tofile(raw)
@@ -66,7 +96,28 @@ def main():
                  sample_rate=rate, n_channels=kw['nc'],
                  dtype=np.dtype(kw['dtype']).name, algorithm='ans',
                  ans_table_mode='segment', ans_seg_log2=13, quiet=True)
-    print("golden corpus regenerated under", HERE)
+
+    if wanted('o2_int16_17ch'):
+        arr = smooth_signal(ns=3000, nc=17, seed=3)
+        raw = HERE / 'np_o2_int16_17ch.bin'
+        arr.tofile(raw)
+        compress(raw, HERE / 'ans_o2_int16_17ch.cbin',
+                 HERE / 'ans_o2_int16_17ch.ch',
+                 sample_rate=800.0, n_channels=17, dtype='int16',
+                 algorithm='ans', time_diff_order=2, quiet=True)
+
+    if wanted('f32_11ch'):
+        rng = np.random.default_rng(4)
+        arr = np.cumsum(rng.normal(0, 0.5, size=(2500, 11)),
+                        axis=0).astype(np.float32)
+        raw = HERE / 'np_f32_11ch.bin'
+        arr.tofile(raw)
+        compress(raw, HERE / 'ans_f32_11ch.cbin',
+                 HERE / 'ans_f32_11ch.ch',
+                 sample_rate=600.0, n_channels=11, dtype='float32',
+                 algorithm='ans', quiet=True)
+    print("golden corpus regenerated under", HERE,
+          "(only=%s)" % only if only else "(all)")
 
 
 if __name__ == '__main__':

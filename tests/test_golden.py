@@ -83,6 +83,40 @@ def test_golden_multitable_decode(tmp_path_):
         r.close()
 
 
+def test_golden_order2_decode(tmp_path_):
+    """The frozen `time_diff_order: 2` file keeps decoding exactly
+    (host slicing, bulk path, and the device batch pipeline)."""
+    import json
+    from mtscomp_tpu.parallel.pipeline import decompress_to_array
+    meta = json.loads((GOLDEN / 'ans_o2_int16_17ch.ch').read_text())
+    assert meta['time_diff_order'] == 2     # artifact really is order-2
+    arr = _raw('o2_int16_17ch', np.int16, 17)
+    r = decompress(GOLDEN / 'ans_o2_int16_17ch.cbin',
+                   GOLDEN / 'ans_o2_int16_17ch.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+        assert np.array_equal(r[917:2203, 3:9], arr[917:2203, 3:9])
+        assert np.array_equal(decompress_to_array(r), arr)
+    finally:
+        r.close()
+
+
+def test_golden_float_bitcast_decode(tmp_path_):
+    """The frozen `float_bitcast` file keeps decoding BIT-exactly."""
+    import json
+    meta = json.loads((GOLDEN / 'ans_f32_11ch.ch').read_text())
+    assert meta['float_bitcast'] is True
+    arr = _raw('f32_11ch', np.float32, 11)
+    r = decompress(GOLDEN / 'ans_f32_11ch.cbin',
+                   GOLDEN / 'ans_f32_11ch.ch', quiet=True)
+    try:
+        assert r.dtype == np.float32
+        got = r[:]
+        assert np.array_equal(got.view(np.int32), arr.view(np.int32))
+    finally:
+        r.close()
+
+
 @pytest.mark.parametrize('name,dtype,nc,rate', CASES)
 def test_golden_sidecar_sha1(tmp_path_, name, dtype, nc, rate):
     """Frozen .ch SHA1 fields match independently computed hashes."""

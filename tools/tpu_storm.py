@@ -213,14 +213,19 @@ def device_decode_all(reader, arr):
 def device_encode_check(raw, arr, sr, nc, compress_kwargs,
                         force_scan=False):
     """Device-encode equal-size chunks; containers must be byte-identical
-    to the host codec. Returns 'kernel' or 'scan' (which path ran)."""
+    to the host codec. Returns 'kernel', 'scan' or 'host' (which path
+    actually ran — detected by instrumenting the seams, not inferred).
+    The production mixed-mode guard (sub-batches < MIN_DEVICE_SUBBATCH
+    encode on host) is pinned to 1 here: the storm's job is to exercise
+    the device coder on every mode row, not to avoid compiles."""
     from mtscomp_tpu import Writer
+    from mtscomp_tpu.ops import device_rans
     from mtscomp_tpu.parallel import pipeline as pl
     w = Writer(algorithm='ans', quiet=True,
                **{k: v for k, v in compress_kwargs.items()
                   if k.startswith('ans_') or k in
                   ('chunk_order', 'do_time_diff', 'do_spatial_diff',
-                   'chunk_duration')})
+                   'chunk_duration', 'time_diff_order')})
     try:
         w.open(raw, sample_rate=sr, n_channels=nc, dtype=arr.dtype.name)
         csize = w.chunk_bounds[1] - w.chunk_bounds[0]
@@ -232,7 +237,15 @@ def device_encode_check(raw, arr, sr, nc, compress_kwargs,
         enc = pl.DeviceBatchEncoder(w)
         if not enc.supported(csize):
             raise AssertionError("device encode declined the geometry")
-        patches = {}
+        scan_calls = {'n': 0}
+        orig_scan = device_rans.encode_groups
+
+        def scan_spy(*a, **k):
+            scan_calls['n'] += 1
+            return orig_scan(*a, **k)
+
+        patches = {(device_rans, 'encode_groups'): scan_spy,
+                   (pl, 'MIN_DEVICE_SUBBATCH'): 1}
         if force_scan:
             patches[(pl.DeviceBatchEncoder, '_encode_pallas')] = \
                 lambda self, *a, **k: None
@@ -247,12 +260,19 @@ def device_encode_check(raw, arr, sr, nc, compress_kwargs,
                 raise AssertionError(
                     "device container %d != host codec bytes" % b)
         ran_kernel = getattr(enc, 'last_kernel_run', None) is not None
-        return 'kernel' if (ran_kernel and not force_scan) else 'scan'
+        if ran_kernel and not force_scan:
+            return 'kernel'
+        return 'scan' if scan_calls['n'] else 'host'
     finally:
         w.close()
 
 
+CELL_FILTER = None
+
+
 def run_cell(name, note, fn):
+    if CELL_FILTER and CELL_FILTER not in name:
+        return
     t0 = time.time()
     try:
         extra = fn() or {}
@@ -280,7 +300,13 @@ def main():
                          'compiles beyond the fixed grid')
     ap.add_argument('--seed', type=int, default=0,
                     help='base seed for --random cells')
+    ap.add_argument('--cells', default=None, metavar='SUBSTR',
+                    help='run only cells whose name contains SUBSTR '
+                         '(targeted re-runs; the full artifact should '
+                         'come from an unfiltered run)')
     args = ap.parse_args()
+    global CELL_FILTER
+    CELL_FILTER = args.cells
 
     backend = _setup_jax()
     import mtscomp_tpu.config as cfg
@@ -493,6 +519,18 @@ def main():
     run_cell('no_time_diff_int16', 'raw rows (no delta)',
              cell_roundtrip('int16', do_time_diff=False))
 
+    # --- second-order time prediction (sidecar time_diff_order: 2) ------
+    # Forced (no auto probe) so the cells exercise the order-2 device
+    # decode (extra carried scan after the fused d2->d1 inversion),
+    # device windows and the order-2 device ENCODE (second diff in the
+    # transform stage) regardless of the data's probe outcome.
+    run_cell('order2_int16',
+             'time_diff_order=2: device decode + windows + encode',
+             cell_roundtrip('int16', time_diff_order=2, window=True))
+    run_cell('order2_int32',
+             'time_diff_order=2 on the 4-byte decode variant',
+             cell_roundtrip('int32', time_diff_order=2))
+
     # --- encode kernel: capacity overflow + scan fallback ---------------
     def cell_encode_overflow():
         from mtscomp_tpu import Writer
@@ -588,6 +626,7 @@ def main():
                 chunk_order=str(rng.choice(['F', 'F', 'F', 'C'])),
                 do_spatial_diff=bool(rng.integers(0, 4) == 0),
                 do_time_diff=bool(rng.integers(0, 8) != 0),
+                time_diff_order=int(rng.choice([1, 1, 2])),
             )
             kind = str(rng.choice(['walk', 'gradient']))
             arr = make_data(kind, dt, ns, nc, seed=int(rng.integers(1e6)))
@@ -613,7 +652,8 @@ def main():
                                **{k: v for k, v in cbase(**kw).items()
                                   if k.startswith('ans_')
                                   or k in ('chunk_order', 'do_time_diff',
-                                           'do_spatial_diff')})
+                                           'do_spatial_diff',
+                                           'time_diff_order')})
                     try:
                         w.open(raw, sample_rate=float(csz), n_channels=nc,
                                dtype=dt.name)
