@@ -9,9 +9,15 @@ mapped onto TPU-friendly primitives:
   tables as two (R, 128) rows; a lookup is two lane shuffles + select
   (same scheme as the decode kernel's tables).
 - **division**: the rANS update needs ``x // f`` with a per-lane
-  divisor; we use the Granlund-Montgomery round-up reciprocal
-  (models/rans.py ``encoder_tables``) with a 16-bit-limb ``mulhi32``
-  emulation — exact for all 32-bit states, no integer division.
+  divisor. Default ('float'): f32 divide of the halved state plus one
+  exact two-sided fixup — no reciprocal table, one table gather per
+  step total (the rANS invariant bounds q < 2^20, well inside f32's
+  exact range; see the kernel comment for the error budget). A/B
+  alternatives (``MTSCOMP_ENC_DIV``): 'frcp' (gathered pre-rounded
+  f32 reciprocal) and 'mulhi' (Granlund-Montgomery round-up
+  reciprocal via a 16-bit-limb ``mulhi32``, models/rans.py
+  ``encoder_tables``) — measured medians 14.20 / 13.86 / 13.79 GB/s
+  on this attachment; all three bit-identical (tested).
 - **stream compaction (the hard part)**: the encoder walks steps
   backward while the decoder reads the merged word stream forward, so
   word positions are only known from the stream's END. The kernel
@@ -80,7 +86,7 @@ def _mulhi32_i32(a, b):
 def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 states_ref, nw_ref, x_scr, epos_scr, *, steps_per_block,
                 cb_total, cap_rows, fuse_steps, small_alpha=False,
-                butterfly=True, ablate=None):
+                butterfly=True, div='float', ablate=None):
     # ``ablate`` (compile-time, tools/enc_ablate.py only): truncate the
     # emit machinery after a named stage — 'state', 'rank', 'search',
     # 'noscat' — keeping earlier stages live via cheap XOR folds, to
@@ -178,20 +184,60 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         active = (sg * LANES + lane_col) < counts
         sy = syms_ref[0, :, pl.ds(s_local * LANES, LANES)].astype(jnp.int32)
         pk = lookup2(pk_ref, sy)
-        rcp = lookup2(rcp_ref, sy)
         cum = pk & 4095
         cmpl = _srl(pk, 12) & 8191
-        rshift = _srl(pk, 25)
         f = SCALE - cmpl
         # Renorm BEFORE the update (normative order): emit the low 16
-        # bits wherever the update would overflow 32 bits.
-        emit = active & _ge_u(x, f << 20)
+        # bits wherever the update would overflow 32 bits. The unsigned
+        # x >= f << 20 test is srl(x, 20) >= f — both sides < 2^13, so
+        # the plain signed compare is exact (2 ops vs the 4-op
+        # sign-bias form). Relies on f <= 4088: quantize_freqs never
+        # emits single-symbol tables (the f = 4096 case, where f << 20
+        # would need 33 bits; the AVX coder leans on the same bound).
+        emit = active & (_srl(x, 20) >= f)
         word = x & jnp.int32(0xFFFF)
         x = jnp.where(emit, _srl(x, 16), x)
-        # Division-free rANS update: q = x // f via the round-up
-        # reciprocal; x' = x + cum + q * (SCALE - f).
-        t = _mulhi32_i32(x, rcp)
-        q = _srl(_srl(x - t, 1) + t, rshift)
+        if div in ('float', 'frcp'):
+            # q = x // f in f32 + one exact two-sided fixup round.
+            # 'float' divides in-kernel — NO reciprocal table, killing
+            # one of the two per-step gathers (gathers cost per-ELEMENT
+            # on the measured attachments; the small-alpha 4->2 gather
+            # cut was +10%). 'frcp' keeps the gather but reads a
+            # pre-rounded f32 reciprocal (pack_enc_device_tables
+            # div='frcp'), trading the divide for one multiply.
+            # Exactness (both): after renorm x < f << 20 (rANS
+            # invariant), so q_true <= 2^20 - 1. The conversion drops
+            # x's low bit (srl keeps the value in signed-positive
+            # range: 2 ops vs the 4-op sign-mask form), costing
+            # <= 1/f <= 1/8 in q; rounding adds ~3 ulp rel err * 2^20
+            # < 0.25 (a correctly-rounded divide is tighter still), so
+            # floor lands in {q-1, q, q+1} and one two-sided fixup is
+            # exact. The clamp to 2^20 - 1 (safe: q_true <= 2^20 - 1)
+            # keeps t = q0 * f < 2^32 so the unsigned compares see
+            # true values.
+            x_f = _srl(x, 1).astype(jnp.float32)
+            if div == 'frcp':
+                # The table stores RN(2/f) (pack_enc_device_tables):
+                # the halved x needs no separate doubling multiply.
+                rcp_f = jax.lax.bitcast_convert_type(
+                    lookup2(rcp_ref, sy), jnp.float32)
+                q0 = x_f * rcp_f
+            else:
+                q0 = (x_f + x_f) / f.astype(jnp.float32)
+            q0 = jnp.minimum(q0.astype(jnp.int32),
+                             jnp.int32((1 << 20) - 1))
+            t = q0 * f
+            q0 = jnp.where(_lt_u(x, t), q0 - 1, q0)
+            t = jnp.where(_lt_u(x, t), t - f, t)
+            q = jnp.where(_ge_u(x - t, f), q0 + 1, q0)
+        else:
+            # Round-up-reciprocal form (Granlund-Montgomery): one more
+            # gather per step; kept for A/B on other attachments.
+            rcp = lookup2(rcp_ref, sy)
+            rshift = _srl(pk, 25)
+            t = _mulhi32_i32(x, rcp)
+            q = _srl(_srl(x - t, 1) + t, rshift)
+        # x' = x + cum + q * (SCALE - f).
         x = jnp.where(active, x + cum + q * cmpl, x)
         return emit, word, x
 
@@ -383,15 +429,26 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     nw_ref[0] = jnp.broadcast_to(epos, nw_ref.shape[1:])
 
 
+def resolve_div_mode():
+    """The division form the encode kernel (and its table packing)
+    uses: 'float' (in-kernel f32 divide, no reciprocal table), 'frcp'
+    (gathered pre-rounded f32 reciprocal), or 'mulhi' (round-up integer
+    reciprocal). Table packing and the kernel static flag must agree —
+    resolve once and pass to both."""
+    import os
+    mode = os.environ.get('MTSCOMP_ENC_DIV', 'float')
+    return mode if mode in ('float', 'frcp', 'mulhi') else 'float'
+
+
 @functools.partial(jax.jit, static_argnames=('n_steps', 'cap_rows',
                                              'interpret',
                                              'steps_per_block',
                                              'fuse_steps', 'small_alpha',
-                                             'butterfly', 'ablate'))
+                                             'butterfly', 'div', 'ablate'))
 def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
                          cap_rows, interpret=False, steps_per_block=None,
                          fuse_steps=None, small_alpha=False,
-                         butterfly=None, ablate=None):
+                         butterfly=None, div=None, ablate=None):
     """Encode N groups on TPU; bit-identical to the normative encoder.
 
     symbols  (N, R, S*128) uint8 — row-linear segment rows (S*128
@@ -413,6 +470,8 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         import os
         butterfly = os.environ.get('MTSCOMP_ENC_COMPACT',
                                    'butterfly') != 'search'
+    if div is None:
+        div = resolve_div_mode()
     if fuse_steps is None:
         # Hardware A/B (fresh processes, this attachment): G=2 7.9,
         # G=4 11.5, G=8 {12.4, 12.3}, G=16 {11.2, 11.6} GB/s — 8 is
@@ -438,7 +497,7 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         functools.partial(_enc_kernel, steps_per_block=spb, cb_total=CB,
                           cap_rows=cap_rows, fuse_steps=fuse_steps,
                           small_alpha=small_alpha, butterfly=butterfly,
-                          ablate=ablate),
+                          div=div, ablate=ablate),
         grid=(N, CB),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
@@ -472,9 +531,25 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
     return states, words, nw
 
 
-def pack_enc_device_tables(freqs):
-    """(256,) freq table -> packed (pk, rcp) (2, 128) int32 pairs."""
+def pack_enc_device_tables(freqs, div='mulhi'):
+    """(256,) freq table -> packed (pk, rcp) (2, 128) int32 pairs.
+
+    ``div`` must match the kernel's static flag: 'mulhi' packs the
+    round-up integer reciprocals (models/rans.py encoder_tables),
+    'frcp' packs bitcast f32 RN(2/f) (the kernel multiplies the
+    halved state and runs the exact two-sided fixup), 'float' needs
+    no reciprocal (the rcp rows are returned zeroed; the kernel
+    divides in-register).
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
     from ..models.rans import encoder_tables
-    pk, rcp = encoder_tables(np.asarray(freqs, dtype=np.int64))
+    pk, rcp = encoder_tables(freqs)
+    if div == 'frcp':
+        with np.errstate(divide='ignore'):
+            rcp_f = (np.float32(2.0)
+                     / freqs.astype(np.float32)).astype(np.float32)
+        rcp = rcp_f.view(np.uint32)
+    elif div == 'float':
+        rcp = np.zeros_like(rcp)
     return (pk.view(np.int32).reshape(2, 128),
             rcp.view(np.int32).reshape(2, 128))

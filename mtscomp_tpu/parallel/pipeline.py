@@ -741,12 +741,15 @@ class DeviceBatchEncoder:
         est = row_bits.sum(axis=1) / 16.0          # 16-bit stream words
         pk_arr = np.zeros((NG, R, 2, rans.LANES), np.int32)
         rcp_arr = np.zeros_like(pk_arr)
+        from ..ops.pallas_rans_enc import resolve_div_mode
+        div = resolve_div_mode()    # table packing must match the kernel
         enc_cache = {}
         for i in range(NG):
             for r in range(R):
                 key = freq_arr[i, r].tobytes()
                 if key not in enc_cache:
-                    enc_cache[key] = pack_enc_device_tables(freq_arr[i, r])
+                    enc_cache[key] = pack_enc_device_tables(
+                        freq_arr[i, r], div=div)
                 pk_arr[i, r], rcp_arr[i, r] = enc_cache[key]
         cap_words = int(est.max(initial=0.0) * 1.25) + 4096
         cap_rows = -(-cap_words // (128 * 512)) * 512
@@ -764,7 +767,7 @@ class DeviceBatchEncoder:
         def run_kernel():
             return encode_groups_pallas(symbols, pk_d, rcp_d, cb_d,
                                         n_steps=S, cap_rows=cap_rows,
-                                        small_alpha=small_alpha)
+                                        small_alpha=small_alpha, div=div)
 
         with phase('encode.kernel'):
             states_d, words_d, nw_d = run_kernel()

@@ -579,6 +579,30 @@ def test_encode_kernel_butterfly_compaction_bit_identical(monkeypatch):
     assert (nw > 0).all() and (nw <= 1024 * 128).all()
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+    # All three division forms must match bit-for-bit: 'float' (f32
+    # divide + exact two-sided fixup, no reciprocal gather), 'frcp'
+    # (gathered pre-rounded f32 reciprocal + the same fixup) and
+    # 'mulhi' (round-up integer reciprocal). The same mixed
+    # dense/sparse inputs drive the fixup across q near integer
+    # boundaries, min-freq (f=8) and heavy symbols, and states with
+    # the top bit set (the unsigned f32 conversion). Tables must be
+    # packed with the matching div mode.
+    outs = {}
+    for mode in ('mulhi', 'float', 'frcp'):
+        pk_m = np.zeros((N, R, 2, 128), np.int32)
+        rcp_m = np.zeros_like(pk_m)
+        for i in range(N):
+            for r in range(R):
+                f = rans.quantize_freqs(np.bincount(
+                    syms[i, r, :counts[i, r]], minlength=256))
+                pk_m[i, r], rcp_m[i, r] = pack_enc_device_tables(
+                    f, div=mode)
+        outs[mode] = encode_groups_pallas(
+            jnp.asarray(syms), jnp.asarray(pk_m), jnp.asarray(rcp_m),
+            jnp.asarray(cb), n_steps=S, cap_rows=1024, div=mode)
+    for mode in ('float', 'frcp'):
+        for x, y in zip(outs['mulhi'], outs[mode]):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), mode
 
 
 def test_second_fixup_flag_matches_bucket_occupancy():

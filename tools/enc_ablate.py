@@ -79,16 +79,19 @@ def main():
 
         symbols, freq_arr, row_bits, counts_arr, S = staged['args']
         from mtscomp_tpu.models import rans
-        from mtscomp_tpu.ops.pallas_rans_enc import pack_enc_device_tables
+        from mtscomp_tpu.ops.pallas_rans_enc import (pack_enc_device_tables,
+                                                     resolve_div_mode)
         NG, R = counts_arr.shape
         pk_arr = np.zeros((NG, R, 2, rans.LANES), np.int32)
         rcp_arr = np.zeros_like(pk_arr)
+        div = resolve_div_mode()
         cache = {}
         for i in range(NG):
             for r_ in range(R):
                 key = freq_arr[i, r_].tobytes()
                 if key not in cache:
-                    cache[key] = pack_enc_device_tables(freq_arr[i, r_])
+                    cache[key] = pack_enc_device_tables(freq_arr[i, r_],
+                                                        div=div)
                 pk_arr[i, r_], rcp_arr[i, r_] = cache[key]
         est = row_bits.sum(axis=1) / 16.0
         cap_words = int(est.max(initial=0.0) * 1.25) + 4096
@@ -99,9 +102,13 @@ def main():
         rcp_d = jnp.asarray(rcp_arr)
         cb_d = jnp.asarray(counts_b)
 
+        # Production lookup/compaction flags (pipeline._encode_pallas):
+        # the split must attribute time in the kernel that actually runs.
+        small_alpha = not freq_arr[:, :, 128:].any()
+
         inner = int(os.environ.get('AB_INNER', '8'))
         reps = int(os.environ.get('AB_REPS', '8'))
-        out = {}
+        out = {'small_alpha': bool(small_alpha), 'div': div}
         for mode in (os.environ.get('AB_MODES',
                                     'state,rank,search,noscat,full')
                      .split(',')):
@@ -111,7 +118,8 @@ def main():
                 for _ in range(inner):
                     st, wd, nw = encode_groups_pallas(
                         symbols, pk_d, rcp_d, cb_d, n_steps=S,
-                        cap_rows=cap_rows, ablate=ab)
+                        cap_rows=cap_rows, small_alpha=small_alpha,
+                        div=div, ablate=ab)
                 return float(jnp.sum(nw[:, 0, :].astype(jnp.float32)))
 
             out[mode] = round(_median_rate(chunks.nbytes, once, reps,
