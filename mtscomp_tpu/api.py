@@ -70,6 +70,13 @@ class Writer:
         self.comp_level = config.comp_level
         self.do_time_diff = config.do_time_diff
         self.do_spatial_diff = config.do_spatial_diff
+        if isinstance(self.do_spatial_diff, str):
+            if self.do_spatial_diff != 'auto':
+                raise ValueError("do_spatial_diff must be a boolean or "
+                                 "'auto' (got %r)."
+                                 % (self.do_spatial_diff,))
+        else:
+            self.do_spatial_diff = bool(self.do_spatial_diff)
         self.time_diff_order = config.get('time_diff_order', 'auto')
         if self.time_diff_order not in (1, 2, 'auto'):
             raise ValueError("time_diff_order must be 1, 2 or 'auto' "
@@ -150,37 +157,64 @@ class Writer:
         self.n_chunks = len(self.chunk_bounds) - 1
         self.batch_size = self.n_threads
         self.n_batches = math.ceil(self.n_chunks / self.batch_size)
-        # Second-order time prediction is an ans (v2) sidecar extension;
-        # zlib output must stay byte-identical to the reference.
-        if self.algorithm != 'ans' or not self.do_time_diff:
+        # Second-order time prediction and the auto spatial decision are
+        # ans (v2) extensions; zlib output must stay byte-identical to
+        # the reference ('auto' resolves to the reference transform).
+        if self.algorithm != 'ans':
             self.time_diff_order = 1
-        elif self.time_diff_order == 'auto':
-            self.time_diff_order = self._pick_diff_order()
+            if self.do_spatial_diff == 'auto':
+                self.do_spatial_diff = False
+        else:
+            if not self.do_time_diff:
+                self.time_diff_order = 1
+            if (self.time_diff_order == 'auto'
+                    or self.do_spatial_diff == 'auto'):
+                order, spatial = self._pick_transform()
+                self.time_diff_order = order
+                self.do_spatial_diff = spatial
         # SHA1 accumulators are (re)seeded per write() call.
 
-    def _pick_diff_order(self):
-        """Probe chunk 0: encode a slice under order-1 and order-2 time
-        prediction, keep the winner.
+    def _pick_transform(self):
+        """Probe chunk 0: encode a slice under each candidate transform
+        (time-diff order x spatial diff), keep the winner.
 
         Oversampled bands (LFP-like) compress far better under the
-        second difference (the first diff is still strongly
+        second time difference (the first diff is still strongly
         correlated: measured +5% on band-limited noise, +55% on
         oscillatory LFP); noise-dominated bands lose (the second diff
-        doubles white-noise variance: measured -11..-13%). A 2% margin
-        keeps borderline files on the reference transform.
+        doubles white-noise variance: measured -11..-13%). The spatial
+        diff wins on channel-correlated data (smooth LFP fields +10%,
+        common-mode artifacts +19% measured) and loses on independent
+        channels for the same variance-doubling reason. A 2% margin
+        over the reference transform keeps borderline files on it;
+        exact ties prefer the less aggressive candidate (the tuple
+        tie-break: lower order, then spatial off).
         """
+        orders = ([1, 2] if self.time_diff_order == 'auto'
+                  else [self.time_diff_order])
+        if not self.do_time_diff:
+            orders = [1]
+        spatials = ([False, True] if self.do_spatial_diff == 'auto'
+                    else [bool(self.do_spatial_diff)])
         ns = min(self.chunk_bounds[1], 8192)
         probe = np.ascontiguousarray(self.get_chunk(0)[:ns])
-        sp = 1 if self.do_spatial_diff else None
-        d = diff_along_axis(probe, axis=0)
-        d1 = diff_along_axis(d, axis=sp)
-        d2 = diff_along_axis(diff_along_axis(d, axis=0), axis=sp)
-        s1 = len(self.codec.encode(d1, order=self.chunk_order))
-        s2 = len(self.codec.encode(d2, order=self.chunk_order))
-        order = 2 if s2 < 0.98 * s1 else 1
-        logger.debug("time_diff_order auto probe: order-1 %d B, order-2 "
-                     "%d B -> order %d.", s1, s2, order)
-        return order
+        base = (diff_along_axis(probe, axis=0) if self.do_time_diff
+                else probe)
+        sizes = {}
+        for order in orders:
+            d = base if order == 1 else diff_along_axis(base, axis=0)
+            for spatial in spatials:
+                dsp = diff_along_axis(d, axis=1 if spatial else None)
+                sizes[(order, spatial)] = len(
+                    self.codec.encode(dsp, order=self.chunk_order))
+        ref = (orders[0], spatials[0])      # reference transform
+        best = min(sizes, key=lambda k: (sizes[k], k))
+        if best != ref and sizes[best] >= 0.98 * sizes[ref]:
+            best = ref
+        logger.debug("transform auto probe: %s -> order %d, spatial %s.",
+                     {k: v for k, v in sorted(sizes.items())},
+                     best[0], best[1])
+        return best
 
     # -- per-chunk pipeline ---------------------------------------------------
 

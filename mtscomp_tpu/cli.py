@@ -58,6 +58,14 @@ def _parse_diff_order(val):
     return int(val)
 
 
+def _parse_spatial(val):
+    """CLI '--spatial-diff' string -> config value (None passes
+    through so the config merge falls back to defaults)."""
+    if val is None or val == 'auto':
+        return val
+    return bool(int(val))
+
+
 def _args_to_config(parser, args, compress=True):
     pargs = parser.parse_args(args)
     # no_check stays True when the flag was NOT given => defer to defaults.
@@ -75,6 +83,8 @@ def _args_to_config(parser, args, compress=True):
             ans_table_mode=getattr(pargs, 'ans_table_mode', None),
             time_diff_order=_parse_diff_order(
                 getattr(pargs, 'time_diff_order', None)),
+            do_spatial_diff=_parse_spatial(
+                getattr(pargs, 'do_spatial_diff', None)),
         )
     else:
         kwargs.update(check_after_decompress=check_after)
@@ -155,6 +165,14 @@ def mtscomp_parser():
                              "keeps the winner — order 2 compresses "
                              "oversampled/LFP-like bands far better; "
                              "'1' is the reference transform")
+    parser.add_argument('--spatial-diff', type=str, dest='do_spatial_diff',
+                        choices=('0', '1', 'auto'),
+                        help="channel-axis diff after the time diff: "
+                             "'auto' (default) probes the first chunk "
+                             "of ans files and keeps it only when it "
+                             "wins (channel-correlated bands: smooth "
+                             "LFP fields, common-mode artifacts); '0' "
+                             "is the reference default, '1' forces it")
     parser.add_argument('--range', type=str, dest='chunk_range',
                         help='compress only chunks FIRST:LAST (exclusive) '
                              'into a standalone part file; merge parts '

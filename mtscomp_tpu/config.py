@@ -29,7 +29,16 @@ DEFAULT_CONFIG = (
     ('chunk_order', 'F'),           # column-major serialization (demux channels)
     ('comp_level', -1),             # recorded in .ch; zlib always uses default
                                     # level (quirk preserved from mtscomp.py:394)
-    ('do_spatial_diff', False),
+    ('do_spatial_diff', 'auto'),    # False | True | 'auto' — channel-axis
+                                    # diff after the time diff. 'auto'
+                                    # probes chunk 0 (ans files only:
+                                    # wins on channel-correlated bands —
+                                    # +10% smooth LFP fields, +19%
+                                    # common-mode artifacts measured —
+                                    # loses on independent channels);
+                                    # zlib resolves to False (reference
+                                    # byte-identity, whose default is
+                                    # False: mtscomp.py:52)
     ('do_time_diff', True),
     ('n_threads', multiprocessing.cpu_count()),
     # --- TPU-native extensions ---

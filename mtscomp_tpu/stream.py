@@ -61,10 +61,11 @@ class StreamWriter:
         self.dtype = np.dtype(dtype)
         self.algorithm = config.algorithm
         self.do_time_diff = config.do_time_diff
-        self.do_spatial_diff = config.do_spatial_diff
         # Streams have no data to probe at open time: 'auto' resolves
-        # to the reference transform (order 1). Explicit 2 is honored;
-        # resume() restores the sidecar's recorded order.
+        # to the reference transform (order 1, spatial off). Explicit
+        # values are honored; resume() restores the sidecar's record.
+        self.do_spatial_diff = (False if config.do_spatial_diff == 'auto'
+                                else bool(config.do_spatial_diff))
         order_cfg = config.get('time_diff_order', 'auto')
         if order_cfg not in (1, 2, 'auto'):
             raise ValueError("time_diff_order must be 1, 2 or 'auto' "

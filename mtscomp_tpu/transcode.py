@@ -69,6 +69,13 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
         src = dict(r.cmeta)
         time_diff = bool(src.get('do_time_diff', True)
                          if do_time_diff is None else do_time_diff)
+        if isinstance(do_spatial_diff, str):
+            # 'auto' is a Writer-side probe of the raw file; a transcode
+            # inherits the source's recorded flag (None) or an explicit
+            # boolean — bool('auto') silently meaning True would be a trap.
+            raise ValueError("transcode takes do_spatial_diff=None "
+                             "(inherit) or a boolean, not %r."
+                             % (do_spatial_diff,))
         spatial_diff = bool(src.get('do_spatial_diff', False)
                             if do_spatial_diff is None else do_spatial_diff)
         # Prediction order of the TARGET: inherit the source's recorded

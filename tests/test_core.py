@@ -32,7 +32,9 @@ def test_default_config():
     assert config.chunk_duration == 1.0
     assert config.chunk_order == 'F'
     assert config.do_time_diff
-    assert not config.do_spatial_diff
+    # 'auto' probes ans files only; it resolves to the reference
+    # default (False) for zlib, preserving byte-identity.
+    assert config.do_spatial_diff == 'auto'
     assert config.n_threads >= 1
 
 

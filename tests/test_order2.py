@@ -51,6 +51,11 @@ def _compress(tmp, arr, name, **kwargs):
     kwargs.setdefault('dtype', arr.dtype)
     kwargs.setdefault('algorithm', 'ans')
     kwargs.setdefault('quiet', True)
+    # This module targets the ORDER machinery: lfp_like's shared
+    # carrier is also strongly channel-correlated, so the joint auto
+    # probe would otherwise pick the spatial diff here (that interplay
+    # is covered in test_spatial_auto.py).
+    kwargs.setdefault('do_spatial_diff', False)
     compress(raw, tmp / (name + '.cbin'), tmp / (name + '.ch'), **kwargs)
     return tmp / (name + '.cbin'), tmp / (name + '.ch')
 
