@@ -95,6 +95,11 @@ def make_data(kind, dtype, ns, nc, seed=0):
     walk = np.cumsum(rng.normal(0.0, std, size=(ns, nc)), axis=0)
     if kind == 'gradient':
         walk = walk * (0.25 + 4.0 * (np.arange(nc) / max(nc - 1, 1)))[None]
+    elif kind == 'common':
+        # Strong shared artifact on top of the independent walks: the
+        # joint transform auto-probe must engage the spatial diff.
+        walk = walk + np.cumsum(
+            rng.normal(0.0, 3 * std, size=(ns, 1)), axis=0)
     info = np.iinfo(dtype)
     span = int(info.max) - int(info.min) + 1
     wrapped = np.mod(np.round(walk).astype(np.int64) - int(info.min), span)
@@ -334,7 +339,8 @@ def main():
         return d
 
     def cell_roundtrip(dtype, kind='walk', expect_fixups=None,
-                       window=False, encode=True, seed=0, **kw):
+                       window=False, encode=True, seed=0,
+                       expect_meta=None, **kw):
         def fn():
             dt = np.dtype(dtype)
             arr = make_data(kind, dt, NS, C, seed=seed)
@@ -372,6 +378,10 @@ def main():
             r = decompress(sub / 'x.cbin', sub / 'x.ch', quiet=True)
             try:
                 extra = {}
+                for mk, mv in (expect_meta or {}).items():
+                    got = r.cmeta.get(mk)
+                    assert got == mv, \
+                        "sidecar %s=%r, expected %r" % (mk, got, mv)
                 n_tables, n_two = table_fixups(r)
                 extra['tables'] = n_tables
                 extra['two_fixup'] = n_two
@@ -530,6 +540,19 @@ def main():
     run_cell('order2_int32',
              'time_diff_order=2 on the 4-byte decode variant',
              cell_roundtrip('int32', time_diff_order=2))
+    run_cell('spatial_order2_int16',
+             'order-2 x spatial combined: device decode/windows/encode',
+             cell_roundtrip('int16', time_diff_order=2,
+                            do_spatial_diff=True, window=True))
+    # Joint auto probe on common-mode data: 'auto' must engage the
+    # spatial diff (sidecar records True) and the resulting file must
+    # ride the device paths like any forced-flag file.
+    run_cell('spatial_auto_common_int16',
+             'joint auto probe engages spatial on common-mode data',
+             cell_roundtrip('int16', kind='common',
+                            do_spatial_diff='auto',
+                            time_diff_order='auto',
+                            expect_meta={'do_spatial_diff': True}))
 
     # --- encode kernel: capacity overflow + scan fallback ---------------
     def cell_encode_overflow():
