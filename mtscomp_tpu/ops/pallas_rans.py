@@ -67,7 +67,7 @@ def _srl(x, n):
 
 def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
             words_ref, out_ref, used_ref, x_scr, pos_scr, *,
-            steps_per_block, small_alpha, one_fixup, stack):
+            steps_per_block, small_alpha, one_fixup, stack, octet):
     # Grid is (N group-stacks, column blocks): the rANS states and
     # stream positions persist in scratch across a stack's column
     # blocks, so the output block stays small regardless of segment
@@ -130,18 +130,33 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         # ``pos`` is a tuple of S per-group stream cursors.
         active = (s * LANES + lane_col) < counts
         slot = x & 4095
-        # slot -> dense symbol id: both fixup boundaries ride in the
-        # coarse entry, so one dense lookup finishes the resolution.
-        cp = lookup_coarse(_srl(slot, 4))
-        did = cp & 255
-        up0m = _srl(cp, 8) & 4095
-        did = did + jnp.where(slot > up0m, 1, 0)
-        if not one_fixup:
-            # Only needed when some 16-slot bucket holds 3 symbols
-            # (pack_device_tables reports this per table; the batch
-            # selects the single-fixup variant when none does).
-            up1m = _srl(cp, 20)
-            did = did + jnp.where(slot > up1m, 1, 0)
+        if octet:
+            # 8-aligned tables (quantize_freqs' unit granularity —
+            # every boundary a multiple of 8): each 8-slot octet
+            # belongs to ONE symbol, so the 512 octet ids pack 4-per-
+            # word into a single 128-lane row and the whole
+            # slot -> dense-id resolution is one lane shuffle plus a
+            # per-lane variable shift (Mosaic lowers vector-vector
+            # shifts) — no second table row, no select, no fixup
+            # compare-increments. Foreign min-8 tables (boundaries not
+            # 8-aligned) keep the coarse+fixup variants below.
+            w = jnp.take_along_axis(coarse_ref[0, :, 0, :],
+                                    _srl(slot, 5), axis=1)
+            did = _srl(w, slot & 24) & 255
+        else:
+            # slot -> dense symbol id: both fixup boundaries ride in
+            # the coarse entry, so one dense lookup finishes the
+            # resolution.
+            cp = lookup_coarse(_srl(slot, 4))
+            did = cp & 255
+            up0m = _srl(cp, 8) & 4095
+            did = did + jnp.where(slot > up0m, 1, 0)
+            if not one_fixup:
+                # Only needed when some 16-slot bucket holds 3 symbols
+                # (pack_device_tables reports this per table; the batch
+                # selects the single-fixup variant when none does).
+                up1m = _srl(cp, 20)
+                did = did + jnp.where(slot > up1m, 1, 0)
         pk = lookup_dense(did)
         cum = pk & 4095
         f = _srl(pk, 12) & 4095
@@ -261,10 +276,11 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
                                              'small_alpha',
                                              'steps_per_block',
-                                             'one_fixup'))
+                                             'one_fixup', 'octet'))
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                          *, n_steps, interpret=False, small_alpha=False,
-                         steps_per_block=None, one_fixup=False):
+                         steps_per_block=None, one_fixup=False,
+                         octet=False):
     """Decode N groups on TPU.
 
     Returns ``(syms, words_used)``: (N, R, blocks*128) uint8 symbols and
@@ -284,13 +300,17 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
     one_fixup: no table in the batch has a 16-slot bucket holding 3
               symbols (pack_device_tables reports this), so the slot
               lookup's second compare-increment is dropped
+    octet:    every table in the batch is 8-aligned (this writer's
+              quantize_freqs invariant) and ``coarse_pk[:, :, 0]``
+              holds the packed octet rows from pack_device_tables —
+              the slot lookup becomes one shuffle + a variable shift
     """
     return _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                                counts_b, n_steps=n_steps,
                                interpret=interpret,
                                small_alpha=small_alpha,
                                steps_per_block=steps_per_block,
-                               one_fixup=one_fixup)
+                               one_fixup=one_fixup, octet=octet)
 
 
 STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
@@ -299,7 +319,7 @@ STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
 def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                         counts_b, *, n_steps, interpret, small_alpha,
                         steps_per_block=None, one_fixup=False,
-                        stack=None):
+                        stack=None, octet=False):
     interpret = interpret or force_interpret()
     if stack is None:
         # Hardware sweep (fresh processes, staged kernel GB/s): stack=1
@@ -340,7 +360,7 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
     out, used = pl.pallas_call(
         functools.partial(_kernel, steps_per_block=spb,
                           small_alpha=small_alpha,
-                          one_fixup=one_fixup, stack=stack),
+                          one_fixup=one_fixup, stack=stack, octet=octet),
         grid=(NS, CB),
         in_specs=[
             pl.BlockSpec((1, SR, LANES), lambda n, c: (n, 0, 0),
@@ -382,7 +402,8 @@ def pack_device_tables(freqs):
     """Host-side packed tables from a (256,) frequency table.
 
     Returns ``(coarse_pk (2,128) int32, dense_pk (2,128) int32,
-    needs_second_fixup bool)``. A coarse entry packs the bucket's first
+    needs_second_fixup bool, octet_pk (128,) int32 | None)``. A coarse
+    entry packs the bucket's first
     dense id and BOTH fixup boundaries —
     ``((up1-1) << 20) | ((up0-1) << 8) | id0`` with ``upX`` the
     exclusive uppers of candidates ``id0``/``id0+1`` (4096 encodes as
@@ -394,6 +415,14 @@ def pack_device_tables(freqs):
     table holds 3 symbols (the common case for real tables): the
     kernel may then drop the second compare-increment (static variant
     selected per batch, zero format or ratio impact).
+
+    ``octet_pk`` is the single-row octet table for 8-aligned tables
+    (every boundary a multiple of 8 — what this writer's
+    quantize_freqs emits): each 8-slot octet belongs to one symbol,
+    the 512 dense ids pack 4-per-int32 into exactly 128 lanes, and the
+    kernel's ``octet`` variant resolves a slot with one shuffle + one
+    variable shift. None for foreign tables with unaligned boundaries
+    (the batch then keeps the coarse+fixup variants).
     """
     freqs = np.asarray(freqs, dtype=np.int64)
     present = np.flatnonzero(freqs)
@@ -414,7 +443,13 @@ def pack_device_tables(freqs):
     # before the bucket does (some slot in [16b, 16b+16) maps past it).
     needs2 = bool(np.any(up1 < (np.arange(256) + 1) * 16))
 
+    octet_pk = None
+    if not np.any(f_d & 7):
+        ids = np.searchsorted(upper_d, 8 * np.arange(512), side='right')
+        octet_pk = (ids[0::4] | (ids[1::4] << 8) | (ids[2::4] << 16)
+                    | (ids[3::4] << 24)).astype(np.uint32).view(np.int32)
+
     def to_i32(a):
         return a.astype(np.uint32).view(np.int32).reshape(2, 128)
 
-    return to_i32(coarse), to_i32(dense), needs2
+    return to_i32(coarse), to_i32(dense), needs2, octet_pk

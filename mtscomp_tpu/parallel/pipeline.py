@@ -16,6 +16,7 @@ bound the number of compilations.
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -247,7 +248,7 @@ def _timed(fn):
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                      do_time_diff, do_spatial_diff, zigzag, has_head,
                      use_pallas, small_alpha=False, aligned=False,
-                     one_fixup=False, diff_order=1):
+                     one_fixup=False, diff_order=1, octet=False):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
@@ -338,7 +339,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             syms, used = decode_groups_pallas(
                 states, words, coarse_pk, dense_pk, counts_b, n_steps=S,
                 small_alpha=small_alpha, steps_per_block=spb_f,
-                one_fixup=one_fixup)
+                one_fixup=one_fixup, octet=octet)
             chan = syms.reshape(B, c_cap, tp)
             heads_p = jnp.pad(as_i16(heads), ((0, 0), (0, c_cap - C)))
             out = cumsum_time_transposed_u8(chan, heads_p,
@@ -358,7 +359,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                 syms, used = decode_groups_pallas(
                     states, words, coarse_pk, dense_pk, counts_b,
                     n_steps=S, small_alpha=small_alpha,
-                    one_fixup=one_fixup)
+                    one_fixup=one_fixup, octet=octet)
                 rows = syms.reshape(B, G * GROUP_ROWS, -1)
             else:
                 syms, used = decode_groups(
@@ -585,9 +586,11 @@ class DeviceBatchDecoder:
         raw_vals = np.zeros((B, max(len(raw_planes), 1),
                              n_coded if raw_planes else 1), dtype=np.uint8)
         heads = np.zeros((B, C), dtype=self.dtype)
+        octet_rows = np.zeros((NG, GROUP_ROWS, LANES), dtype=np.int32)
         table_cache = {}
         alpha_max = 0
         needs_fixup2 = False
+        octet_ok = True
         for b, parsed in enumerate(parsed_list):
             if has_head:
                 heads[b] = parsed['head'].view(self.dtype)
@@ -608,19 +611,32 @@ class DeviceBatchDecoder:
                         table_cache[key] = (
                             pack_device_tables(table),
                             int(np.count_nonzero(table)))
-                    (coarse_pk[i, r], dense_pk[i, r], n2), a = \
+                    (coarse_pk[i, r], dense_pk[i, r], n2, orow), a = \
                         table_cache[key]
                     alpha_max = max(alpha_max, a)
                     needs_fixup2 = needs_fixup2 or n2
+                    if orow is None:
+                        octet_ok = False
+                    else:
+                        octet_rows[i, r] = orow
             for j, p in enumerate(const_planes):
                 const_vals[b, j] = parsed['planes'][p]['value']
             for j, p in enumerate(raw_planes):
                 raw_vals[b, j] = parsed['planes'][p]['raw']
 
-        raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
-                    counts_b, const_vals, raw_vals, heads)
         small_alpha = alpha_max <= 128
         one_fixup = not needs_fixup2
+        # Octet variant: every table 8-aligned (always true for files
+        # this writer produced) -> the kernel's slot lookup drops to one
+        # shuffle + a variable shift. The octet rows ride coarse_pk's
+        # first row (same block shape, stale coarse row 1 never read).
+        # MTSCOMP_DEC_LOOKUP=coarse keeps the fixup form for A/B.
+        octet = (use_pallas and octet_ok and bool(rans_planes)
+                 and os.environ.get('MTSCOMP_DEC_LOOKUP', '') != 'coarse')
+        if octet:
+            coarse_pk[:, :, 0, :] = octet_rows
+        raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
+                    counts_b, const_vals, raw_vals, heads)
         if mesh is not None and G == 0:
             # No rANS groups (all planes CONST/RAW): the group arrays
             # have a placeholder leading dim of 1 that cannot shard;
@@ -631,7 +647,7 @@ class DeviceBatchDecoder:
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
                 self.order, self.do_time_diff, self.do_spatial_diff,
                 first['zigzag'], has_head, use_pallas, small_alpha,
-                aligned, one_fixup, self.diff_order)
+                aligned, one_fixup, self.diff_order, octet)
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -649,7 +665,7 @@ class DeviceBatchDecoder:
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
             first['zigzag'], has_head, use_pallas, small_alpha, aligned,
-            one_fixup, self.diff_order)
+            one_fixup, self.diff_order, octet)
         spec = PartitionSpec(axis)
         fn = jax.jit(shard_map(
             lambda *a: inner(*a), mesh=mesh,

@@ -625,7 +625,13 @@ def test_second_fixup_flag_matches_bucket_occupancy():
         if f is not None:
             tables.append(f)
     for f in tables:
-        _, _, needs2 = pack_device_tables(f)
+        _, _, needs2, octet = pack_device_tables(f)
+        # The octet row exists exactly for 8-aligned tables (all
+        # quantize_freqs output; not the hand-built occ3 table).
+        aligned8 = not np.any(np.asarray(f, np.int64) & 7)
+        assert (octet is not None) == aligned8
+        if octet is not None:
+            assert octet.shape == (128,)
         dense_id = np.repeat(np.arange(int((f > 0).sum())),
                              f[f > 0].astype(np.int64))
         occ3 = any(np.unique(dense_id[b * 16:(b + 1) * 16]).size > 2
@@ -673,7 +679,7 @@ def test_decode_kernel_fixup_variants(force):
     WR = -(-wd.size // 128) + window_rows(R)
     words = np.zeros((1, WR, 128), np.uint16)
     words.reshape(-1)[:wd.size] = wd
-    cp, dp, needs2 = pack_device_tables(f)
+    cp, dp, needs2, _octet = pack_device_tables(f)
     one_fixup = (not needs2) if force is None else (not force)
     if one_fixup and needs2:
         pytest.skip("table needs the second fixup")
@@ -687,6 +693,67 @@ def test_decode_kernel_fixup_variants(force):
     got = np.asarray(out)[0][:, :SEG].reshape(-1)
     assert np.array_equal(got, syms)
     assert int(np.asarray(used)[0]) == wd.size
+
+
+def test_decode_kernel_octet_variant_bit_identical():
+    """The octet slot-lookup variant (8-aligned self-written tables:
+    one shuffle + a variable shift, no fixups) decodes bit-exactly and
+    matches the coarse+fixup form output-for-output (interpret mode;
+    the compiled form is A/B'd on silicon)."""
+    from mtscomp_tpu.ops.pallas_rans import (decode_groups_pallas,
+                                             pack_device_tables,
+                                             window_rows)
+    rng = np.random.default_rng(23)
+    R = rans.GROUP_ROWS
+    SEG = 256
+    outs = {}
+    p = rng.dirichlet(np.full(256, 0.05))
+    syms = rng.choice(256, size=R * SEG, p=p).astype(np.uint8)
+    f = rans.quantize_freqs(np.bincount(syms, minlength=256))
+    rows = [syms[r * SEG:(r + 1) * SEG] for r in range(R)]
+    st, wd = rans.rans_encode_group(rows, np.tile(f, (R, 1)))
+    WR = -(-wd.size // 128) + window_rows(R)
+    words = np.zeros((1, WR, 128), np.uint16)
+    words.reshape(-1)[:wd.size] = wd
+    cp, dp, needs2, orow = pack_device_tables(f)
+    assert orow is not None, "self-written tables must be 8-aligned"
+    co = np.stack([orow, np.zeros(128, np.int32)])
+    tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
+    for name, coarse, kw in (('coarse', cp, dict(one_fixup=not needs2)),
+                             ('octet', co, dict(octet=True))):
+        out, used = decode_groups_pallas(
+            jnp.asarray(st[None].astype(np.uint32)), jnp.asarray(words),
+            tile(coarse), tile(dp),
+            jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
+            n_steps=SEG // 128, interpret=True, **kw)
+        got = np.asarray(out)[0][:, :SEG].reshape(-1)
+        assert np.array_equal(got, syms), name
+        assert int(np.asarray(used)[0]) == wd.size, name
+        outs[name] = np.asarray(out)
+    assert np.array_equal(outs['coarse'], outs['octet'])
+
+
+def test_pipeline_octet_vs_coarse_byte_identical(tmp_path_, monkeypatch):
+    """Full-pipeline A/B: decode the same file under the octet (default)
+    and coarse (MTSCOMP_DEC_LOOKUP=coarse) variants; both must equal the
+    original bytes."""
+    from mtscomp_tpu.parallel import pipeline as pl
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    arr = to_int16(make_signal('colored', ns=2 * 2000, nc=19))
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+             sample_rate=2000.0, n_channels=19, dtype='int16',
+             algorithm='ans', quiet=True, check_after_compress=False)
+    for env in ('', 'coarse'):
+        monkeypatch.setenv('MTSCOMP_DEC_LOOKUP', env)
+        pl._build_decode_fn.cache_clear()
+        r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch',
+                       quiet=True)
+        try:
+            assert np.array_equal(decompress_to_array(r), arr), env
+        finally:
+            r.close()
+    pl._build_decode_fn.cache_clear()
 
 
 def test_multi_probe_mesh(tmp_path_):

@@ -73,9 +73,12 @@ def main():
         S = -(-min(seg, n_stream) // LANES)
         spb_f = max(d for d in range(1, 129) if S % d == 0)
 
+        # Mirror the production statics: pack() placed octet rows in
+        # coarse_pk unless MTSCOMP_DEC_LOOKUP=coarse opted out.
+        octet = os.environ.get('MTSCOMP_DEC_LOOKUP', '') != 'coarse'
         kern = jax.jit(lambda st, wd, cp, dp, cb: decode_groups_pallas(
             st, wd, cp, dp, cb, n_steps=S, small_alpha=True,
-            steps_per_block=spb_f, one_fixup=True))
+            steps_per_block=spb_f, one_fixup=True, octet=octet))
 
         inner = int(os.environ.get('BENCH_INNER', '8'))
         reps = int(os.environ.get('BENCH_REPS', '8'))
