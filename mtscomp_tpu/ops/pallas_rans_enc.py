@@ -86,7 +86,7 @@ def _mulhi32_i32(a, b):
 def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 states_ref, nw_ref, x_scr, epos_scr, *, steps_per_block,
                 cb_total, cap_rows, fuse_steps, small_alpha=False,
-                butterfly=True, div='float', ablate=None):
+                butterfly=True, div='float', fixup='signed', ablate=None):
     # ``ablate`` (compile-time, tools/enc_ablate.py only): truncate the
     # emit machinery after a named stage — 'state', 'rank', 'search',
     # 'noscat' — keeping earlier stages live via cheap XOR folds, to
@@ -224,12 +224,29 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 q0 = x_f * rcp_f
             else:
                 q0 = (x_f + x_f) / f.astype(jnp.float32)
-            q0 = jnp.minimum(q0.astype(jnp.int32),
-                             jnp.int32((1 << 20) - 1))
-            t = q0 * f
-            q0 = jnp.where(_lt_u(x, t), q0 - 1, q0)
-            t = jnp.where(_lt_u(x, t), t - f, t)
-            q = jnp.where(_ge_u(x - t, f), q0 + 1, q0)
+            q0 = q0.astype(jnp.int32)
+            if fixup == 'signed':
+                # The residual d = x - q0*f is tiny: q0 in {q-1, q, q+1}
+                # (error budget above) puts the TRUE difference in
+                # (-f, 2f) with f <= 4088, so the wrapped int32
+                # subtraction recovers it exactly as a small signed
+                # value — plain signed compares replace the sign-bias
+                # unsigned forms (saves 4 vector ops/step) and the
+                # t < 2^32 clamp is unnecessary (q0 <= 2^20 keeps the
+                # wrapped product's residual in range either way).
+                d = x - q0 * f
+                lt = d < 0
+                q0 = jnp.where(lt, q0 - 1, q0)
+                d = jnp.where(lt, d + f, d)
+                q = jnp.where(d >= f, q0 + 1, q0)
+            else:
+                # Round-2 unsigned-compare form, kept for A/B
+                # (MTSCOMP_ENC_FIXUP=unsigned).
+                q0 = jnp.minimum(q0, jnp.int32((1 << 20) - 1))
+                t = q0 * f
+                q0 = jnp.where(_lt_u(x, t), q0 - 1, q0)
+                t = jnp.where(_lt_u(x, t), t - f, t)
+                q = jnp.where(_ge_u(x - t, f), q0 + 1, q0)
         else:
             # Round-up-reciprocal form (Granlund-Montgomery): one more
             # gather per step; kept for A/B on other attachments.
@@ -444,11 +461,12 @@ def resolve_div_mode():
                                              'interpret',
                                              'steps_per_block',
                                              'fuse_steps', 'small_alpha',
-                                             'butterfly', 'div', 'ablate'))
+                                             'butterfly', 'div', 'fixup',
+                                             'ablate'))
 def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
                          cap_rows, interpret=False, steps_per_block=None,
                          fuse_steps=None, small_alpha=False,
-                         butterfly=None, div=None, ablate=None):
+                         butterfly=None, div=None, fixup=None, ablate=None):
     """Encode N groups on TPU; bit-identical to the normative encoder.
 
     symbols  (N, R, S*128) uint8 — row-linear segment rows (S*128
@@ -472,6 +490,11 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
                                    'butterfly') != 'search'
     if div is None:
         div = resolve_div_mode()
+    if fixup is None:
+        import os
+        fixup = os.environ.get('MTSCOMP_ENC_FIXUP', 'signed')
+        if fixup not in ('signed', 'unsigned'):
+            fixup = 'signed'
     if fuse_steps is None:
         # Hardware A/B (fresh processes, this attachment): G=2 7.9,
         # G=4 11.5, G=8 {12.4, 12.3}, G=16 {11.2, 11.6} GB/s — 8 is
@@ -497,7 +520,7 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         functools.partial(_enc_kernel, steps_per_block=spb, cb_total=CB,
                           cap_rows=cap_rows, fuse_steps=fuse_steps,
                           small_alpha=small_alpha, butterfly=butterfly,
-                          div=div, ablate=ablate),
+                          div=div, fixup=fixup, ablate=ablate),
         grid=(N, CB),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),
