@@ -224,8 +224,20 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 q0 = x_f * rcp_f
             else:
                 q0 = (x_f + x_f) / f.astype(jnp.float32)
-            q0 = q0.astype(jnp.int32)
-            if fixup == 'signed':
+            if fixup == 'onesided':
+                # Bias +0.5 makes the fixup ONE-sided: q_float's error
+                # vs x/f is bounded by [-0.3125, +0.1875] (halving drop
+                # <= 1/f <= 0.125 down since quantize_freqs' f >= 8;
+                # conversion + divide roundings <= 2^20 * 2^-23 = 0.125
+                # each way for 'float', <= 3*2^-24 rel for 'frcp'), so
+                # trunc(q_float + 0.5) is in {q, q+1} with >= 0.25
+                # margin both sides — the d >= f branch of the signed
+                # form vanishes (3 fewer ops in the dominant chain).
+                q0 = (q0 + 0.5).astype(jnp.int32)
+                d = x - q0 * f
+                q = jnp.where(d < 0, q0 - 1, q0)
+            elif fixup == 'signed':
+                q0 = q0.astype(jnp.int32)
                 # The residual d = x - q0*f is tiny: q0 in {q-1, q, q+1}
                 # (error budget above) puts the TRUE difference in
                 # (-f, 2f) with f <= 4088, so the wrapped int32
@@ -242,7 +254,8 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
             else:
                 # Round-2 unsigned-compare form, kept for A/B
                 # (MTSCOMP_ENC_FIXUP=unsigned).
-                q0 = jnp.minimum(q0, jnp.int32((1 << 20) - 1))
+                q0 = jnp.minimum(q0.astype(jnp.int32),
+                                 jnp.int32((1 << 20) - 1))
                 t = q0 * f
                 q0 = jnp.where(_lt_u(x, t), q0 - 1, q0)
                 t = jnp.where(_lt_u(x, t), t - f, t)
@@ -492,9 +505,9 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         div = resolve_div_mode()
     if fixup is None:
         import os
-        fixup = os.environ.get('MTSCOMP_ENC_FIXUP', 'signed')
-        if fixup not in ('signed', 'unsigned'):
-            fixup = 'signed'
+        fixup = os.environ.get('MTSCOMP_ENC_FIXUP', 'onesided')
+        if fixup not in ('onesided', 'signed', 'unsigned'):
+            fixup = 'onesided'
     if fuse_steps is None:
         # Hardware A/B (fresh processes, this attachment): G=2 7.9,
         # G=4 11.5, G=8 {12.4, 12.3}, G=16 {11.2, 11.6} GB/s — 8 is

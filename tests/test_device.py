@@ -603,9 +603,10 @@ def test_encode_kernel_butterfly_compaction_bit_identical(monkeypatch):
     for mode in ('float', 'frcp'):
         for x, y in zip(outs['mulhi'], outs[mode]):
             assert np.array_equal(np.asarray(x), np.asarray(y)), mode
-    # The signed-residual fixup (d = x - q0*f recovered exactly as a
-    # small signed value) must match the round-2 unsigned sign-bias
-    # form bit-for-bit on the same boundary-driving inputs.
+    # All three fixup forms must match bit-for-bit on the same
+    # boundary-driving inputs: 'onesided' (+0.5 bias, one compare),
+    # 'signed' (signed-residual two-sided) and the round-2 unsigned
+    # sign-bias form.
     for mode in ('float', 'frcp'):
         pk_m = np.zeros((N, R, 2, 128), np.int32)
         rcp_m = np.zeros_like(pk_m)
@@ -615,12 +616,14 @@ def test_encode_kernel_butterfly_compaction_bit_identical(monkeypatch):
                     syms[i, r, :counts[i, r]], minlength=256))
                 pk_m[i, r], rcp_m[i, r] = pack_enc_device_tables(
                     f, div=mode)
-        old = encode_groups_pallas(
-            jnp.asarray(syms), jnp.asarray(pk_m), jnp.asarray(rcp_m),
-            jnp.asarray(cb), n_steps=S, cap_rows=1024, div=mode,
-            fixup='unsigned')
-        for x, y in zip(outs[mode], old):
-            assert np.array_equal(np.asarray(x), np.asarray(y)), mode
+        for fx in ('signed', 'unsigned'):
+            old = encode_groups_pallas(
+                jnp.asarray(syms), jnp.asarray(pk_m), jnp.asarray(rcp_m),
+                jnp.asarray(cb), n_steps=S, cap_rows=1024, div=mode,
+                fixup=fx)
+            for x, y in zip(outs[mode], old):
+                assert np.array_equal(np.asarray(x), np.asarray(y)), \
+                    (mode, fx)
 
 
 def test_second_fixup_flag_matches_bucket_occupancy():
