@@ -67,7 +67,8 @@ def _srl(x, n):
 
 def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
             words_ref, out_ref, used_ref, x_scr, pos_scr, *,
-            steps_per_block, small_alpha, one_fixup, stack, octet):
+            steps_per_block, small_alpha, one_fixup, stack, octet,
+            mask_split=True):
     # Grid is (N group-stacks, column blocks): the rANS states and
     # stream positions persist in scratch across a stack's column
     # blocks, so the output block stays small regardless of segment
@@ -126,9 +127,17 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         hi = jnp.take_along_axis(dense_ref[0, :, 1, :], col, axis=1)
         return jnp.where(idx < 128, lo, hi)
 
-    def substep(s, x, pos):
-        # ``pos`` is a tuple of S per-group stream cursors.
-        active = (s * LANES + lane_col) < counts
+    # Hoisted activity threshold: active = s*128 + lane < counts as one
+    # scalar-vector compare against counts - lane.
+    cl_m = counts - lane_col
+
+    def substep(s, x, pos, full):
+        # ``pos`` is a tuple of S per-group stream cursors. ``full``
+        # (static): every lane of every row is active at this step —
+        # the activity compare, its AND into the renorm mask and the
+        # update select drop out (the caller proves fullness from
+        # min(counts); see the split loops at the bottom).
+        active = None if full else (s * LANES < cl_m)
         slot = x & 4095
         if octet:
             # 8-aligned tables (quantize_freqs' unit granularity —
@@ -162,9 +171,13 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         f = _srl(pk, 12) & 4095
         val = _srl(pk, 24)
         # rANS inverse update (mod 2^32 in int32).
-        x = jnp.where(active, f * _srl(x, SCALE_BITS) + slot - cum, x)
-        # Renorm ranks: MXU prefix along lanes + sublane scan of totals.
-        need = active & (_srl(x, 16) == 0)
+        if full:
+            x = f * _srl(x, SCALE_BITS) + slot - cum
+            need = _srl(x, 16) == 0
+        else:
+            x = jnp.where(active, f * _srl(x, SCALE_BITS) + slot - cum, x)
+            # Renorm ranks: MXU prefix + sublane scan of row totals.
+            need = active & (_srl(x, 16) == 0)
         m = need.astype(jnp.int32)
         inc = jax.lax.dot(m.astype(jnp.float32), triu,
                           preferred_element_type=jnp.float32
@@ -238,13 +251,16 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
         pos = tuple(pos[g] + run[g * R + R - 1, 0] for g in range(S))
         return x, pos, val
 
-    def body(s, carry):
-        x, pos = carry
-        x, pos, val = substep(cb * steps_per_block + s, x, pos)
-        # Row-linear output: step s's lane j of row r is row r's symbol
-        # s*128 + j, so segments come out contiguous (no transpose pass).
-        out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
-        return x, pos
+    def make_body(full):
+        def body(s, carry):
+            x, pos = carry
+            x, pos, val = substep(cb * steps_per_block + s, x, pos, full)
+            # Row-linear output: step s's lane j of row r is row r's
+            # symbol s*128 + j, so segments come out contiguous (no
+            # transpose pass).
+            out_ref[0, :, pl.ds(s * LANES, LANES)] = val.astype(jnp.uint8)
+            return x, pos
+        return body
 
     # Per-group step clamp: n_steps is the batch-wide max, but a stack
     # only needs ceil(max_row_count / 128) steps — a chunk's tail group
@@ -256,7 +272,19 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
     steps_needed = _srl(jnp.max(counts) + 127, 7)
     todo = jnp.clip(steps_needed - cb * steps_per_block, 0,
                     steps_per_block)
-    x, pos = jax.lax.fori_loop(0, todo, body, (x0, pos0))
+    # Split at the fullness boundary: step s (global) is fully active
+    # iff (s+1)*128 <= min(counts); the forward scan visits those FIRST
+    # — the bulk, for realistic chunk geometries — with the mask-free
+    # chain, then the masked tail (bit-exact: 'full' only drops ops
+    # whose masks are all-true).
+    if mask_split:
+        full_todo = jnp.clip(_srl(jnp.min(counts), 7)
+                             - cb * steps_per_block, 0, todo)
+    else:
+        # A/B escape (MTSCOMP_DEC_MASKSPLIT=0): masked chain throughout.
+        full_todo = jnp.int32(0)
+    x, pos = jax.lax.fori_loop(0, full_todo, make_body(True), (x0, pos0))
+    x, pos = jax.lax.fori_loop(full_todo, todo, make_body(False), (x, pos))
     x_scr[...] = x
     for g in range(S):
         pos_scr[g] = pos[g]
@@ -276,11 +304,12 @@ def _kernel(states_ref, counts_ref, coarse_ref, dense_ref,
 @functools.partial(jax.jit, static_argnames=('n_steps', 'interpret',
                                              'small_alpha',
                                              'steps_per_block',
-                                             'one_fixup', 'octet'))
+                                             'one_fixup', 'octet',
+                                             'mask_split'))
 def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                          *, n_steps, interpret=False, small_alpha=False,
                          steps_per_block=None, one_fixup=False,
-                         octet=False):
+                         octet=False, mask_split=None):
     """Decode N groups on TPU.
 
     Returns ``(syms, words_used)``: (N, R, blocks*128) uint8 symbols and
@@ -310,7 +339,8 @@ def decode_groups_pallas(states, words_u16, coarse_pk, dense_pk, counts_b,
                                interpret=interpret,
                                small_alpha=small_alpha,
                                steps_per_block=steps_per_block,
-                               one_fixup=one_fixup, octet=octet)
+                               one_fixup=one_fixup, octet=octet,
+                               mask_split=mask_split)
 
 
 STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
@@ -319,8 +349,11 @@ STEPS_PER_BLOCK = 64     # output columns per grid step (64*128 symbols/row)
 def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
                         counts_b, *, n_steps, interpret, small_alpha,
                         steps_per_block=None, one_fixup=False,
-                        stack=None, octet=False):
+                        stack=None, octet=False, mask_split=None):
     interpret = interpret or force_interpret()
+    if mask_split is None:
+        import os
+        mask_split = os.environ.get('MTSCOMP_DEC_MASKSPLIT', '1') != '0'
     if stack is None:
         # Hardware sweep (fresh processes, staged kernel GB/s): stack=1
         # 8.2, 2 10.6, 4 13.0-13.7, 8 15.2-15.5, 16 clamped to 8 by the
@@ -360,7 +393,8 @@ def _decode_groups_call(states, words_u16, coarse_pk, dense_pk,
     out, used = pl.pallas_call(
         functools.partial(_kernel, steps_per_block=spb,
                           small_alpha=small_alpha,
-                          one_fixup=one_fixup, stack=stack, octet=octet),
+                          one_fixup=one_fixup, stack=stack, octet=octet,
+                          mask_split=mask_split),
         grid=(NS, CB),
         in_specs=[
             pl.BlockSpec((1, SR, LANES), lambda n, c: (n, 0, 0),

@@ -86,7 +86,8 @@ def _mulhi32_i32(a, b):
 def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 states_ref, nw_ref, x_scr, epos_scr, *, steps_per_block,
                 cb_total, cap_rows, fuse_steps, small_alpha=False,
-                butterfly=True, div='float', fixup='signed', ablate=None):
+                butterfly=True, div='float', fixup='signed',
+                mask_split=True, ablate=None):
     # ``ablate`` (compile-time, tools/enc_ablate.py only): truncate the
     # emit machinery after a named stage — 'state', 'rank', 'search',
     # 'noscat' — keeping earlier stages live via cheap XOR folds, to
@@ -178,10 +179,21 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         hi = jnp.take_along_axis(tbl_ref[0, :, 1, :], col, axis=1)
         return jnp.where(idx < 128, lo, hi)
 
-    def state_step(s_local, x):
-        """One step's sequential state math; returns (emit, words, x')."""
+    # Hoisted activity threshold: active = sg*128 + lane < counts
+    # becomes one scalar-vector compare against counts - lane (the loop
+    # bodies below cannot rely on Mosaic hoisting the subtraction).
+    cl_m = counts - lane_col
+
+    def state_step(s_local, x, full):
+        """One step's sequential state math; returns (emit, words, x').
+
+        ``full`` (static): every lane of every row is active at this
+        step — the activity compare, its AND into the emit test and the
+        update select all drop out (the caller proves fullness from
+        min(counts); see the split loops at the bottom).
+        """
         sg = blk * steps_per_block + s_local
-        active = (sg * LANES + lane_col) < counts
+        active = None if full else (sg * LANES < cl_m)
         sy = syms_ref[0, :, pl.ds(s_local * LANES, LANES)].astype(jnp.int32)
         pk = lookup2(pk_ref, sy)
         cum = pk & 4095
@@ -194,7 +206,9 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         # sign-bias form). Relies on f <= 4088: quantize_freqs never
         # emits single-symbol tables (the f = 4096 case, where f << 20
         # would need 33 bits; the AVX coder leans on the same bound).
-        emit = active & (_srl(x, 20) >= f)
+        emit = _srl(x, 20) >= f
+        if not full:
+            emit = active & emit
         word = x & jnp.int32(0xFFFF)
         x = jnp.where(emit, _srl(x, 16), x)
         if div in ('float', 'frcp'):
@@ -268,7 +282,10 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
             t = _mulhi32_i32(x, rcp)
             q = _srl(_srl(x - t, 1) + t, rshift)
         # x' = x + cum + q * (SCALE - f).
-        x = jnp.where(active, x + cum + q * cmpl, x)
+        if full:
+            x = x + cum + q * cmpl
+        else:
+            x = jnp.where(active, x + cum + q * cmpl, x)
         return emit, word, x
 
     def substep_group_ablate(s_hi, x, epos, acc):
@@ -277,7 +294,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         dead-code them; NOT bit-correct output, timing only."""
         ew = []
         for d in range(G):                  # backward: s_hi - d
-            e, w, x = state_step(s_hi - d, x)
+            e, w, x = state_step(s_hi - d, x, False)
             ew.append((e, w))
         if ablate == 'state':
             for _, w in ew:
@@ -329,7 +346,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         acc = acc ^ (oh0[:R, :LANES] + oh1[:R, :LANES]).astype(jnp.int32)
         return x, epos + ks, acc
 
-    def substep_group(s_hi, x, epos):
+    def substep_group(s_hi, x, epos, full=False):
         """Steps ``s_hi`` down to ``s_hi - G + 1``, ONE joint scatter.
 
         The state math is inherently sequential per step, but the emit
@@ -342,10 +359,13 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         per-step positions — 1/G the vector-op issues for the dominant
         stage (per-op issue rate, not FLOPs, bounds this kernel on the
         measured attachments).
+
+        ``full`` (static) compiles the mask-free state chain for runs
+        the caller proves fully active.
         """
         ew = []
         for d in range(G):                  # backward: s_hi - d
-            e, w, x = state_step(s_hi - d, x)
+            e, w, x = state_step(s_hi - d, x, full)
             ew.append((e, w))
         # Ascending stream order: the backward pass emits the highest
         # step first at the top of the range, so reverse the stack.
@@ -452,7 +472,29 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         p = runs_todo - 1 - i               # run index, descending
         return substep_group(G * p + (G - 1), x, epos)
 
-    x, epos = jax.lax.fori_loop(0, runs_todo, body, (x0, epos0))
+    def body_full(i, carry):
+        x, epos = carry
+        p = runs_todo - 1 - i
+        return substep_group(G * p + (G - 1), x, epos, full=True)
+
+    # Split the backward pass at the fullness boundary: run p (local
+    # steps [G*p, G*p + G)) is fully active iff every lane of every row
+    # is, i.e. blk*spb + G*p + G <= floor(min(counts) / 128). The
+    # backward loop visits runs in DESCENDING p, so the partially-
+    # active runs (the stream tail) come first and the fully-active
+    # ones — the bulk, for realistic chunk geometries — run a state
+    # chain with no activity compare, no emit AND and no update select
+    # (bit-exact: 'full' only drops ops whose masks are all-true).
+    if mask_split:
+        full_steps = jnp.clip(_srl(jnp.min(counts), 7)
+                              - blk * steps_per_block, 0, todo)
+        full_runs = jnp.minimum(full_steps // G, runs_todo)
+    else:
+        # A/B escape (MTSCOMP_ENC_MASKSPLIT=0): masked chain throughout.
+        full_runs = jnp.int32(0)
+    split = runs_todo - full_runs
+    x, epos = jax.lax.fori_loop(0, split, body, (x0, epos0))
+    x, epos = jax.lax.fori_loop(split, runs_todo, body_full, (x, epos))
     x_scr[...] = x
     epos_scr[0] = epos
     states_ref[0] = x
@@ -475,11 +517,12 @@ def resolve_div_mode():
                                              'steps_per_block',
                                              'fuse_steps', 'small_alpha',
                                              'butterfly', 'div', 'fixup',
-                                             'ablate'))
+                                             'mask_split', 'ablate'))
 def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
                          cap_rows, interpret=False, steps_per_block=None,
                          fuse_steps=None, small_alpha=False,
-                         butterfly=None, div=None, fixup=None, ablate=None):
+                         butterfly=None, div=None, fixup=None,
+                         mask_split=None, ablate=None):
     """Encode N groups on TPU; bit-identical to the normative encoder.
 
     symbols  (N, R, S*128) uint8 — row-linear segment rows (S*128
@@ -508,6 +551,9 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         fixup = os.environ.get('MTSCOMP_ENC_FIXUP', 'onesided')
         if fixup not in ('onesided', 'signed', 'unsigned'):
             fixup = 'onesided'
+    if mask_split is None:
+        import os
+        mask_split = os.environ.get('MTSCOMP_ENC_MASKSPLIT', '1') != '0'
     if fuse_steps is None:
         # Hardware A/B (fresh processes, this attachment): G=2 7.9,
         # G=4 11.5, G=8 {12.4, 12.3}, G=16 {11.2, 11.6} GB/s — 8 is
@@ -533,7 +579,8 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         functools.partial(_enc_kernel, steps_per_block=spb, cb_total=CB,
                           cap_rows=cap_rows, fuse_steps=fuse_steps,
                           small_alpha=small_alpha, butterfly=butterfly,
-                          div=div, fixup=fixup, ablate=ablate),
+                          div=div, fixup=fixup, mask_split=mask_split,
+                          ablate=ablate),
         grid=(N, CB),
         in_specs=[
             pl.BlockSpec((1, R_in, LANES), lambda n, c: (n, 0, 0),

@@ -579,6 +579,13 @@ def test_encode_kernel_butterfly_compaction_bit_identical(monkeypatch):
     assert (nw > 0).all() and (nw <= 1024 * 128).all()
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+    # The masked/full loop split (runs proven fully active skip the
+    # activity machinery) must be invisible: per-row counts 1..S*128
+    # place the split everywhere from "all runs partial" to "all full".
+    c = encode_groups_pallas(*args, n_steps=S, cap_rows=1024,
+                             mask_split=False)
+    for x, y in zip(a, c):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
     # All three division forms must match bit-for-bit: 'float' (f32
     # divide + exact two-sided fixup, no reciprocal gather), 'frcp'
     # (gathered pre-rounded f32 reciprocal + the same fixup) and
