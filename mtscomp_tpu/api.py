@@ -47,6 +47,50 @@ AUTO_DEVICE_MIN_BYTES = 1 << 28
 # C++ worker pool and lose a full-span concatenate copy.
 _BULK_SPAN_CHUNKS = 4
 
+# Probe slice length for the 'auto' transform decision (first chunk's
+# leading samples): long enough for a stable ratio estimate, short
+# enough that the probe costs ~0.5% of a realistic compress.
+TRANSFORM_PROBE_SAMPLES = 8192
+
+
+def probe_transform(probe, codec, chunk_order, do_time_diff, orders,
+                    spatials):
+    """Encode a probe slice under each candidate transform (time-diff
+    order x spatial diff); return the winning ``(order, spatial)``.
+
+    Oversampled bands (LFP-like) compress far better under the second
+    time difference (the first diff is still strongly correlated:
+    measured +5% on band-limited noise, +55% on oscillatory LFP);
+    noise-dominated bands lose (the second diff doubles white-noise
+    variance: measured -11..-13%). The spatial diff wins on
+    channel-correlated data (smooth LFP fields +10%, common-mode
+    artifacts +19% measured) and loses on independent channels for the
+    same variance-doubling reason. A 2% margin over the reference
+    transform (``(orders[0], spatials[0])``) keeps borderline files on
+    it; exact ties prefer the less aggressive candidate (the tuple
+    tie-break: lower order, then spatial off).
+
+    Shared by ``Writer`` (chunk 0 of the memmap) and ``StreamWriter``
+    (the first buffered chunk at first flush) so streamed output stays
+    byte-identical to a batch compress of the same recording.
+    """
+    base = diff_along_axis(probe, axis=0) if do_time_diff else probe
+    sizes = {}
+    for order in orders:
+        d = base if order == 1 else diff_along_axis(base, axis=0)
+        for spatial in spatials:
+            dsp = diff_along_axis(d, axis=1 if spatial else None)
+            sizes[(order, spatial)] = len(
+                codec.encode(dsp, order=chunk_order))
+    ref = (orders[0], spatials[0])      # reference transform
+    best = min(sizes, key=lambda k: (sizes[k], k))
+    if best != ref and sizes[best] >= 0.98 * sizes[ref]:
+        best = ref
+    logger.debug("transform auto probe: %s -> order %d, spatial %s.",
+                 {k: v for k, v in sorted(sizes.items())},
+                 best[0], best[1])
+    return best
+
 
 class Writer:
     """Compress a raw multichannel binary file into ``.cbin`` + ``.ch``.
@@ -176,45 +220,20 @@ class Writer:
 
     def _pick_transform(self):
         """Probe chunk 0: encode a slice under each candidate transform
-        (time-diff order x spatial diff), keep the winner.
-
-        Oversampled bands (LFP-like) compress far better under the
-        second time difference (the first diff is still strongly
-        correlated: measured +5% on band-limited noise, +55% on
-        oscillatory LFP); noise-dominated bands lose (the second diff
-        doubles white-noise variance: measured -11..-13%). The spatial
-        diff wins on channel-correlated data (smooth LFP fields +10%,
-        common-mode artifacts +19% measured) and loses on independent
-        channels for the same variance-doubling reason. A 2% margin
-        over the reference transform keeps borderline files on it;
-        exact ties prefer the less aggressive candidate (the tuple
-        tie-break: lower order, then spatial off).
-        """
+        (time-diff order x spatial diff), keep the winner
+        (:func:`probe_transform`; StreamWriter runs the identical probe
+        on its first buffered chunk so streamed bytes stay identical to
+        batch-compressed ones)."""
         orders = ([1, 2] if self.time_diff_order == 'auto'
                   else [self.time_diff_order])
         if not self.do_time_diff:
             orders = [1]
         spatials = ([False, True] if self.do_spatial_diff == 'auto'
                     else [bool(self.do_spatial_diff)])
-        ns = min(self.chunk_bounds[1], 8192)
+        ns = min(self.chunk_bounds[1], TRANSFORM_PROBE_SAMPLES)
         probe = np.ascontiguousarray(self.get_chunk(0)[:ns])
-        base = (diff_along_axis(probe, axis=0) if self.do_time_diff
-                else probe)
-        sizes = {}
-        for order in orders:
-            d = base if order == 1 else diff_along_axis(base, axis=0)
-            for spatial in spatials:
-                dsp = diff_along_axis(d, axis=1 if spatial else None)
-                sizes[(order, spatial)] = len(
-                    self.codec.encode(dsp, order=self.chunk_order))
-        ref = (orders[0], spatials[0])      # reference transform
-        best = min(sizes, key=lambda k: (sizes[k], k))
-        if best != ref and sizes[best] >= 0.98 * sizes[ref]:
-            best = ref
-        logger.debug("transform auto probe: %s -> order %d, spatial %s.",
-                     {k: v for k, v in sorted(sizes.items())},
-                     best[0], best[1])
-        return best
+        return probe_transform(probe, self.codec, self.chunk_order,
+                               self.do_time_diff, orders, spatials)
 
     # -- per-chunk pipeline ---------------------------------------------------
 

@@ -617,6 +617,12 @@ def mtsmerge(args=None):
     # No -nc/-p here: the merge ALWAYS verifies each part's SHA1 during
     # the byte copy (safety property, not an option) and is a single
     # sequential stream — advertising dead flags misleads.
+    parser.add_argument('--fast', action='store_true',
+                        help='skip the decode pass: parts are still '
+                             'byte-verified, but the merged sidecar '
+                             'gets sha1_uncompressed: null instead of '
+                             'the decoded-stream hash, so mtsverify '
+                             '--deep cannot fully audit the output')
     parser.add_argument('-v', '--debug', action='store_true',
                         help='verbose')
     pargs = parser.parse_args(args or sys.argv[1:])
@@ -626,7 +632,8 @@ def mtsmerge(args=None):
     pairs = [(Path(p), cmeta_sidecar_path(p)) for p in pargs.parts]
     outmeta = pargs.outmeta or cmeta_sidecar_path(pargs.out)
     merge_parts(pairs, pargs.out, outmeta,
-                expected_n_chunks=pargs.expect_chunks)
+                expected_n_chunks=pargs.expect_chunks,
+                decoded_hash=not pargs.fast)
 
 
 # -- mtsrecompress -------------------------------------------------------------

@@ -24,7 +24,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..format import read_cmeta, write_cmeta
+from ..format import decode_identity, read_cmeta, write_cmeta
 from ..utils.misc import logger
 
 
@@ -67,16 +67,30 @@ def _stream_file(path, consume):
     return sha.hexdigest()
 
 
-def merge_parts(parts, out, outmeta, expected_n_chunks=None):
+def merge_parts(parts, out, outmeta, expected_n_chunks=None,
+                decoded_hash=True):
     """Concatenate compressed parts into one ``.cbin`` + ``.ch``.
 
     ``parts``: ordered list of ``(cbin_path, ch_path)`` pairs produced
     by :func:`compress_range` (or any compressed files with identical
     parameters). Each part's bytes are verified against its own
     ``sha1_compressed`` while being copied; the merged sidecar gets the
-    global ``sha1_compressed`` computed during the copy and
-    ``sha1_uncompressed: None`` (the raw stream was never seen whole
-    here — the ``chop`` precedent for hash-less but valid sidecars).
+    global ``sha1_compressed`` computed during the copy.
+
+    With ``decoded_hash=True`` (default) each part is also DECODED
+    during the merge and the merged sidecar gets a real
+    ``sha1_uncompressed`` — the hash of the raw sample stream, equal to
+    what one full ``compress`` of the source would have recorded
+    (reference dual-SHA1 semantics, mtscomp.py:341-358) — so
+    ``mtsverify --deep`` and ``check()`` validate merged files
+    end-to-end. Each decoded part is cross-checked against its own
+    ``sha1_uncompressed`` when present, catching parts whose sidecar
+    parameters do not describe their payload. Only byte-exact formats
+    qualify (integer dtypes, ``float_bitcast`` files); legacy-domain
+    float files get ``sha1_uncompressed: None`` (their decoded bytes
+    legitimately differ from the raw file's — the ``chop`` precedent
+    for hash-less but valid sidecars). ``decoded_hash=False`` skips the
+    decode pass (always ``None``).
 
     Coverage is validated: ``part`` ranges must be contiguous from 0
     and, when the sidecars record the source's total chunk count
@@ -90,10 +104,20 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     assert parts, "nothing to merge"
     metas = [read_cmeta(ch) for _, ch in parts]
     first = metas[0]
-    check_keys = ('algorithm', 'comp_level', 'do_time_diff',
-                  'do_spatial_diff', 'dtype', 'n_channels', 'sample_rate',
-                  'chunk_order', 'version')
+    # Decode identity first: one merged sidecar describes every chunk,
+    # so parts whose payloads decode differently (incl. the v2
+    # extensions time_diff_order/float_bitcast, absent = default) must
+    # never merge — the mismatched chunks would decode to silently
+    # wrong samples. The shared predicate lives in format.py so new
+    # sidecar extensions cannot go stale here.
+    ident0 = decode_identity(first)
+    check_keys = ('comp_level', 'sample_rate', 'version')
     for m in metas[1:]:
+        ident = decode_identity(m)
+        if ident != ident0:
+            k = next(k for k in ident0 if ident[k] != ident0[k])
+            raise ValueError("part parameter mismatch: %s (%r != %r)"
+                             % (k, ident[k], ident0[k]))
         for k in check_keys:
             if m.get(k) != first.get(k):
                 raise ValueError("part parameter mismatch: %s (%r != %r)"
@@ -140,11 +164,17 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     out.parent.mkdir(exist_ok=True, parents=True)
     tmp = out.with_name(out.name + '.merging')
     sha1_all = hashlib.sha1()
+    # The merged decoded hash only equals the raw source's hash when
+    # decode is byte-exact (integers, bitcast floats); legacy-domain
+    # float decodes are allclose-only, so their sidecar keeps None.
+    exact = (np.dtype(first['dtype']).kind in 'iu'
+             or bool(first.get('float_bitcast', False)))
+    sha1_raw = hashlib.sha1() if (decoded_hash and exact) else None
     bounds = [0]
     offsets = [0]
     try:
         with open(tmp, 'wb') as fb:
-            for (cbin, _), m in zip(parts, metas):
+            for (cbin, ch), m in zip(parts, metas):
                 size = 0
 
                 def consume(buf):
@@ -162,6 +192,8 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
                 if size != m['chunk_offsets'][-1]:
                     raise IOError("part %s is %d bytes, sidecar says %d."
                                   % (cbin, size, m['chunk_offsets'][-1]))
+                if sha1_raw is not None:
+                    _hash_decoded_part(cbin, ch, sha1_raw, m)
                 base_b, base_o = bounds[-1], offsets[-1]
                 bounds.extend(base_b + b for b in m['chunk_bounds'][1:])
                 offsets.extend(base_o + o for o in m['chunk_offsets'][1:])
@@ -177,11 +209,36 @@ def merge_parts(parts, out, outmeta, expected_n_chunks=None):
     cmeta['chunk_offsets'] = offsets
     cmeta['shape'] = (bounds[-1], int(first['n_channels']))
     cmeta['sha1_compressed'] = sha1_all.hexdigest()
-    cmeta['sha1_uncompressed'] = None
+    cmeta['sha1_uncompressed'] = (sha1_raw.hexdigest()
+                                  if sha1_raw is not None else None)
     write_cmeta(outmeta, cmeta)
     logger.info("Merged %d parts into %s (%d chunks, %d samples).",
                 len(parts), out, len(bounds) - 1, bounds[-1])
     return cmeta
+
+
+def _hash_decoded_part(cbin, ch, sha_all, m):
+    """Decode one part chunk-by-chunk, feeding its raw sample bytes into
+    the merged ``sha1_uncompressed`` accumulator; cross-check against
+    the part's own recorded decoded hash when it has one (catches a
+    part whose sidecar parameters do not describe its payload — the
+    payload-level CRCs cannot see that)."""
+    from ..api import Reader
+    sha_part = hashlib.sha1()
+    r = Reader(quiet=True, device='none')
+    r.open(cbin, ch)
+    try:
+        for i, start, length in r.iter_chunks():
+            chunk = np.ascontiguousarray(r.read_chunk(i, start, length))
+            sha_part.update(chunk)
+            sha_all.update(chunk)
+    finally:
+        r.close()
+    want = m.get('sha1_uncompressed')
+    if want and sha_part.hexdigest() != want:
+        raise IOError("part %s decodes to data that does not match its "
+                      "sha1_uncompressed (corrupt part, or a sidecar "
+                      "that does not describe its payload)." % cbin)
 
 
 def part_paths(out, first, last, part_dir=None):

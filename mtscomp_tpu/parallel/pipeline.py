@@ -1274,17 +1274,17 @@ def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
     parsed_all, ns = [], None
     r0 = readers[0]
     # Probes must agree on everything the decoder derives from
-    # readers[0]: dtype/order/diff flags/channel count — a mismatch
-    # would decode the other probes with the wrong metadata. Fallback,
-    # never corrupt.
+    # readers[0] — the FULL decode identity (incl. the v2 sidecar
+    # extensions time_diff_order/float_bitcast, which supported() can
+    # never see: they are sidecar-only, not in the chunk payloads).
+    # A mismatch would decode the other probes with the wrong
+    # metadata. Fallback, never corrupt.
+    from ..format import decode_identity
+    ident0 = decode_identity(r0.cmeta)
     mergeable = all(
         r.algorithm == 'ans'
         and r.n_chunks > last
-        and r.dtype == r0.dtype
-        and r.n_channels == r0.n_channels
-        and r.chunk_order == r0.chunk_order
-        and bool(r.cmeta.do_time_diff) == bool(r0.cmeta.do_time_diff)
-        and bool(r.cmeta.do_spatial_diff) == bool(r0.cmeta.do_spatial_diff)
+        and decode_identity(r.cmeta) == ident0
         for r in readers)
     if mergeable:
         for r in readers:

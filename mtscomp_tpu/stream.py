@@ -61,11 +61,20 @@ class StreamWriter:
         self.dtype = np.dtype(dtype)
         self.algorithm = config.algorithm
         self.do_time_diff = config.do_time_diff
-        # Streams have no data to probe at open time: 'auto' resolves
-        # to the reference transform (order 1, spatial off). Explicit
-        # values are honored; resume() restores the sidecar's record.
+        # 'auto' transforms are probed on the FIRST BUFFERED CHUNK at
+        # first flush (_flush_chunk) — by then a full chunk of real
+        # signal exists and no container bytes are written yet — with
+        # the exact probe the batch Writer runs on chunk 0, so a
+        # streamed recording stays byte-identical to compress() of the
+        # finished file under the default config (a live LFP stream
+        # must not silently lose the order-2/spatial ratio wins).
+        # Until the probe runs, attributes hold the reference transform
+        # (order 1, spatial off); explicit values are honored as given;
+        # resume() restores the sidecar's record (never 'auto').
         self.do_spatial_diff = (False if config.do_spatial_diff == 'auto'
                                 else bool(config.do_spatial_diff))
+        self._probe_spatial = (config.do_spatial_diff == 'auto'
+                               and config.algorithm == 'ans')
         order_cfg = config.get('time_diff_order', 'auto')
         if order_cfg not in (1, 2, 'auto'):
             raise ValueError("time_diff_order must be 1, 2 or 'auto' "
@@ -73,6 +82,9 @@ class StreamWriter:
         self.time_diff_order = (2 if (order_cfg == 2
                                       and config.algorithm == 'ans'
                                       and config.do_time_diff) else 1)
+        self._probe_order = (order_cfg == 'auto'
+                             and config.algorithm == 'ans'
+                             and bool(config.do_time_diff))
         self.chunk_order = config.chunk_order
         self.comp_level = config.comp_level
         self.codec = get_codec(
@@ -191,7 +203,15 @@ class StreamWriter:
                 "recording would place a full chunk there, so appending "
                 "cannot stay byte-identical to a batch compress." % out)
         chunk_size = sizes.pop()
-        for key in ('sample_rate', 'n_channels', 'dtype', 'algorithm'):
+        # Every key that defines how already-written chunks decode is
+        # sidecar-owned: an override would finalize a sidecar that no
+        # longer describes the surviving chunks (e.g. time_diff_order
+        # rewritten to 1 while the prefix was encoded order-2 —
+        # silently corrupt, and the resume audit can't catch it because
+        # the audit runs with the ORIGINAL sidecar).
+        for key in ('sample_rate', 'n_channels', 'dtype', 'algorithm',
+                    'do_time_diff', 'do_spatial_diff', 'time_diff_order',
+                    'chunk_order', 'float_bitcast'):
             if key in overrides:
                 raise ValueError("resume derives %r from the sidecar; "
                                  "it cannot be overridden." % key)
@@ -299,6 +319,21 @@ class StreamWriter:
             # Identical bytes (both SHA1s unaffected); the transform and
             # the entropy stage run on the integer view.
             chunk = chunk.view(self.code_dtype)
+        if (self._probe_order or self._probe_spatial) \
+                and len(self.chunk_bounds) == 1:
+            # First flush of an 'auto' stream: same probe, same slice,
+            # same margin as Writer._pick_transform on chunk 0 (the
+            # first flushed chunk IS batch chunk 0 — full, or the whole
+            # short recording when close() flushes a partial tail).
+            from .api import probe_transform, TRANSFORM_PROBE_SAMPLES
+            orders = [1, 2] if self._probe_order else [self.time_diff_order]
+            spatials = ([False, True] if self._probe_spatial
+                        else [bool(self.do_spatial_diff)])
+            order, spatial = probe_transform(
+                chunk[:TRANSFORM_PROBE_SAMPLES], self.codec,
+                self.chunk_order, self.do_time_diff, orders, spatials)
+            self.time_diff_order, self.do_spatial_diff = order, spatial
+            self._probe_order = self._probe_spatial = False
         # Parts form when available: the container streams to the file
         # part by part instead of through one multi-MB join (see
         # Writer._compress_chunk).

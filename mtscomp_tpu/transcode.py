@@ -83,13 +83,21 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
         # order 1 (reference byte-identity). Explicit override via
         # kwargs['time_diff_order'] (1 or 2).
         tdo = kwargs.get('time_diff_order')
+        if isinstance(tdo, str):
+            # 'auto' is a Writer-side probe of the raw file; a transcode
+            # inherits the source's recorded order (None) or an explicit
+            # 1/2 — same contract as the do_spatial_diff guard above.
+            raise ValueError("transcode takes time_diff_order=None "
+                             "(inherit) or 1 or 2, not %r." % (tdo,))
         diff_order = int(src.get('time_diff_order', 1)
                          if tdo is None else tdo)
         if algorithm != 'ans' or not time_diff:
             diff_order = 1
         if diff_order not in (1, 2):
+            # diff_order (not tdo) so a bad SOURCE sidecar value is
+            # named too — tdo is None on that path.
             raise ValueError("time_diff_order must be 1 or 2 for "
-                             "transcode (got %r)." % (tdo,))
+                             "transcode (got %r)." % (diff_order,))
         order = src.get('chunk_order', 'F')
         codec = get_codec(
             algorithm, seg_log2=cfg.get('ans_seg_log2', 16),

@@ -125,6 +125,27 @@ def test_chunk_bounds():
     assert compute_chunk_bounds(5, 10.0, 1.0) == [0, 5]
 
 
+def test_decode_identity_normalization():
+    """The shared multi-file compatibility predicate: absent v2
+    extension keys equal their defaults, representations normalize
+    (dtype aliases, 0/1 vs bool), and every key that changes decode
+    semantics is in DECODE_IDENTITY_KEYS."""
+    from mtscomp_tpu.format import DECODE_IDENTITY_KEYS, decode_identity
+    old = dict(algorithm='ans', dtype='<i2', n_channels=19,
+               chunk_order='F', do_time_diff=1, do_spatial_diff=0)
+    new = dict(algorithm='ans', dtype='int16', n_channels=19,
+               chunk_order='F', do_time_diff=True, do_spatial_diff=False,
+               time_diff_order=1, float_bitcast=False)
+    assert decode_identity(old) == decode_identity(new)
+    assert set(decode_identity(old)) == set(DECODE_IDENTITY_KEYS)
+    for key, val in [('time_diff_order', 2), ('float_bitcast', True),
+                     ('algorithm', 'zlib'), ('dtype', 'int32'),
+                     ('n_channels', 20), ('chunk_order', 'C'),
+                     ('do_time_diff', False), ('do_spatial_diff', True)]:
+        assert decode_identity(dict(old, **{key: val})) != \
+            decode_identity(old), key
+
+
 def test_phase_tracing():
     from mtscomp_tpu.utils import trace
     trace.enable_tracing(True)

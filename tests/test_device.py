@@ -1073,6 +1073,42 @@ def test_decompress_multi_mismatched_probes_fall_back(tmp_path_):
             r.close()
 
 
+def test_decompress_multi_mixed_orders_fall_back(tmp_path_):
+    """Round-3 silent-corruption regression: same-geometry probes whose
+    SIDECARS differ in time_diff_order (a v2 extension invisible to
+    supported() — it is not in the chunk payloads) merged into one
+    batch and the order-2 probe decoded to wrong samples with no error.
+    The decode-identity check must fall back; both must round-trip
+    exactly. With time_diff_order='auto' the shipped default, probes of
+    one session genuinely resolve differently."""
+    import numpy as _np
+    from mtscomp_tpu.parallel.pipeline import decompress_multi
+    t = _np.arange(2 * 2000) / 2000.0
+    smooth = (_np.sin(2 * _np.pi * 4.0 * t)[:, None] * 11000.
+              + _np.random.RandomState(0).normal(0, 15., (2 * 2000, 12))
+              ).astype(_np.int16)
+    arrs, readers = [], []
+    try:
+        for i, order in enumerate([1, 2]):
+            arr = smooth + i
+            path = write_arr(tmp_path_ / ('q%d.bin' % i), arr)
+            compress(path, tmp_path_ / ('q%d.cbin' % i),
+                     tmp_path_ / ('q%d.ch' % i), sample_rate=2000.0,
+                     n_channels=12, dtype='int16', algorithm='ans',
+                     quiet=True, ans_seg_log2=12, time_diff_order=order)
+            arrs.append(arr)
+            readers.append(decompress(tmp_path_ / ('q%d.cbin' % i),
+                                      tmp_path_ / ('q%d.ch' % i),
+                                      quiet=True))
+        assert readers[0].time_diff_order != readers[1].time_diff_order
+        outs = decompress_multi(readers)
+        for out, arr in zip(outs, arrs):
+            assert np.array_equal(out, arr)
+    finally:
+        for r in readers:
+            r.close()
+
+
 def test_device_path_rejects_foreign_itemsize(tmp_path_):
     """A sidecar whose dtype disagrees with the containers must raise
     the documented IOError on the device path too (never decode

@@ -69,7 +69,11 @@ def test_merge_matches_full_compress(tmp_path_, algorithm):
     assert merged['chunk_bounds'] == full_meta['chunk_bounds']
     assert merged['chunk_offsets'] == full_meta['chunk_offsets']
     assert merged['sha1_compressed'] == full_meta['sha1_compressed']
-    assert merged['sha1_uncompressed'] is None
+    # The merge decodes each part, so the merged sidecar carries a REAL
+    # decoded hash — identical to what the one-shot compress recorded
+    # (mtsverify --deep can audit merged files end to end).
+    assert merged['sha1_uncompressed'] == full_meta['sha1_uncompressed']
+    assert merged['sha1_uncompressed'] is not None
     assert 'part' not in merged
     r = decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch', quiet=True)
     try:
@@ -101,6 +105,96 @@ def test_merge_rejects_bad_parts(tmp_path_):
     a[0].write_bytes(bytes(data))
     with pytest.raises(IOError):
         merge_parts([a, b], tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch')
+
+
+def test_merge_rejects_decode_identity_mismatch(tmp_path_):
+    """Round-3 silent-corruption regression: parts written with
+    different v2 sidecar extensions (time_diff_order, float_bitcast)
+    are individually valid and pass every byte-level check, but one
+    merged sidecar cannot describe both — merging silently corrupted
+    the mismatched chunks. The decode-identity guard must refuse."""
+    import json as _json
+    rng = np.random.RandomState(0)
+    t = np.arange(4 * 2000) / SR
+    arr = (np.sin(2 * np.pi * 3.0 * t)[:, None] * 9000.
+           + rng.normal(0, 20., (4 * 2000, NC))).astype(np.int16)
+    h1 = write_arr(tmp_path_ / 'h1.bin', arr[:2 * 2000])
+    h2 = write_arr(tmp_path_ / 'h2.bin', arr[2 * 2000:])
+    a = (tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch')
+    b = (tmp_path_ / 'b.cbin', tmp_path_ / 'b.ch')
+    # Mixed prediction orders (explicit configs — or 'auto' resolving
+    # differently across parts of one session, the shipped default).
+    compress(h1, *a, sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', time_diff_order=1, quiet=True)
+    compress(h2, *b, sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', time_diff_order=2, quiet=True)
+    assert _json.loads(b[1].read_text())['time_diff_order'] == 2
+    with pytest.raises(ValueError, match='time_diff_order'):
+        merge_parts([a, b], tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                    expected_n_chunks=4)
+    assert not (tmp_path_ / 'm.cbin').exists()
+    # Mixed float domains: a bitcast part and a legacy-domain float
+    # part (absent key) must not merge either.
+    f = arr.astype(np.float32)
+    f1 = write_arr(tmp_path_ / 'f1.bin', f[:2 * 2000])
+    f2 = write_arr(tmp_path_ / 'f2.bin', f[2 * 2000:])
+    fa = (tmp_path_ / 'fa.cbin', tmp_path_ / 'fa.ch')
+    fb = (tmp_path_ / 'fb.cbin', tmp_path_ / 'fb.ch')
+    for src, dst in ((f1, fa), (f2, fb)):
+        compress(src, *dst, sample_rate=SR, n_channels=NC,
+                 dtype='float32', algorithm='ans', time_diff_order=1,
+                 quiet=True)
+    meta = _json.loads(fb[1].read_text())
+    assert meta.pop('float_bitcast') is True
+    fb[1].write_text(_json.dumps(meta))
+    with pytest.raises(ValueError, match='float_bitcast'):
+        merge_parts([fa, fb], tmp_path_ / 'fm.cbin', tmp_path_ / 'fm.ch',
+                    expected_n_chunks=4)
+
+
+def test_merge_decoded_hash_and_fast_flag(tmp_path_):
+    """The decode pass cross-checks each part's own sha1_uncompressed
+    (catching a part whose sidecar does not describe its payload), and
+    mtsmerge --fast skips it (sha1_uncompressed: null, chop-style)."""
+    import hashlib as _hashlib
+    import json as _json
+    from mtscomp_tpu.cli import mtsmerge
+    from mtscomp_tpu.verify import verify_file
+    arr, raw = _make(tmp_path_, ns=4 * 2000)
+    parts = []
+    for first, last in plan_ranges(4, 2):
+        cbin = tmp_path_ / ('p%d.cbin' % first)
+        ch = tmp_path_ / ('p%d.ch' % first)
+        compress_range(raw, cbin, ch, first, last, sample_rate=SR,
+                       n_channels=NC, dtype='int16', algorithm='ans',
+                       quiet=True)
+        parts.append((cbin, ch))
+    merged = merge_parts(parts, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch')
+    assert merged['sha1_uncompressed'] == \
+        _hashlib.sha1(arr.tobytes()).hexdigest()
+    # mtsverify --deep fully audits the merged file now.
+    report = verify_file(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                         deep=True, quiet=True)
+    assert report['ok'] and report['checks']['sha1_uncompressed'] == 'ok'
+    # A part whose sidecar misdescribes its payload (the corruption
+    # vector if the identity guard were ever bypassed): the decode
+    # cross-check fails the merge even though all byte hashes pass.
+    bad_meta = _json.loads(parts[0][1].read_text())
+    bad_meta['sha1_uncompressed'] = '0' * 40
+    parts[0][1].write_text(_json.dumps(bad_meta))
+    with pytest.raises(IOError, match='sha1_uncompressed'):
+        merge_parts(parts, tmp_path_ / 'm2.cbin', tmp_path_ / 'm2.ch')
+    # --fast: byte-verified only, hash-less sidecar (still merges).
+    mtsmerge([str(parts[0][0]), str(parts[1][0]), '--fast',
+              '-o', str(tmp_path_ / 'm3.cbin'),
+              '-m', str(tmp_path_ / 'm3.ch')])
+    assert _json.loads(
+        (tmp_path_ / 'm3.ch').read_text())['sha1_uncompressed'] is None
+    r = decompress(tmp_path_ / 'm3.cbin', tmp_path_ / 'm3.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
 
 
 def test_multihost_resumable(tmp_path_):

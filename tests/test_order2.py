@@ -177,16 +177,51 @@ def test_stream_resume_keeps_order(tmp_path_):
         assert np.array_equal(sr[:], arr)
 
 
-def test_stream_auto_resolves_to_order1(tmp_path_):
-    """No data exists at open time to probe: streaming 'auto' is the
-    reference transform."""
-    w = StreamWriter(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
-                     sample_rate=SR, n_channels=NC, dtype='int16',
-                     algorithm='ans')
-    assert w.time_diff_order == 1
-    w.append(lfp_like()[:100])
-    w.close()
-    assert _order(tmp_path_ / 'a.ch') == 1
+def test_stream_auto_probes_first_flush(tmp_path_):
+    """Streaming 'auto' runs the batch probe on the first buffered
+    chunk: an LFP-like stream under the DEFAULT config must produce
+    bytes identical to compress() of the finished recording (which
+    picks order 2 here) — not silently lose the order-2 ratio win."""
+    arr = lfp_like()
+    cb, ch = _compress(tmp_path_, arr, 'ba')          # auto -> order 2
+    assert _order(ch) == 2
+    with StreamWriter(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans', do_spatial_diff=False) as w:
+        assert w.time_diff_order == 1   # unresolved until first flush
+        for i in range(0, arr.shape[0], 777):
+            w.append(arr[i:i + 777])
+    assert _order(tmp_path_ / 'a.ch') == 2
+    assert (tmp_path_ / 'a.cbin').read_bytes() == cb.read_bytes()
+    assert (json.loads((tmp_path_ / 'a.ch').read_text())['sha1_compressed']
+            == json.loads(ch.read_text())['sha1_compressed'])
+
+
+def test_stream_auto_probes_partial_tail_flush(tmp_path_):
+    """A stream shorter than one chunk probes at the close()-time
+    partial flush — still byte-identical to the batch compress (whose
+    chunk 0 is the whole short recording)."""
+    arr = lfp_like(ns=900)
+    cb, ch = _compress(tmp_path_, arr, 'short')
+    with StreamWriter(tmp_path_ / 'p.cbin', tmp_path_ / 'p.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans', do_spatial_diff=False) as w:
+        w.append(arr)
+    assert (tmp_path_ / 'p.cbin').read_bytes() == cb.read_bytes()
+    assert _order(tmp_path_ / 'p.ch') == _order(ch)
+
+
+def test_stream_auto_stays_order1_on_noise(tmp_path_):
+    """The stream probe keeps the reference transform when order 2
+    would hurt (white noise), like the batch probe."""
+    arr = noise_like()
+    with StreamWriter(tmp_path_ / 'n.cbin', tmp_path_ / 'n.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans', do_spatial_diff=False) as w:
+        w.append(arr)
+    assert _order(tmp_path_ / 'n.ch') == 1
+    assert 'time_diff_order' not in \
+        json.loads((tmp_path_ / 'n.ch').read_text())
 
 
 def test_transcode_inherits_and_overrides(tmp_path_):

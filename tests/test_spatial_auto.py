@@ -153,11 +153,15 @@ def test_device_encode_decode_byte_identical(tmp_path_):
         assert np.array_equal(r.to_array(), arr)
 
 
-def test_stream_resolves_auto_off(tmp_path_):
-    """Streams have no data to probe at open time: 'auto' resolves to
-    the reference transform; explicit True is honored."""
+def test_stream_auto_probes_spatial_at_first_flush(tmp_path_):
+    """Streaming 'auto' probes the first buffered chunk (same probe as
+    the batch Writer): channel-correlated data engages the spatial diff
+    and the stream's bytes equal the batch compress; explicit True is
+    honored as given."""
     arr = common_mode()
-    for name, flag, expect in (('s_auto', 'auto', False),
+    cb, ch = _compress(tmp_path_, arr, 'batch_auto')   # default: auto
+    assert _spatial(ch) is True
+    for name, flag, expect in (('s_auto', 'auto', True),
                                ('s_on', True, True)):
         sw = StreamWriter(tmp_path_ / (name + '.cbin'),
                           tmp_path_ / (name + '.ch'), sample_rate=SR,
@@ -170,6 +174,17 @@ def test_stream_resolves_auto_off(tmp_path_):
         with decompress(tmp_path_ / (name + '.cbin'),
                         tmp_path_ / (name + '.ch'), quiet=True) as r:
             assert np.array_equal(r[:], arr)
+    # Fully-default stream (joint auto) == fully-default batch, byte
+    # for byte.
+    assert (tmp_path_ / 's_auto.cbin').read_bytes() == cb.read_bytes()
+    # Independent channels: the stream probe keeps spatial off.
+    ind = independent()
+    sw = StreamWriter(tmp_path_ / 'ind.cbin', tmp_path_ / 'ind.ch',
+                      sample_rate=SR, n_channels=NC, dtype=np.int16,
+                      algorithm='ans', quiet=True)
+    sw.append(ind)
+    sw.close()
+    assert _spatial(tmp_path_ / 'ind.ch') is False
 
 
 def test_transcode_inherits_and_rejects_auto(tmp_path_):

@@ -452,6 +452,25 @@ def test_stream_resume_append_to_finalized(tmp_path_):
         (tmp_path_ / 'full.cbin').read_bytes()
 
 
+def test_stream_resume_rejects_format_overrides(tmp_path_):
+    """Every key defining how already-written chunks decode is
+    sidecar-owned on resume: an override (e.g. time_diff_order='auto'
+    resolving to 1 over an order-2 prefix) would finalize a sidecar
+    that silently misdescribes the surviving chunks."""
+    arr = to_int16(make_signal('colored', ns=2 * 2000, nc=NC))
+    with StreamWriter(tmp_path_ / 'o.cbin', tmp_path_ / 'o.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans', time_diff_order=2) as w:
+        w.append(arr)
+    for key, val in [('time_diff_order', 'auto'), ('time_diff_order', 1),
+                     ('do_time_diff', False), ('do_spatial_diff', True),
+                     ('chunk_order', 'C'), ('float_bitcast', False),
+                     ('algorithm', 'zlib'), ('dtype', 'int32')]:
+        with pytest.raises(ValueError, match='cannot be overridden'):
+            StreamWriter.resume(tmp_path_ / 'o.cbin', tmp_path_ / 'o.ch',
+                                **{key: val})
+
+
 @pytest.mark.parametrize('opts', [
     dict(ans_table_mode='plane'),
     dict(ans_channel_segments=False),

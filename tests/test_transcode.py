@@ -127,6 +127,25 @@ def test_transcode_guards_paths(tmp_path_):
               tmp_path_ / 'out.cbin', overwrite=True, quiet=True)
 
 
+def test_transcode_order_argument_guards(tmp_path_):
+    """'auto' gets the crafted contract error (not a raw int() crash),
+    and a corrupt SOURCE sidecar order is named in the message (it used
+    to read 'got None' — the unset override, not the bad value)."""
+    import json
+    _compressed(tmp_path_, 'ans')
+    with pytest.raises(ValueError, match="inherit.*or 1 or 2"):
+        transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                  tmp_path_ / 'out.cbin', time_diff_order='auto',
+                  quiet=True)
+    meta = json.loads((tmp_path_ / 'in.ch').read_text())
+    meta['time_diff_order'] = 3
+    (tmp_path_ / 'in.ch').write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match='got 3'):
+        transcode(tmp_path_ / 'in.cbin', tmp_path_ / 'in.ch',
+                  tmp_path_ / 'out.cbin', quiet=True)
+    assert not (tmp_path_ / 'out.cbin').exists()
+
+
 def test_cli_mtsrecompress(tmp_path_):
     from mtscomp_tpu.cli import mtsrecompress
     arr = _compressed(tmp_path_, 'zlib')
