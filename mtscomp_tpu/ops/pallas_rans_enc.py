@@ -86,8 +86,8 @@ def _mulhi32_i32(a, b):
 def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
                 states_ref, nw_ref, x_scr, epos_scr, *, steps_per_block,
                 cb_total, cap_rows, fuse_steps, small_alpha=False,
-                butterfly=True, div='float', fixup='signed',
-                mask_split=True, ablate=None):
+                butterfly=True, compact16=False, div='float',
+                fixup='signed', mask_split=True, ablate=None):
     # ``ablate`` (compile-time, tools/enc_ablate.py only): truncate the
     # emit machinery after a named stage — 'state', 'rank', 'search',
     # 'noscat' — keeping earlier stages live via cheap XOR folds, to
@@ -125,7 +125,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
     def compact_row_words(emit2, word2, inc, row_tot):
         """Left-compact each row's emitted words to lanes [0, rank-1).
 
-        Two formulations, bit-identical:
+        Three formulations, bit-identical:
 
         - 'butterfly' (default): every emitted word moves LEFT by
           ``dist = lane - (rank - 1)``; distances are applied LSB->MSB
@@ -135,6 +135,11 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
           colliding at round b would need equal remaining distances,
           i.e. be the same element). ~10 cheap vreg ops per round,
           ZERO gathers.
+        - 'butterfly16' (compact16): the same rounds in 16-bit packed
+          vregs — every operand fits 16 bits (words are u16, distances
+          and lanes < 128), and 16-bit tiles pack (16, 128) per vreg,
+          halving the vector issues of the dominant rounds for two
+          pack/unpack conversions at the edges.
         - 'search': branchless 7-step binary search over the sorted
           inclusive rank + one gather per probe (8 gathers total) —
           the round-2 form, kept for A/B on other attachments
@@ -143,6 +148,26 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
         if butterfly:
             dist = jnp.where(emit2, lane_col2 - inc + 1, 0)
             cw = jnp.where(emit2, word2, 0)
+            if compact16:
+                # Values are bit patterns in [0, 2^16): u16 keeps the
+                # word bits intact (i16 would sign-extend on widening);
+                # dist/lane fit comfortably.
+                dist = dist.astype(jnp.uint16)
+                cw = cw.astype(jnp.uint16)
+                lane16 = lane_col2.astype(jnp.uint16)
+                z16 = jnp.uint16(0)
+                for b in range(7):
+                    k = 1 << b
+                    mv_w = pltpu.roll(cw, shift=LANES - k, axis=1)
+                    mv_d = pltpu.roll(dist, shift=LANES - k, axis=1)
+                    arriving = ((mv_d & jnp.uint16(k)) != z16) \
+                        & (lane16 < jnp.uint16(LANES - k))
+                    moving = (dist & jnp.uint16(k)) != z16
+                    cw = jnp.where(arriving, mv_w,
+                                   jnp.where(moving, z16, cw))
+                    dist = jnp.where(arriving, mv_d - jnp.uint16(k),
+                                     jnp.where(moving, z16, dist))
+                return cw.astype(jnp.int32)
             for b in range(7):
                 k = 1 << b
                 # Left-rotate by k == right-rotate by LANES - k
@@ -211,7 +236,7 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
             emit = active & emit
         word = x & jnp.int32(0xFFFF)
         x = jnp.where(emit, _srl(x, 16), x)
-        if div in ('float', 'frcp'):
+        if div in ('float', 'frcp', 'fake'):
             # q = x // f in f32 + one exact two-sided fixup round.
             # 'float' divides in-kernel — NO reciprocal table, killing
             # one of the two per-step gathers (gathers cost per-ELEMENT
@@ -230,7 +255,12 @@ def _enc_kernel(counts_ref, pk_ref, rcp_ref, syms_ref, words_ref,
             # keeps t = q0 * f < 2^32 so the unsigned compares see
             # true values.
             x_f = _srl(x, 1).astype(jnp.float32)
-            if div == 'frcp':
+            if div == 'fake':
+                # TIMING PROBE ONLY (tools/enc_ab.py, never production):
+                # replace the divide with one multiply to measure the
+                # divide's share of the state chain. Output is WRONG.
+                q0 = x_f * jnp.float32(2.44140625e-4)
+            elif div == 'frcp':
                 # The table stores RN(2/f) (pack_enc_device_tables):
                 # the halved x needs no separate doubling multiply.
                 rcp_f = jax.lax.bitcast_convert_type(
@@ -509,6 +539,9 @@ def resolve_div_mode():
     resolve once and pass to both."""
     import os
     mode = os.environ.get('MTSCOMP_ENC_DIV', 'float')
+    # div='fake' (WRONG output, timing only) is deliberately NOT
+    # resolvable here: only tools/enc_ablate.py passes it, explicitly,
+    # to its ablated timing loop (AB_DIV) — never to a production path.
     return mode if mode in ('float', 'frcp', 'mulhi') else 'float'
 
 
@@ -516,13 +549,14 @@ def resolve_div_mode():
                                              'interpret',
                                              'steps_per_block',
                                              'fuse_steps', 'small_alpha',
-                                             'butterfly', 'div', 'fixup',
+                                             'butterfly', 'compact16',
+                                             'div', 'fixup',
                                              'mask_split', 'ablate'))
 def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
                          cap_rows, interpret=False, steps_per_block=None,
                          fuse_steps=None, small_alpha=False,
-                         butterfly=None, div=None, fixup=None,
-                         mask_split=None, ablate=None):
+                         butterfly=None, compact16=None, div=None,
+                         fixup=None, mask_split=None, ablate=None):
     """Encode N groups on TPU; bit-identical to the normative encoder.
 
     symbols  (N, R, S*128) uint8 — row-linear segment rows (S*128
@@ -540,10 +574,13 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
     """
     interpret = interpret or force_interpret()
     N, R_in, SK = symbols.shape
-    if butterfly is None:
+    if butterfly is None or compact16 is None:
         import os
-        butterfly = os.environ.get('MTSCOMP_ENC_COMPACT',
-                                   'butterfly') != 'search'
+        mode = os.environ.get('MTSCOMP_ENC_COMPACT', 'butterfly')
+        if butterfly is None:
+            butterfly = mode != 'search'
+        if compact16 is None:
+            compact16 = mode == 'butterfly16'
     if div is None:
         div = resolve_div_mode()
     if fixup is None:
@@ -561,6 +598,13 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         import os
         fuse_steps = int(os.environ.get('MTSCOMP_ENC_FUSE', '8'))
     WROWS = window_rows(fuse_steps * R_in)  # a window covers a G-run
+    if steps_per_block is None:
+        # Env knob for hardware A/B sweeps (fresh processes); the
+        # measured optimum default on this attachment is 64 below.
+        import os
+        spb_env = os.environ.get('MTSCOMP_ENC_SPB')
+        if spb_env:
+            steps_per_block = int(spb_env)
     spb = steps_per_block or min(64, max(fuse_steps,
                                          -(-n_steps // fuse_steps)
                                          * fuse_steps))
@@ -579,7 +623,8 @@ def encode_groups_pallas(symbols, enc_pk, enc_rcp, counts_b, *, n_steps,
         functools.partial(_enc_kernel, steps_per_block=spb, cb_total=CB,
                           cap_rows=cap_rows, fuse_steps=fuse_steps,
                           small_alpha=small_alpha, butterfly=butterfly,
-                          div=div, fixup=fixup, mask_split=mask_split,
+                          compact16=bool(compact16), div=div,
+                          fixup=fixup, mask_split=mask_split,
                           ablate=ablate),
         grid=(N, CB),
         in_specs=[

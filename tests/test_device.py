@@ -579,6 +579,11 @@ def test_encode_kernel_butterfly_compaction_bit_identical(monkeypatch):
     assert (nw > 0).all() and (nw <= 1024 * 128).all()
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+    # 16-bit packed butterfly rounds (every operand fits u16).
+    b16 = encode_groups_pallas(*args, n_steps=S, cap_rows=1024,
+                               butterfly=True, compact16=True)
+    for x, y in zip(a, b16):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
     # The masked/full loop split (runs proven fully active skip the
     # activity machinery) must be invisible: per-row counts 1..S*128
     # place the split everywhere from "all runs partial" to "all full".

@@ -108,7 +108,12 @@ def main():
 
         inner = int(os.environ.get('AB_INNER', '8'))
         reps = int(os.environ.get('AB_REPS', '8'))
-        out = {'small_alpha': bool(small_alpha), 'div': div}
+        # AB_DIV overrides the division form of the TIMED variants only
+        # (the capture/validation above always runs the production div).
+        # 'fake' (one multiply instead of the divide; WRONG output, fine
+        # for ablation timing) sizes the divide's share of the chain.
+        timed_div = os.environ.get('AB_DIV', div)
+        out = {'small_alpha': bool(small_alpha), 'div': timed_div}
         for mode in (os.environ.get('AB_MODES',
                                     'state,rank,search,noscat,full')
                      .split(',')):
@@ -119,7 +124,7 @@ def main():
                     st, wd, nw = encode_groups_pallas(
                         symbols, pk_d, rcp_d, cb_d, n_steps=S,
                         cap_rows=cap_rows, small_alpha=small_alpha,
-                        div=div, ablate=ab)
+                        div=timed_div, ablate=ab)
                 return float(jnp.sum(nw[:, 0, :].astype(jnp.float32)))
 
             out[mode] = round(_median_rate(chunks.nbytes, once, reps,

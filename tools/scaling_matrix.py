@@ -114,9 +114,24 @@ def main():
 
     result = dict(cpu_count=nproc, mb=round(mb, 1), threads=rows,
                   part_workers=part_rows,
-                  note=('single-core host: scaling unmeasurable here'
+                  note=('single-core host: thread SCALING is '
+                        'unmeasurable here (and a >1-core cfs quota is '
+                        'meaningless with one runqueue); threads>1 rows '
+                        'measure pool CONTENTION under oversubscription '
+                        'instead — a flat rate means the worker pool '
+                        'adds no lock/handoff overhead'
                         if nproc == 1 else ''))
-    Path(args.out).write_text(json.dumps(result, indent=1))
+    # Update in place: keep sections other harnesses contributed
+    # (cpu_share_validation from tools/cpu_share_scaling.py).
+    out = Path(args.out)
+    if out.exists():
+        try:
+            prev = json.loads(out.read_text())
+            prev.update(result)
+            result = prev
+        except ValueError:
+            pass
+    out.write_text(json.dumps(result, indent=1))
     print('-> %s' % args.out)
     return 0
 
