@@ -273,3 +273,41 @@ def test_cli_diff_order_flag(tmp_path_):
     with decompress(tmp_path_ / 'c.cbin', tmp_path_ / 'c.ch',
                     quiet=True) as r:
         assert np.array_equal(r[:], arr)
+
+
+def test_ranged_parts_auto_merge_matches_one_shot(tmp_path_):
+    """Distributed seam for the 'auto' default: every ranged part
+    probes chunk 0 of the WHOLE raw file (Writer.open runs the probe
+    before write(first_chunk, last_chunk) selects a range), so parts
+    of one session always resolve the same transform — mtsmerge must
+    accept them and the merged file must be byte-identical to a
+    one-shot compress, with a decoded hash equal to the raw stream's.
+    (If the probe ever moved to each part's own first chunk, parts
+    could legitimately resolve different orders and the
+    decode-identity guard would refuse the advertised workflow.)"""
+    import hashlib
+    from mtscomp_tpu.parallel.distributed import (compress_range,
+                                                  merge_parts, plan_ranges)
+    arr = lfp_like()
+    raw = tmp_path_ / 'd.bin'
+    arr.tofile(str(raw))
+    full_cb, full_ch = _compress(tmp_path_, arr, 'full')
+    assert _order(full_ch) == 2         # auto engages on this signal
+    n_chunks = len(json.loads(full_ch.read_text())['chunk_offsets']) - 1
+    parts = []
+    for first, last in plan_ranges(n_chunks, 2):
+        cb = tmp_path_ / ('part%d.cbin' % first)
+        ch = tmp_path_ / ('part%d.ch' % first)
+        compress_range(raw, cb, ch, first, last, sample_rate=SR,
+                       n_channels=NC, dtype='int16', algorithm='ans',
+                       do_spatial_diff=False, quiet=True)
+        assert _order(ch) == 2, "part resolved a different transform"
+        parts.append((cb, ch))
+    meta = merge_parts(parts, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                       expected_n_chunks=n_chunks)
+    assert (tmp_path_ / 'm.cbin').read_bytes() == full_cb.read_bytes()
+    assert meta['sha1_uncompressed'] == \
+        hashlib.sha1(arr.tobytes()).hexdigest()
+    with decompress(tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                    quiet=True) as r:
+        assert np.array_equal(r[:], arr)
