@@ -1394,3 +1394,74 @@ def test_device_encode_mixed_mode_batch(tmp_path_):
         assert payloads[0] == host[0] and payloads[1] == host[1]
     finally:
         w.close()
+
+
+def test_kernel_steps_per_block_bit_identical(monkeypatch):
+    """``steps_per_block`` (the MTSCOMP_ENC_SPB hardware-sweep knob and
+    the decode kernel's column-block size) is pure scheduling: both
+    kernels must produce bit-identical outputs across block sizes
+    (interpret mode; the compiled forms are swept on silicon)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    monkeypatch.delenv('MTSCOMP_ENC_SPB', raising=False)
+    from mtscomp_tpu.ops.pallas_rans import (decode_groups_pallas,
+                                             pack_device_tables,
+                                             window_rows)
+    from mtscomp_tpu.ops.pallas_rans_enc import (encode_groups_pallas,
+                                                 pack_enc_device_tables)
+    rng = np.random.default_rng(31)
+    R = rans.GROUP_ROWS
+
+    # Decode: stage one group with the normative encoder, decode under
+    # several column-block sizes.
+    SEG = 512
+    p = rng.dirichlet(np.full(256, 0.05))
+    syms = rng.choice(256, size=R * SEG, p=p).astype(np.uint8)
+    f = rans.quantize_freqs(np.bincount(syms, minlength=256))
+    rows = [syms[r * SEG:(r + 1) * SEG] for r in range(R)]
+    st, wd = rans.rans_encode_group(rows, np.tile(f, (R, 1)))
+    WR = -(-wd.size // 128) + window_rows(R)
+    words = np.zeros((1, WR, 128), np.uint16)
+    words.reshape(-1)[:wd.size] = wd
+    cp, dp, needs2, orow = pack_device_tables(f)
+    tile = lambda t: jnp.asarray(np.tile(t[None, None], (1, R, 1, 1)))
+    dec = {}
+    for spb in (1, 2, 4, None):
+        out, used = decode_groups_pallas(
+            jnp.asarray(st[None].astype(np.uint32)), jnp.asarray(words),
+            tile(cp), tile(dp),
+            jnp.asarray(np.full((1, R, 128), SEG, np.int32)),
+            n_steps=SEG // 128, interpret=True, steps_per_block=spb,
+            one_fixup=not needs2)
+        got = np.asarray(out)[0][:, :SEG].reshape(-1)
+        assert np.array_equal(got, syms), spb
+        assert int(np.asarray(used)[0]) == wd.size, spb
+        dec[spb] = np.asarray(out)[:, :, :SEG]
+    for spb in (1, 2, 4):
+        assert np.array_equal(dec[spb], dec[None]), spb
+
+    # Encode: same mixed dense/sparse staging as the compaction test,
+    # spb in multiples of the G-step fuse run.
+    N, S = 2, 16
+    esyms = np.where(rng.integers(0, 2, (N, 1, 1)).astype(bool),
+                     rng.integers(0, 256, (N, R, S * 128)),
+                     np.minimum(rng.geometric(0.3, (N, R, S * 128)), 250)
+                     ).astype(np.uint8)
+    counts = rng.integers(1, S * 128, size=(N, R)).astype(np.int32)
+    pk = np.zeros((N, R, 2, 128), np.int32)
+    rcp = np.zeros_like(pk)
+    for i in range(N):
+        for r in range(R):
+            fq = rans.quantize_freqs(np.bincount(
+                esyms[i, r, :counts[i, r]], minlength=256))
+            pk[i, r], rcp[i, r] = pack_enc_device_tables(fq)
+    cb = np.ascontiguousarray(np.broadcast_to(
+        counts[:, :, None], (N, R, 128)))
+    args = (jnp.asarray(esyms), jnp.asarray(pk), jnp.asarray(rcp),
+            jnp.asarray(cb))
+    enc = {}
+    for spb in (8, 16, None):
+        enc[spb] = encode_groups_pallas(*args, n_steps=S, cap_rows=1024,
+                                        steps_per_block=spb)
+    for spb in (8, 16):
+        for x, y in zip(enc[spb], enc[None]):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), spb
