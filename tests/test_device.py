@@ -1465,3 +1465,34 @@ def test_kernel_steps_per_block_bit_identical(monkeypatch):
     for spb in (8, 16):
         for x, y in zip(enc[spb], enc[None]):
             assert np.array_equal(np.asarray(x), np.asarray(y)), spb
+
+
+def test_decompress_multi_mixed_seg_and_tables_exact(tmp_path_):
+    """seg_log2/table_mode are PAYLOAD-level (every chunk header
+    self-describes them, codec/ans.py container layout) — they are
+    deliberately NOT in format.DECODE_IDENTITY_KEYS, so probes mixing
+    them are mergeable. The device batch decoder's supported() check
+    enforces uniform parsed-chunk geometry and falls back to the host
+    per-file path otherwise; either way every probe must round-trip
+    exactly."""
+    from mtscomp_tpu.parallel.pipeline import decompress_multi
+    arrs, readers = [], []
+    try:
+        for i, (seg, tmode) in enumerate(
+                [(12, 'segment'), (10, 'plane'), (12, 'plane')]):
+            arr = to_int16(make_signal('colored', ns=2 * 2000, nc=12)) + i
+            path = write_arr(tmp_path_ / ('s%d.bin' % i), arr)
+            compress(path, tmp_path_ / ('s%d.cbin' % i),
+                     tmp_path_ / ('s%d.ch' % i), sample_rate=2000.0,
+                     n_channels=12, dtype='int16', algorithm='ans',
+                     quiet=True, ans_seg_log2=seg, ans_table_mode=tmode)
+            arrs.append(arr)
+            readers.append(decompress(tmp_path_ / ('s%d.cbin' % i),
+                                      tmp_path_ / ('s%d.ch' % i),
+                                      quiet=True))
+        outs = decompress_multi(readers)
+        for out, arr in zip(outs, arrs):
+            assert np.array_equal(out, arr)
+    finally:
+        for r in readers:
+            r.close()

@@ -416,3 +416,33 @@ def test_spawned_workers_never_auto_probe_device(tmp_path_, monkeypatch):
                             n_channels=NC, dtype='int16',
                             algorithm='ans', quiet=True, device='cpu')
     assert captured and all(kw['device'] == 'cpu' for kw in captured)
+
+
+def test_merge_mixed_seg_parts_exact_and_verifiable(tmp_path_):
+    """Parts whose sidecars differ only in ans_seg_log2/ans_table_mode
+    ARE decode-identity-equal (both keys are payload-level: every chunk
+    header self-describes them) and must merge; the merged file must
+    decode exactly and pass a deep verify via the real merged decoded
+    hash. Guards the DECODE_IDENTITY_KEYS boundary from the other side:
+    the round-3 fix must reject only keys that actually change decode
+    semantics."""
+    from mtscomp_tpu.verify import verify_file
+    arr, raw = _make(tmp_path_)
+    parts = []
+    for (first, last), seg, tmode in zip(
+            plan_ranges(6, 2), (12, 10), ('segment', 'plane')):
+        cbin = tmp_path_ / ('ms%d.cbin' % first)
+        ch = tmp_path_ / ('ms%d.ch' % first)
+        compress_range(raw, cbin, ch, first, last, sample_rate=SR,
+                       n_channels=NC, dtype='int16', algorithm='ans',
+                       quiet=True, ans_seg_log2=seg, ans_table_mode=tmode)
+        parts.append((cbin, ch))
+    merged = merge_parts(parts, tmp_path_ / 'ms.cbin', tmp_path_ / 'ms.ch')
+    assert merged['sha1_uncompressed'] is not None
+    r = decompress(tmp_path_ / 'ms.cbin', tmp_path_ / 'ms.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+    rep = verify_file(tmp_path_ / 'ms.cbin', tmp_path_ / 'ms.ch', deep=True)
+    assert rep['ok']
