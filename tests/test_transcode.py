@@ -235,3 +235,49 @@ def test_transcode_storm(tmp_path_):
             assert np.array_equal(r[:], arr), trial
         finally:
             r.close()
+
+
+def test_transcode_float_domains_both_directions(tmp_path_):
+    """Float transcodes switch coding domains correctly.
+
+    ans(float_bitcast) -> zlib re-encodes in the reference's FLOAT
+    domain: the output must be byte-identical to compressing the raw
+    floats with the v1 writer directly (same contract as the int16
+    legacy-export test — a reference consumer cannot tell the file
+    was ever v2). zlib(float) -> ans codes the SOURCE'S decode in
+    bitcast (integer-view) domain: the ans file must reproduce the
+    zlib file's decoded floats bit-for-bit (NOT the raw file — legacy
+    float decode drifts within CHECK_ATOL, reference parity)."""
+    rng = np.random.RandomState(7)
+    arr = rng.normal(0, 1, (3 * 2000 + 456, NC)).astype(np.float32)
+    raw = write_arr(tmp_path_ / 'raw.bin', arr)
+    compress(raw, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='float32',
+             algorithm='ans', quiet=True, check_after_compress=False)
+    transcode(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+              tmp_path_ / 'az.cbin', algorithm='zlib', quiet=True)
+    compress(raw, tmp_path_ / 'z.cbin', tmp_path_ / 'z.ch',
+             sample_rate=SR, n_channels=NC, dtype='float32',
+             algorithm='zlib', quiet=True, check_after_compress=False)
+    assert (tmp_path_ / 'az.cbin').read_bytes() == \
+        (tmp_path_ / 'z.cbin').read_bytes()
+    meta = json.loads((tmp_path_ / 'az.ch').read_text())
+    assert 'float_bitcast' not in meta
+
+    # zlib float -> ans: bit-exact against the source's decode.
+    r = decompress(tmp_path_ / 'z.cbin', tmp_path_ / 'z.ch', quiet=True)
+    try:
+        src_dec = np.asarray(r[:])
+    finally:
+        r.close()
+    transcode(tmp_path_ / 'z.cbin', tmp_path_ / 'z.ch',
+              tmp_path_ / 'za.cbin', algorithm='ans', quiet=True)
+    meta = json.loads((tmp_path_ / 'za.ch').read_text())
+    assert meta['float_bitcast'] is True
+    r = decompress(tmp_path_ / 'za.cbin', tmp_path_ / 'za.ch', quiet=True)
+    try:
+        out = np.asarray(r[:])
+    finally:
+        r.close()
+    assert out.dtype == np.float32
+    assert np.array_equal(out.view(np.int32), src_dec.view(np.int32))
