@@ -95,3 +95,47 @@ def test_chop_validation_survives_python_O(tmp_path_):
                           capture_output=True, text=True, env=env,
                           cwd=str(tmp_path_))
     assert proc.returncode == 0, proc.stderr + proc.stdout
+
+
+def test_chop_preserves_decode_semantic_keys(tmp_path_):
+    """A chopped file must inherit every DECODE_IDENTITY key — an
+    order-2 or float-bitcast source whose chop dropped the v2 sidecar
+    extension would decode wrong with no error (the keys are
+    sidecar-only, invisible to the chunk payloads)."""
+    rng = np.random.RandomState(5)
+    t = np.arange(9000) / 3000.0
+    lfp = (np.sin(2 * np.pi * 3. * t)[:, None] * 12000
+           + rng.normal(0, 6., (9000, 11))).astype(np.int16)
+    path = write_arr(tmp_path_ / 'o2.bin', lfp)
+    compress(path, tmp_path_ / 'o2.cbin', tmp_path_ / 'o2.ch',
+             sample_rate=3000.0, n_channels=11, dtype='int16',
+             algorithm='ans', time_diff_order=2, quiet=True)
+    r = decompress(tmp_path_ / 'o2.cbin', tmp_path_ / 'o2.ch', quiet=True)
+    assert r.time_diff_order == 2
+    r.chop(2, tmp_path_ / 'o2c.cbin')
+    r.close()
+    rc = decompress(tmp_path_ / 'o2c.cbin', tmp_path_ / 'o2c.ch',
+                    quiet=True)
+    try:
+        assert rc.cmeta['time_diff_order'] == 2
+        assert np.array_equal(rc[:], lfp[:rc.shape[0]])
+    finally:
+        rc.close()
+
+    arr = rng.normal(0, 1, (9000, 11)).astype(np.float32)
+    path = write_arr(tmp_path_ / 'fb.bin', arr)
+    compress(path, tmp_path_ / 'fb.cbin', tmp_path_ / 'fb.ch',
+             sample_rate=3000.0, n_channels=11, dtype='float32',
+             algorithm='ans', quiet=True, check_after_compress=False)
+    r = decompress(tmp_path_ / 'fb.cbin', tmp_path_ / 'fb.ch', quiet=True)
+    r.chop(2, tmp_path_ / 'fbc.cbin')
+    r.close()
+    rc = decompress(tmp_path_ / 'fbc.cbin', tmp_path_ / 'fbc.ch',
+                    quiet=True)
+    try:
+        assert rc.cmeta['float_bitcast'] is True
+        out = np.asarray(rc[:])
+        assert np.array_equal(out.view(np.int32),
+                              arr[:rc.shape[0]].view(np.int32))
+    finally:
+        rc.close()

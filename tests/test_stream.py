@@ -494,3 +494,31 @@ def test_stream_resume_preserves_layout_choices(tmp_path_, opts):
     w2.close()
     assert (tmp_path_ / 'l.cbin').read_bytes() == \
         (tmp_path_ / 'full.cbin').read_bytes()
+
+
+def test_stream_float_bitcast_resume_batch_identical(tmp_path_):
+    """Float streams code in bitcast domain like the batch Writer:
+    stream + crash-resume at a chunk boundary must produce a
+    bit-exact round trip AND the exact bytes of a one-shot batch
+    compress (the resume follows the sidecar's recorded domain)."""
+    rng = np.random.RandomState(5)
+    arr = rng.normal(0, 1, (9000, NC)).astype(np.float32)
+    cb, ch = tmp_path_ / 'fs.cbin', tmp_path_ / 'fs.ch'
+    with StreamWriter(cb, ch, sample_rate=3000.0, n_channels=NC,
+                      dtype='float32', algorithm='ans') as w:
+        w.append(arr[:6000])
+    w2 = StreamWriter.resume(cb, ch)
+    w2.append(arr[6000:])
+    w2.close()
+    r = decompress(cb, ch, quiet=True)
+    try:
+        assert r.cmeta['float_bitcast'] is True
+        out = np.asarray(r[:])
+        assert np.array_equal(out.view(np.int32), arr.view(np.int32))
+    finally:
+        r.close()
+    raw = write_arr(tmp_path_ / 'fb.bin', arr)
+    compress(raw, tmp_path_ / 'fb.cbin', tmp_path_ / 'fb.ch',
+             sample_rate=3000.0, n_channels=NC, dtype='float32',
+             algorithm='ans', quiet=True, check_after_compress=False)
+    assert cb.read_bytes() == (tmp_path_ / 'fb.cbin').read_bytes()
