@@ -178,8 +178,10 @@ class StreamWriter:
         - both SHA1 accumulators are re-derived over the surviving
           prefix — the compressed stream by re-hashing the file, the
           raw stream by decoding every chunk — and checked against the
-          sidecar, so a resume doubles as a full integrity audit
-          (IOError on any mismatch);
+          sidecar where it records them, so a resume doubles as a full
+          integrity audit (IOError on any mismatch). Chopped files
+          (hashes nulled) resume uncheckable but finalize with real
+          re-derived hashes;
         - samples that were still in the crashed writer's one-chunk
           buffer were never on disk and are NOT recovered — the
           acquisition must replay from ``writer.n_samples``.
@@ -266,13 +268,31 @@ class StreamWriter:
                 # Unflushed bytes past the last published chunk (the
                 # crash interrupted a write): drop them.
                 w._fb.truncate(offsets[-1])
+            if w.dtype.kind == 'f' and not w.float_bitcast:
+                # Legacy-domain float files decode within CHECK_ATOL,
+                # not byte-exactly, so the writer's raw-stream hash
+                # state cannot be re-derived — a resumed file would
+                # finalize a sha1_uncompressed describing neither the
+                # original recording nor the decode. (Previously this
+                # surfaced as a misleading hash-mismatch IOError.)
+                raise ValueError(
+                    "Cannot resume %s: float files in the legacy "
+                    "(non-bitcast) domain do not decode byte-exactly, "
+                    "so the raw-stream hash cannot be recovered. "
+                    "Record float streams with algorithm='ans' "
+                    "(float_bitcast) to make them resumable." % out)
             w._fb.seek(0)
             while True:
                 block = w._fb.read(1 << 20)
                 if not block:
                     break
                 w.sha1_compressed.update(block)
-            if w.sha1_compressed.hexdigest() != cm['sha1_compressed']:
+            # Chopped files null both hashes (reference chop semantics,
+            # mtscomp.py:750-796): nothing to audit against, but the
+            # re-derived accumulators below are still exact, so the
+            # finalized sidecar regains REAL hashes over the whole file.
+            if cm.get('sha1_compressed') is not None \
+                    and w.sha1_compressed.hexdigest() != cm['sha1_compressed']:
                 raise IOError(
                     "Cannot resume %s: payload does not match the "
                     "sidecar's sha1_compressed — the surviving prefix "
@@ -286,7 +306,8 @@ class StreamWriter:
                     w.sha1_uncompressed.update(np.ascontiguousarray(chunk))
             finally:
                 r.close()
-            if w.sha1_uncompressed.hexdigest() != cm['sha1_uncompressed']:
+            if cm.get('sha1_uncompressed') is not None \
+                    and w.sha1_uncompressed.hexdigest() != cm['sha1_uncompressed']:
                 raise IOError(
                     "Cannot resume %s: decoded data does not match the "
                     "sidecar's sha1_uncompressed." % out)

@@ -522,3 +522,57 @@ def test_stream_float_bitcast_resume_batch_identical(tmp_path_):
              sample_rate=3000.0, n_channels=NC, dtype='float32',
              algorithm='ans', quiet=True, check_after_compress=False)
     assert cb.read_bytes() == (tmp_path_ / 'fb.cbin').read_bytes()
+
+
+def test_stream_resume_chopped_file(tmp_path_):
+    """A chopped file is a finalized archive with NULLED hashes
+    (reference chop semantics) — resume must accept it (nothing to
+    audit against), append byte-identically, and finalize with REAL
+    re-derived hashes. Previously `hexdigest() != None` surfaced as a
+    false 'surviving prefix is corrupt' IOError (found by the
+    lifecycle storm)."""
+    import json
+    arr = to_int16(make_signal('colored', ns=5 * 2000, nc=NC))
+    raw = write_arr(tmp_path_ / 'full.bin', arr)
+    compress(raw, tmp_path_ / 'full.cbin', tmp_path_ / 'full.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True)
+    r = decompress(tmp_path_ / 'full.cbin', tmp_path_ / 'full.ch',
+                   quiet=True)
+    bounds = r.chunk_bounds
+    r.chop(2, tmp_path_ / 'head.cbin')
+    r.close()
+    head_meta = json.loads((tmp_path_ / 'head.ch').read_text())
+    assert head_meta['sha1_compressed'] is None
+    w = StreamWriter.resume(tmp_path_ / 'head.cbin', tmp_path_ / 'head.ch')
+    w.append(arr[bounds[2]:])
+    w.close()
+    # Byte-identical to the uninterrupted batch compress, with the
+    # chopped sidecar's null hashes replaced by real re-derived ones.
+    assert (tmp_path_ / 'head.cbin').read_bytes() == \
+        (tmp_path_ / 'full.cbin').read_bytes()
+    full_meta = json.loads((tmp_path_ / 'full.ch').read_text())
+    meta = json.loads((tmp_path_ / 'head.ch').read_text())
+    assert meta['sha1_compressed'] == full_meta['sha1_compressed']
+    assert meta['sha1_uncompressed'] == full_meta['sha1_uncompressed']
+    r = decompress(tmp_path_ / 'head.cbin', tmp_path_ / 'head.ch',
+                   quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_stream_resume_rejects_legacy_float_domain(tmp_path_):
+    """Legacy-domain (non-bitcast) float files decode within CHECK_ATOL
+    only: the raw-stream hash state cannot be re-derived, so resume
+    must refuse with the crafted contract error (not a misleading
+    hash-mismatch IOError)."""
+    rng = np.random.RandomState(9)
+    arr = rng.normal(0, 1, (2 * 2000, NC)).astype(np.float32)
+    cb, ch = tmp_path_ / 'lf.cbin', tmp_path_ / 'lf.ch'
+    with StreamWriter(cb, ch, sample_rate=SR, n_channels=NC,
+                      dtype='float32', algorithm='zlib') as w:
+        w.append(arr)
+    with pytest.raises(ValueError, match='legacy'):
+        StreamWriter.resume(cb, ch)
