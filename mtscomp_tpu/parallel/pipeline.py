@@ -1215,11 +1215,17 @@ def decompress_to_array(reader, first_chunk=0, last_chunk=None, out=None,
             groups.append(([idx], ns))
     pos = 0
     for chunk_ids, ns in groups:
-        payloads = [_read_payload(reader, i) for i in chunk_ids]
-        parsed = [reader.codec.parse(p) for p in payloads]
-        dec = DeviceBatchDecoder(reader)
         n_span = len(chunk_ids) * ns
-        if dec.supported(parsed, ns):
+        device_ok = False
+        if reader.algorithm == 'ans':
+            # Only the v2 container has a parse()/device decoder; zlib
+            # readers (e.g. legacy probes handed to decompress_multi)
+            # go straight to the host branch below.
+            payloads = [_read_payload(reader, i) for i in chunk_ids]
+            parsed = [reader.codec.parse(p) for p in payloads]
+            dec = DeviceBatchDecoder(reader)
+            device_ok = dec.supported(parsed, ns)
+        if device_ok:
             block = dec.decode_batch(parsed, ns)       # (B, ns, C)
             if out is None and len(groups) == 1 and not writable:
                 # The fetched batch is chunk-major: the span IS its

@@ -1496,3 +1496,31 @@ def test_decompress_multi_mixed_seg_and_tables_exact(tmp_path_):
     finally:
         for r in readers:
             r.close()
+
+
+def test_decompress_multi_mixed_algorithms_fall_back(tmp_path_):
+    """A zlib probe among ans probes must route down the host fallback
+    (ZlibCodec has no parse()/device decoder — this crashed with
+    AttributeError instead of decoding); single-probe calls and
+    all-zlib calls must work too."""
+    from mtscomp_tpu.parallel.pipeline import decompress_multi
+    arrs, readers = [], []
+    try:
+        for i, alg in enumerate(['zlib', 'ans', 'ans']):
+            arr = to_int16(make_signal('colored', ns=2 * 2000, nc=9)) + i
+            path = write_arr(tmp_path_ / ('a%d.bin' % i), arr)
+            compress(path, tmp_path_ / ('a%d.cbin' % i),
+                     tmp_path_ / ('a%d.ch' % i), sample_rate=2000.0,
+                     n_channels=9, dtype='int16', algorithm=alg,
+                     quiet=True)
+            arrs.append(arr)
+            readers.append(decompress(tmp_path_ / ('a%d.cbin' % i),
+                                      tmp_path_ / ('a%d.ch' % i),
+                                      quiet=True))
+        for sel in ([0, 1, 2], [0], [0, 0]):
+            outs = decompress_multi([readers[i] for i in sel])
+            for i, out in zip(sel, outs):
+                assert np.array_equal(out, arrs[i])
+    finally:
+        for r in readers:
+            r.close()
