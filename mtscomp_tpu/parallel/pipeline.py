@@ -1277,6 +1277,16 @@ def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
     assert readers
     last = readers[0].n_chunks - 1 if last_chunk is None else last_chunk
     n_chunks = last - first_chunk + 1
+    for k, r in enumerate(readers):
+        # One COMMON chunk range per call is the contract (the batch is
+        # reshaped (n_readers, n_chunks*ns)); a shorter probe would
+        # previously surface as a raw IndexError from the fallback.
+        if r.n_chunks <= last:
+            raise ValueError(
+                "decompress_multi decodes one common chunk range, but "
+                "reader %d has %d chunks and chunks [%d, %d] were "
+                "requested — pass last_chunk to restrict the range."
+                % (k, r.n_chunks, first_chunk, last))
     parsed_all, ns = [], None
     r0 = readers[0]
     # Probes must agree on everything the decoder derives from
@@ -1289,7 +1299,6 @@ def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
     ident0 = decode_identity(r0.cmeta)
     mergeable = all(
         r.algorithm == 'ans'
-        and r.n_chunks > last
         and decode_identity(r.cmeta) == ident0
         for r in readers)
     if mergeable:

@@ -1524,3 +1524,33 @@ def test_decompress_multi_mixed_algorithms_fall_back(tmp_path_):
     finally:
         for r in readers:
             r.close()
+
+
+def test_decompress_multi_rejects_short_probe(tmp_path_):
+    """One COMMON chunk range is the contract: a probe shorter than the
+    requested range must raise the crafted ValueError (was a raw
+    IndexError from the fallback), and restricting last_chunk to the
+    common prefix must decode exactly."""
+    from mtscomp_tpu.parallel.pipeline import decompress_multi
+    arrs, readers = [], []
+    try:
+        for i, ns in enumerate([5 * 2000, 2 * 2000]):
+            arr = to_int16(make_signal('colored', ns=ns, nc=9)) + i
+            path = write_arr(tmp_path_ / ('u%d.bin' % i), arr)
+            compress(path, tmp_path_ / ('u%d.cbin' % i),
+                     tmp_path_ / ('u%d.ch' % i), sample_rate=2000.0,
+                     n_channels=9, dtype='int16', algorithm='ans',
+                     quiet=True)
+            arrs.append(arr)
+            readers.append(decompress(tmp_path_ / ('u%d.cbin' % i),
+                                      tmp_path_ / ('u%d.ch' % i),
+                                      quiet=True))
+        with pytest.raises(ValueError, match='common chunk range'):
+            decompress_multi(readers)
+        outs = decompress_multi(readers, last_chunk=1)
+        for out, arr in zip(outs, arrs):
+            assert np.array_equal(out, arr[:out.shape[0]])
+            assert out.shape[0] == 2 * 2000
+    finally:
+        for r in readers:
+            r.close()
