@@ -1277,6 +1277,10 @@ def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
     assert readers
     last = readers[0].n_chunks - 1 if last_chunk is None else last_chunk
     n_chunks = last - first_chunk + 1
+    if not 0 <= first_chunk <= last:
+        raise ValueError(
+            "decompress_multi: invalid chunk range [%d, %d]"
+            % (first_chunk, last))
     for k, r in enumerate(readers):
         # One COMMON chunk range per call is the contract (the batch is
         # reshaped (n_readers, n_chunks*ns)); a shorter probe would
@@ -1319,5 +1323,5 @@ def decompress_multi(readers, mesh=None, first_chunk=0, last_chunk=None):
                                  r0)
             per = out.reshape(len(readers), n_chunks * ns, -1)
             return [per[i] for i in range(len(readers))]
-    return [decompress_to_array(r, first_chunk, last)  # pragma: no cover
+    return [decompress_to_array(r, first_chunk, last)
             for r in readers]

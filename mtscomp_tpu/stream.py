@@ -236,6 +236,21 @@ class StreamWriter:
         # chunks would diverge from the batch-compressed bytes.
         kwargs['ans_table_mode'] = cm.get('ans_table_mode') or 'plane'
         kwargs.update(overrides)
+        if (np.dtype(cm['dtype']).kind == 'f'
+                and not bool(cm.get('float_bitcast', False))):
+            # Legacy-domain float files decode within CHECK_ATOL, not
+            # byte-exactly, so the writer's raw-stream hash state cannot
+            # be re-derived — a resumed file would finalize a
+            # sha1_uncompressed describing neither the original
+            # recording nor the decode. Refuse BEFORE touching the file:
+            # a resume that can never succeed must be side-effect-free
+            # (no truncation of trailing bytes).
+            raise ValueError(
+                "Cannot resume %s: float files in the legacy "
+                "(non-bitcast) domain do not decode byte-exactly, "
+                "so the raw-stream hash cannot be recovered. "
+                "Record float streams with algorithm='ans' "
+                "(float_bitcast) to make them resumable." % out)
         if live_sidecar is None:
             live_sidecar = bool(cm.get('streaming', False))
         w = cls(out, outmeta, sample_rate=cm['sample_rate'],
@@ -268,19 +283,6 @@ class StreamWriter:
                 # Unflushed bytes past the last published chunk (the
                 # crash interrupted a write): drop them.
                 w._fb.truncate(offsets[-1])
-            if w.dtype.kind == 'f' and not w.float_bitcast:
-                # Legacy-domain float files decode within CHECK_ATOL,
-                # not byte-exactly, so the writer's raw-stream hash
-                # state cannot be re-derived — a resumed file would
-                # finalize a sha1_uncompressed describing neither the
-                # original recording nor the decode. (Previously this
-                # surfaced as a misleading hash-mismatch IOError.)
-                raise ValueError(
-                    "Cannot resume %s: float files in the legacy "
-                    "(non-bitcast) domain do not decode byte-exactly, "
-                    "so the raw-stream hash cannot be recovered. "
-                    "Record float streams with algorithm='ans' "
-                    "(float_bitcast) to make them resumable." % out)
             w._fb.seek(0)
             while True:
                 block = w._fb.read(1 << 20)

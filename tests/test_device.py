@@ -1547,6 +1547,12 @@ def test_decompress_multi_rejects_short_probe(tmp_path_):
                                       quiet=True))
         with pytest.raises(ValueError, match='common chunk range'):
             decompress_multi(readers)
+        # Degenerate ranges get the crafted contract error too (not a
+        # raw reshape/IndexError further down).
+        with pytest.raises(ValueError, match='invalid chunk range'):
+            decompress_multi(readers, first_chunk=-1, last_chunk=1)
+        with pytest.raises(ValueError, match='invalid chunk range'):
+            decompress_multi(readers, first_chunk=1, last_chunk=0)
         outs = decompress_multi(readers, last_chunk=1)
         for out, arr in zip(outs, arrs):
             assert np.array_equal(out, arr[:out.shape[0]])

@@ -574,5 +574,11 @@ def test_stream_resume_rejects_legacy_float_domain(tmp_path_):
     with StreamWriter(cb, ch, sample_rate=SR, n_channels=NC,
                       dtype='float32', algorithm='zlib') as w:
         w.append(arr)
+    # A resume that can never succeed must be side-effect-free: even
+    # unflushed trailing bytes (normally truncated during resume) must
+    # survive the refusal untouched.
+    before = cb.read_bytes() + b'\x01\x02\x03trailing'
+    cb.write_bytes(before)
     with pytest.raises(ValueError, match='legacy'):
         StreamWriter.resume(cb, ch)
+    assert cb.read_bytes() == before
