@@ -39,6 +39,42 @@ from .utils.misc import Bunch, clip, logger, progress
 # BEFORE JAX is touched so small-file operations stay instant.
 AUTO_DEVICE_MIN_BYTES = 1 << 28
 
+# --- Auto-routing throughput model ----------------------------------------
+# The two sides of every 'auto' decision are MEASURED where measurement
+# is cheap (link_profile: sync latency + d2h bandwidth; host_profile:
+# single-core codec rates through the live entry points — both disk-
+# cached 24 h per machine). The remaining model constants cannot be
+# probed without compiling the kernels (~20-40 s first time), so they
+# are pinned conservative with provenance + failure direction below;
+# each errs toward the HOST path, which is the safe wrong answer
+# (multicore C++ codec, no link dependency).
+#
+# DEV_DECODE_KERNEL_RATE: staged decode floor used to cost the
+# chunk-decode part of window reads. Measured 16.0-16.5 GB/s on a
+# throttled single-v5e dev attachment (BENCH_r03/r05; real silicon is
+# faster), pinned at 5 GB/s so the estimate never undersells the host.
+# Mis-set risk: too low inflates dev_cost -> small windows stay on the
+# host a bit longer than optimal on real parts (latency usually
+# dominates those anyway).
+DEV_DECODE_KERNEL_RATE = 5e9
+# DEV_ENCODE_RATE_CAP: cap on the upload-bound device encode rate.
+# The encode kernel measured 12.3-13.7 GB/s staged (BENCH_r02-r05), so
+# on any real part the HOST->DEVICE link, not the kernel, bounds
+# end-to-end compress() (reads from host disk). PCIe gen3 x16 moves
+# ~12 GB/s; the cap at 4 GB/s keeps headroom for sidecar/driver
+# overheads. Mis-set risk: too low routes very-fast-link hosts to the
+# host encoder — still hundreds of MB/s per core on the C++ pool.
+DEV_ENCODE_RATE_CAP = 4e9
+# HOST_POOL_SCALING_CORES: cores credited to the host codec pool.
+# Measured: ~linear scaling down to 0.5-core cgroup shares
+# (SCALING.json; wider hosts unavailable in this environment — the
+# thread pool is group-parallel, so saturation beyond 8 cores is
+# plausible but UNVERIFIED, hence the clamp). Mis-set risk: on a
+# 64-core host the host side is undercredited 8x -> fast links pick
+# the device where the host pool might tie; both routes are GB/s-class
+# there. Raise after measuring tools/scaling_matrix.py on a wide host.
+HOST_POOL_SCALING_CORES = 8
+
 # Host slice reads spanning at least this many chunks — and more than
 # the reader's LRU capacity, so repeated reads could never be cache
 # hits anyway — skip the chunk cache and run the codec's batch decoder
@@ -332,8 +368,9 @@ class Writer:
         # (native runtime or numpy fallback — the probe times whichever
         # is live), scaled by cores (the C++ pool threads per group).
         enc_rate, _ = host_profile()
-        host_rate = enc_rate * min(multiprocessing.cpu_count(), 8)
-        dev_rate = min(bw, 4e9)     # upload-bound, kernel ~5 GB/s
+        host_rate = enc_rate * min(multiprocessing.cpu_count(),
+                                   HOST_POOL_SCALING_CORES)
+        dev_rate = min(bw, DEV_ENCODE_RATE_CAP)   # upload-bound
         return dev_rate > host_rate
 
     def compress_batch(self, first_chunk, last_chunk):
@@ -892,7 +929,8 @@ class Reader:
             # (GB/s), false through dev relays (~10-40 MB/s), where
             # the fetch would dominate end-to-end by ~10x. Bulk host
             # decode threads across cores (the native pool).
-            return bw > host_rate * min(multiprocessing.cpu_count(), 8)
+            return bw > host_rate * min(multiprocessing.cpu_count(),
+                                        HOST_POOL_SCALING_CORES)
         i0, i1 = window
         first, last = self._chunks_for_interval(i0, max(i0, i1 - 1))
         chunk_bytes = ((self.chunk_bounds[last + 1]
@@ -902,7 +940,8 @@ class Reader:
         # Window reads additionally pay one sync per call; the decode
         # work covers whole chunks either way.
         host_cost = chunk_bytes / host_rate
-        dev_cost = lat + window_bytes / bw + chunk_bytes / 5e9
+        dev_cost = (lat + window_bytes / bw
+                    + chunk_bytes / DEV_DECODE_KERNEL_RATE)
         return dev_cost < host_cost
 
     def _device_window(self, i0, i1):

@@ -1560,3 +1560,136 @@ def test_decompress_multi_rejects_short_probe(tmp_path_):
     finally:
         for r in readers:
             r.close()
+
+
+def test_tofile_device_route_end_to_end(tmp_path_, monkeypatch):
+    """Drive Reader.tofile through the DEVICE pipeline (the use_device
+    branch of produce(), api.py tofile): device='cpu' forces the route,
+    batch_chunks=2 makes the double-buffered produce/write overlap span
+    several batches. Byte-equality against the source is the contract;
+    the to_array spy proves every batch went through the device bulk
+    span decoder (writable=False buffers), not the host pool.
+    """
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.api import Reader
+    arr = to_int16(make_signal('colored', ns=7 * 2000, nc=21))
+    path = write_arr(tmp_path_ / 'tf.bin', arr)
+    compress(path, tmp_path_ / 'tf.cbin', tmp_path_ / 'tf.ch',
+             sample_rate=2000.0, n_channels=21, dtype='int16',
+             algorithm='ans', quiet=True)
+    calls = []
+    orig = Reader.to_array
+
+    def spy(self, first_chunk=0, last_chunk=None, writable=True):
+        calls.append((first_chunk, last_chunk, writable))
+        return orig(self, first_chunk, last_chunk, writable=writable)
+
+    monkeypatch.setattr(Reader, 'to_array', spy)
+    r = decompress(tmp_path_ / 'tf.cbin', tmp_path_ / 'tf.ch', quiet=True,
+                   device='cpu', batch_chunks=2,
+                   check_after_decompress=False)
+    try:
+        assert r._use_device()
+        out = tmp_path_ / 'tf_out.bin'
+        r.tofile(out)
+        got = np.fromfile(out, dtype=np.int16).reshape(arr.shape)
+        assert np.array_equal(got, arr)
+        # 7 chunks / batch_chunks=2 -> 4 device batches, all read-only.
+        assert len(calls) == 4
+        assert all(not writable for (_, _, writable) in calls)
+        assert [c[:2] for c in calls] == [(0, 1), (2, 3), (4, 5), (6, 6)]
+    finally:
+        r.close()
+
+
+def test_tofile_device_route_sharded(tmp_path_, monkeypatch):
+    """Same device-routed tofile seam with the 8-device mesh sharding
+    the batch decode underneath (decompress_to_array mesh path), so the
+    produce()/write overlap is exercised against sharded outputs.
+    (No interpret-mode Pallas here: shard_map + interpreted pallas_call
+    trips jax's vma check; the mesh path uses the XLA scan decoder on
+    the CPU backend, same as the other mesh tests.)"""
+    from mtscomp_tpu.api import Reader
+    from mtscomp_tpu.parallel.mesh import chunk_mesh
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                               _read_payload)
+    arr = to_int16(make_signal('colored', ns=8 * 2000, nc=21))
+    path = write_arr(tmp_path_ / 'tfs.bin', arr)
+    compress(path, tmp_path_ / 'tfs.cbin', tmp_path_ / 'tfs.ch',
+             sample_rate=2000.0, n_channels=21, dtype='int16',
+             algorithm='ans', quiet=True)
+    mesh = chunk_mesh(n_devices=8)
+    orig = Reader.to_array
+
+    def sharded_to_array(self, first_chunk=0, last_chunk=None,
+                         writable=True):
+        last = self.n_chunks - 1 if last_chunk is None else last_chunk
+        if last - first_chunk + 1 == 8:
+            parsed = [self.codec.parse(_read_payload(self, i))
+                      for i in range(first_chunk, last + 1)]
+            ns = self.chunk_bounds[first_chunk + 1] \
+                - self.chunk_bounds[first_chunk]
+            dec = DeviceBatchDecoder(self)
+            assert dec.supported(parsed, ns)
+            out = dec.decode_batch(parsed, ns, mesh=mesh)
+            return out.reshape(-1, self.n_channels)
+        return orig(self, first_chunk, last_chunk, writable=writable)
+
+    monkeypatch.setattr(Reader, 'to_array', sharded_to_array)
+    r = decompress(tmp_path_ / 'tfs.cbin', tmp_path_ / 'tfs.ch', quiet=True,
+                   device='cpu', batch_chunks=8,
+                   check_after_decompress=False)
+    try:
+        assert r._use_device()
+        out = tmp_path_ / 'tfs_out.bin'
+        r.tofile(out)
+        got = np.fromfile(out, dtype=np.int16).reshape(arr.shape)
+        assert np.array_equal(got, arr)
+    finally:
+        r.close()
+
+
+def test_auto_routing_many_core_fast_link(tmp_path_, monkeypatch):
+    """Routing model on a many-core host behind a PCIe-grade link: the
+    host pool is credited at most HOST_POOL_SCALING_CORES cores
+    (scaling beyond 8 is unverified — api.py provenance notes), so a
+    64-core box must decide exactly like an 8-core one, and the
+    fast-link decision follows the measured host rate through the
+    clamp. Pins the documented failure direction: when the clamp
+    undercredits a wide host, the route errs toward the device."""
+    import jax
+    import multiprocessing
+    import mtscomp_tpu.api as api_mod
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.parallel import pipeline as pl
+    monkeypatch.setattr(api_mod, 'AUTO_DEVICE_MIN_BYTES', 0)
+    sr, nc = 4000, 32
+    arr = to_int16(make_signal('colored', ns=4 * sr, nc=nc))
+    path = write_arr(tmp_path_ / 'w.bin', arr)
+    compress(path, tmp_path_ / 'w.cbin', tmp_path_ / 'w.ch',
+             sample_rate=float(sr), n_channels=nc, dtype='int16',
+             algorithm='ans', quiet=True)
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(pl, '_LINK_PROFILE', (0.0002, 12e9))  # PCIe-grade
+    monkeypatch.setattr(multiprocessing, 'cpu_count', lambda: 64)
+    r = decompress(tmp_path_ / 'w.cbin', tmp_path_ / 'w.ch', quiet=True)
+    w = Writer(algorithm='ans', quiet=True)
+    try:
+        w.open(path, sample_rate=float(sr), n_channels=nc, dtype='int16')
+        # Host decode credited 8 x 1 GB/s = 8 GB/s < 12 GB/s link ->
+        # device; encode 8 x 400 MB/s = 3.2 < cap 4 GB/s -> device.
+        monkeypatch.setattr(pl, '_HOST_PROFILE', (400e6, 1e9))
+        assert r._use_device() is True
+        assert w._use_device() is True
+        # A 600 MB/s-per-core encoder crosses the 4 GB/s cap at 8
+        # credited cores (4.8 > 4) -> host, no matter how many physical
+        # cores exist (the clamp makes 64 == 8).
+        monkeypatch.setattr(pl, '_HOST_PROFILE', (600e6, 1.6e9))
+        assert w._use_device() is False
+        assert r._use_device() is False         # 8 x 1.6 = 12.8 > 12
+        monkeypatch.setattr(multiprocessing, 'cpu_count', lambda: 8)
+        assert w._use_device() is False
+        assert r._use_device() is False
+    finally:
+        w.close()
+        r.close()
