@@ -307,6 +307,96 @@ def cumsum_time_transposed_u8(planes, head, hi, interpret=False):
     )(planes, head3, hi2)
 
 
+def _cumsum_t8_tail_kernel(x_ref, xb_ref, head_ref, headb_ref, hi_ref,
+                           out_ref, carry_ref, *, cpad):
+    """Two-provenance variant of ``_cumsum_t8_kernel`` for the ragged
+    385th-channel layout: the bulk channels (x_ref, from the full-group
+    decode call) and the short tail channels (xb_ref, from the 1-row
+    tail-group call) are separate HBM buffers — concatenating them
+    OUTSIDE the kernel would cost a full extra HBM pass over the batch,
+    so the merge happens here, in VMEM, as part of the one finalize
+    pass the fused decode already makes. The tail rows are padded to
+    ``cpad`` in-register so the compute/output tile stays a
+    128-multiple (identical op shapes to the single-ref kernel at the
+    same total width). Grid is (B, T/128): one channel tile spanning
+    all rows.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.concatenate(
+            [head_ref[0, :, 0:1],
+             jnp.pad(headb_ref[0, :, 0:1],
+                     ((0, cpad - headb_ref.shape[1]), (0, 0)))], axis=0)
+
+    ca = x_ref.shape[1]
+    xb = jnp.pad(xb_ref[0], ((0, cpad - xb_ref.shape[1]), (0, 0)))
+    ct = ca + cpad
+    hi_c = jnp.broadcast_to(hi_ref[0, 0:1, :], (ct, 128))
+    z = jnp.concatenate([x_ref[0], xb], axis=0).astype(jnp.int32) \
+        | (hi_c << 8)
+    x = (z >> 1) ^ -(z & 1)
+    lo = (x & 255).astype(jnp.float32)
+    hi = ((x >> 8) & 255).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    triu = (row <= col).astype(jnp.float32)
+    p_lo = jax.lax.dot(lo, triu, preferred_element_type=jnp.float32)
+    p_hi = jax.lax.dot(hi, triu, preferred_element_type=jnp.float32)
+    prefix = p_lo.astype(jnp.int32) + (p_hi.astype(jnp.int32) << 8)
+    excl = (prefix - x).astype(jnp.int16)
+    out = excl + carry_ref[...]
+    carry_ref[...] = carry_ref[...] + prefix[:, -1:].astype(jnp.int16)
+    out_ref[0] = out.T
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def cumsum_time_transposed_u8_tail(planes, tail, head, tail_head, hi,
+                                   interpret=False):
+    """``cumsum_time_transposed_u8`` with a second (short) channel block.
+
+    ``planes`` (B, CA, T) and ``tail`` (B, CB, T) u8 low-byte codes from
+    two decode-kernel outputs; ``head``/``tail_head`` (B, CA)/(B, CB)
+    int16 verbatim first samples. Output is (B, T, CA + CBpad) int16
+    where CBpad rounds the total width to a 128 multiple — decoded
+    channels are [0, CA + CB), the rest is padding to trim. CA must be
+    a multiple of 128 and CB of 8.
+    """
+    from .pallas_rans import force_interpret
+    interpret = interpret or force_interpret()
+    B, CA, T = planes.shape
+    CB = tail.shape[1]
+    assert planes.dtype == jnp.uint8 and tail.dtype == jnp.uint8
+    assert T % 128 == 0 and CA % 128 == 0 and CB % 8 == 0
+    assert tail.shape == (B, CB, T)
+    cpad = (-(-(CA + CB) // 128) * 128) - CA
+    ct = CA + cpad
+    head3 = jnp.broadcast_to(head.reshape(B, CA, 1), (B, CA, 128))
+    headb3 = jnp.broadcast_to(tail_head.reshape(B, CB, 1), (B, CB, 128))
+    hi2 = jnp.broadcast_to(hi.reshape(B, 1, 1).astype(jnp.int32),
+                           (B, 8, 128))
+    return pl.pallas_call(
+        functools.partial(_cumsum_t8_tail_kernel, cpad=cpad),
+        grid=(B, T // 128),
+        in_specs=[pl.BlockSpec((1, CA, 128), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, CB, 128), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, CA, 128), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, CB, 128), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 128, ct), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, ct), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((ct, 1), jnp.int16)],
+        interpret=interpret,
+    )(planes, tail, head3, headb3, hi2)
+
+
 def pad_to(x, multiple, axis):
     """Zero-pad ``axis`` up to the next multiple (no-op when aligned)."""
     size = x.shape[axis]

@@ -244,11 +244,48 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+def _fuse8_geom(modes, dtype, zigzag, order, do_time_diff,
+                do_spatial_diff, seg, tp, T, S, use_pallas, aligned,
+                has_head):
+    """Shared fuse8 predicate: ``(fuse8, k, spb_f)``.
+
+    Default fast path: u8 kernel output feeds a combine+zigzag+
+    transpose+scan kernel directly (zero-copy reshape, since the
+    row-linear rows ARE k channels of tp symbols each) — the decode
+    never materializes a combined int16 diff stream. Needs full
+    segments (seg_eff == seg) so the reshape is clean, and spb
+    dividing S so the kernel emits exactly seg_eff columns.
+
+    One function because TWO places must agree exactly: the compiled
+    decode fn takes the fuse8 branch, and the packer decides whether
+    to pack the ragged-tail split arrays (which only that branch
+    consumes).
+    """
+    rans_planes = [p for p, m in enumerate(modes) if m == MODE_RANS]
+    const_planes = [p for p, m in enumerate(modes) if m == MODE_CONST]
+    raw_planes = [p for p, m in enumerate(modes) if m == MODE_RAW]
+    k = (seg // tp) if aligned and tp else 0
+    seg_eff = min(seg, S * LANES) if rans_planes else 0
+    spb_f = max((d for d in range(1, 129) if S % d == 0), default=1) \
+        if S else 1
+    i16_kind = dtype in (np.dtype(np.int16), np.dtype(np.uint16))
+    fuse8 = (use_pallas and aligned and has_head
+             and os.environ.get('MTSCOMP_NO_FUSE8', '') in ('', '0')
+             and rans_planes == [0] and not raw_planes
+             and len(const_planes) == 1
+             and i16_kind and zigzag
+             and order == 'F' and do_time_diff and not do_spatial_diff
+             and (GROUP_ROWS * k) % 128 == 0
+             and seg_eff == seg and spb_f >= 8 and tp >= T)
+    return fuse8, k, spb_f
+
+
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                      do_time_diff, do_spatial_diff, zigzag, has_head,
                      use_pallas, small_alpha=False, aligned=False,
-                     one_fixup=False, diff_order=1, octet=False):
+                     one_fixup=False, diff_order=1, octet=False,
+                     tail=None):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
@@ -282,10 +319,9 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     # hardware in rounds 1 and 2 and lost to this path both times
     # (6.37 vs 6.66 GB/s median, r2): the 16-bit kernel stores outweigh
     # the combine pass XLA already fuses. Removed; see git history.)
-    import os
-    k = (seg // tp) if aligned and tp else 0
-    spb_f = max((d for d in range(1, 129) if S % d == 0), default=1) \
-        if S else 1
+    fuse8, k, spb_f = _fuse8_geom(modes, dtype, zigzag, order,
+                                  do_time_diff, do_spatial_diff, seg, tp,
+                                  T, S, use_pallas, aligned, has_head)
     # uint16 rides the int16 kernels bit-for-bit: the scans/zigzag are
     # wrapping mod-2^16 arithmetic, so a bitcast in and out is exact
     # (the reference's canonical Neuropixels dataset is uint16).
@@ -299,21 +335,9 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     four_byte = dtype in (np.dtype(np.int32), np.dtype(np.uint32))
     kdtype = jnp.int32 if four_byte else jnp.int16
     scan_kinds = i16_kind or one_byte or four_byte
-    # Default fast path: u8 kernel output feeds a combine+zigzag+
-    # transpose+scan kernel directly (zero-copy reshape, since the
-    # row-linear rows ARE k channels of tp symbols each) — the decode
-    # never materializes a combined int16 diff stream. Needs full
-    # segments (seg_eff == seg) so the reshape is clean, and spb
-    # dividing S so the kernel emits exactly seg_eff columns.
-    fuse8 = (use_pallas and aligned and has_head
-             and os.environ.get('MTSCOMP_NO_FUSE8', '') in ('', '0')
-             and rans_planes == [0] and not raw_planes
-             and len(const_planes) == 1
-             and i16_kind and zigzag
-             and order == 'F' and do_time_diff and not do_spatial_diff
-             and (GROUP_ROWS * k) % 128 == 0
-             and seg_eff == seg and spb_f >= 8 and tp >= T)
     c_cap = G * GROUP_ROWS * k if fuse8 else 0
+    assert tail is None or (fuse8 and G >= 2), \
+        "tail-split packing requires the fuse8 path"
 
     def as_i16(a):
         """To the scan-kernel dtype (int16/int32), bit-preserving."""
@@ -334,6 +358,47 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     @jax.jit
     def decode(states, words, freqs, counts, coarse_pk, dense_pk, counts_b,
                const_vals, raw_vals, heads):
+        if fuse8 and tail is not None:
+            # Ragged-tail packing (the 385th-channel fix): the last
+            # group of each chunk holds ONE short segment (rem < k
+            # channels, S_t steps), and stacked cells scan to their
+            # longest member — chunk-major packing mixed tails with
+            # full groups, making EVERY cell scan the full S steps for
+            # +rem/C more data (measured -26% on the canonical 385-ch
+            # Neuropixels geometry). The packer instead orders the
+            # batch [all full groups chunk-major | all tail groups], so
+            # tails share cells and the kernel's per-cell step clamp
+            # scans them S_t steps only. One kernel call as before (a
+            # second pallas_call measured ~3 ms of fixed launch cost on
+            # the dev attachment — tools/tail_ab.py); full groups stay
+            # chunk-major, so the bulk of the output still feeds the
+            # fused finalize as a zero-copy view, and only the tiny
+            # tail block (B x rem x tp bytes) is sliced out. The
+            # two-ref finalize merges the blocks in VMEM — a plain
+            # concatenate would burn a full extra HBM pass.
+            rem, S_t, ctB = tail
+            NF = B * (G - 1)                       # full-group rows
+            cA = (G - 1) * GROUP_ROWS * k          # == C - rem
+            from ..ops.device_delta import cumsum_time_transposed_u8_tail
+            syms, used = decode_groups_pallas(
+                states, words, coarse_pk, dense_pk, counts_b, n_steps=S,
+                small_alpha=small_alpha, steps_per_block=spb_f,
+                one_fixup=one_fixup, octet=octet)
+            chanA = syms[:NF].reshape(B, cA, tp)
+            chanB = syms[NF:, 0, :rem * tp].reshape(B, rem, tp)
+            chanB = jnp.pad(chanB, ((0, 0), (0, ctB - rem), (0, 0)))
+            heads16 = as_i16(heads)
+            headB = jnp.pad(heads16[:, cA:], ((0, 0), (0, ctB - rem)))
+            out = cumsum_time_transposed_u8_tail(
+                chanA, chanB, heads16[:, :cA], headB, const_vals[:, 0])
+            res = out[:, :T, :C]
+            if diff_order == 2:
+                res = cumsum_time(res, use_pallas=True)
+            # Back to chunk-major group order for the word audit.
+            used = jnp.concatenate(
+                [used[:NF].reshape(B, G - 1), used[NF:].reshape(B, 1)],
+                axis=1)
+            return from_i16(res), used.reshape(-1)
         if fuse8:
             from ..ops.device_delta import cumsum_time_transposed_u8
             syms, used = decode_groups_pallas(
@@ -559,6 +624,31 @@ class DeviceBatchDecoder:
             jax_mod.default_backend() == 'tpu' or force_interpret())
 
         from ..ops.pallas_rans import pack_device_tables, WINDOW_ROWS
+
+        # Ragged-tail split decision (fuse8 path only; see
+        # _build_decode_fn). When the last group of each chunk is ONE
+        # short segment (C % k channels), packing it into the stacked
+        # cells makes every cell scan the full step count; splitting it
+        # out decodes it as B 1-row cells at its own (much shorter)
+        # step count instead.
+        Tc = T - 1 if has_head else T
+        tp = -(-Tc // LANES) * LANES if aligned else 0
+        fuse8_pre, k8, _spb8 = _fuse8_geom(
+            modes, self.dtype, first['zigzag'], self.order,
+            self.do_time_diff, self.do_spatial_diff, seg, tp, T, S,
+            use_pallas, aligned, has_head)
+        tail = None
+        if (fuse8_pre and G >= 2
+                and os.environ.get('MTSCOMP_DEC_TAILSPLIT', '1') != '0'):
+            tail_segs = first['groups'][-1]['segments']
+            rem = C - (n_seg - 1) * k8 if k8 else 0
+            if len(tail_segs) == 1 and 0 < rem < k8:
+                n_tail = tail_segs[0][2]
+                S_t = -(-n_tail // LANES)
+                if (n_tail == rem * tp and 2 * S_t <= S and rem <= 32
+                        and (G - 1) * GROUP_ROWS * k8 + 128 <= 1024):
+                    tail = (rem, S_t, -(-rem // 8) * 8)
+
         w_max = 1
         for parsed in parsed_list:
             for g in parsed['groups']:
@@ -573,6 +663,29 @@ class DeviceBatchDecoder:
             # (u16 blocks: 16384 rows = 4 MB, double-buffered; only
             # near-incompressible planes get here); use the XLA scan.
             use_pallas = False
+        if not use_pallas:
+            tail = None             # ragged-tail packing is Pallas-only
+
+        # Group index layout: chunk-major by default; with the ragged
+        # tail, [full groups chunk-major | tail groups] PER MESH SHARD
+        # (each shard's slab must stay self-contained for the leading-
+        # axis sharding — the inner decode fn sees exactly this layout
+        # at its local batch size).
+        n_shard = 1
+        if mesh is not None and G > 0:
+            n_shard = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if B % n_shard != 0:
+                n_shard = 1     # the mesh assert below fires anyway
+        Bl = B // n_shard if n_shard else B
+
+        def group_slot(b, gi):
+            if tail is None:
+                return b * G + gi
+            s, bl = divmod(b, Bl)
+            base = s * (Bl * G)
+            if gi == G - 1:
+                return base + Bl * (G - 1) + bl
+            return base + bl * (G - 1) + gi
 
         NG = max(B * G, 1)
         states = np.full((NG, GROUP_ROWS, LANES), RANS_L, dtype=np.uint32)
@@ -591,34 +704,38 @@ class DeviceBatchDecoder:
         alpha_max = 0
         needs_fixup2 = False
         octet_ok = True
+
+        def packed_table(parsed, p, start):
+            # Key on the table CONTENT: identical tables across
+            # chunks (the common case) pack once per batch.
+            nonlocal alpha_max, needs_fixup2, octet_ok
+            table = ans_seg_freqs(parsed, p, start)
+            key = table.tobytes()
+            if key not in table_cache:
+                table_cache[key] = (pack_device_tables(table),
+                                    int(np.count_nonzero(table)))
+            (cpk, dpk, n2, orow), a = table_cache[key]
+            alpha_max = max(alpha_max, a)
+            needs_fixup2 = needs_fixup2 or n2
+            if orow is None:
+                octet_ok = False
+                orow = 0
+            return table, cpk, dpk, orow
+
         for b, parsed in enumerate(parsed_list):
             if has_head:
                 heads[b] = parsed['head'].view(self.dtype)
             for gi, g in enumerate(parsed['groups']):
-                i = b * G + gi
+                i = group_slot(b, gi)
                 R = len(g['segments'])
                 states[i, :R] = g['states']
                 words[i].reshape(-1)[:g['words'].size] = g['words']
                 for r, (p, start, n) in enumerate(g['segments']):
-                    table = ans_seg_freqs(parsed, p, start)
+                    table, coarse_pk[i, r], dense_pk[i, r], \
+                        octet_rows[i, r] = packed_table(parsed, p, start)
                     freqs[i, r] = table
                     counts[i, r] = n
                     counts_b[i, r] = n
-                    # Key on the table CONTENT: identical tables across
-                    # chunks (the common case) pack once per batch.
-                    key = table.tobytes()
-                    if key not in table_cache:
-                        table_cache[key] = (
-                            pack_device_tables(table),
-                            int(np.count_nonzero(table)))
-                    (coarse_pk[i, r], dense_pk[i, r], n2, orow), a = \
-                        table_cache[key]
-                    alpha_max = max(alpha_max, a)
-                    needs_fixup2 = needs_fixup2 or n2
-                    if orow is None:
-                        octet_ok = False
-                    else:
-                        octet_rows[i, r] = orow
             for j, p in enumerate(const_planes):
                 const_vals[b, j] = parsed['planes'][p]['value']
             for j, p in enumerate(raw_planes):
@@ -637,6 +754,8 @@ class DeviceBatchDecoder:
             coarse_pk[:, :, 0, :] = octet_rows
         raw_args = (states, words, freqs, counts, coarse_pk, dense_pk,
                     counts_b, const_vals, raw_vals, heads)
+        # Introspection for tests/benchmarks: the ragged-tail decision.
+        self.last_tail = tail
         if mesh is not None and G == 0:
             # No rANS groups (all planes CONST/RAW): the group arrays
             # have a placeholder leading dim of 1 that cannot shard;
@@ -647,7 +766,7 @@ class DeviceBatchDecoder:
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
                 self.order, self.do_time_diff, self.do_spatial_diff,
                 first['zigzag'], has_head, use_pallas, small_alpha,
-                aligned, one_fixup, self.diff_order, octet)
+                aligned, one_fixup, self.diff_order, octet, tail)
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -665,11 +784,15 @@ class DeviceBatchDecoder:
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, self.do_time_diff, self.do_spatial_diff,
             first['zigzag'], has_head, use_pallas, small_alpha, aligned,
-            one_fixup, self.diff_order, octet)
+            one_fixup, self.diff_order, octet, tail)
         spec = PartitionSpec(axis)
+        # check_vma stays on for compiled (TPU) runs; interpret-mode
+        # pallas_call cannot declare its outputs' varying-manifest, so
+        # the CPU-mesh tests would trip the check spuriously.
         fn = jax.jit(shard_map(
             lambda *a: inner(*a), mesh=mesh,
-            in_specs=(spec,) * len(raw_args), out_specs=(spec, spec)))
+            in_specs=(spec,) * len(raw_args), out_specs=(spec, spec),
+            check_vma=not force_interpret()))
         sharding = NamedSharding(mesh, spec)
         return fn, tuple(jax.device_put(a, sharding) for a in raw_args)
 

@@ -1693,3 +1693,167 @@ def test_auto_routing_many_core_fast_link(tmp_path_, monkeypatch):
     finally:
         w.close()
         r.close()
+
+
+def _ragged_geometry_file(tmp_path_, name, dtype='int16', **kw):
+    """129 channels at ans_seg_log2=12 -> k=4-channel segments, 33 per
+    plane: groups [32, 1] with a 1-channel ragged tail segment — the
+    385th-channel geometry scaled down (385 ch @30 kHz is [3x32, 1]).
+    """
+    rng = np.random.default_rng(7)
+    C, T = 129, 1000
+    arr = np.cumsum(rng.normal(0, 5, size=(4 * T, C)),
+                    axis=0).astype(dtype)
+    path = write_arr(tmp_path_ / (name + '.bin'), arr)
+    compress(path, tmp_path_ / (name + '.cbin'), tmp_path_ / (name + '.ch'),
+             sample_rate=1000.0, n_channels=C, dtype=dtype,
+             algorithm='ans', quiet=True, ans_seg_log2=12,
+             check_after_compress=False, **kw)
+    return arr, C, T
+
+
+def test_ragged_tail_split_bit_exact(tmp_path_, monkeypatch):
+    """The ragged-tail split decode (two kernel calls + the two-ref
+    finalize) is bit-exact and passes the word audit; the packer
+    engages it exactly when the tail group is one short segment."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                               _read_payload,
+                                               check_words_used)
+    arr, C, T = _ragged_geometry_file(tmp_path_, 'rg')
+    r = decompress(tmp_path_ / 'rg.cbin', tmp_path_ / 'rg.ch', quiet=True)
+    try:
+        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(4)]
+        assert [len(g['segments']) for g in parsed[0]['groups']] == [32, 1]
+        dec = DeviceBatchDecoder(r)
+        assert dec.supported(parsed, T)
+        fn, args = dec.pack(parsed, T)
+        assert dec.last_tail == (1, 8, 8)   # (rem, S_t, ctB) engaged
+        out, used = fn(*args)
+        check_words_used(parsed, used)
+        assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
+        # Random-access windows ride the same split path (B=1 packs).
+        assert np.array_equal(r[700:2300], arr[700:2300])
+        # Column-restricted reads incl. the ragged tail channel itself.
+        assert np.array_equal(r[:, C - 1], arr[:, C - 1])
+        assert np.array_equal(r[:, 126:], arr[:, 126:])
+    finally:
+        r.close()
+
+
+def test_ragged_tail_split_not_engaged_when_uniform(tmp_path_, monkeypatch):
+    """128 channels divide evenly into k=4 segments (no ragged tail):
+    the packer must keep the single-call layout (10 args)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                               _read_payload)
+    rng = np.random.default_rng(8)
+    C, T = 128, 1000
+    arr = np.cumsum(rng.normal(0, 5, size=(2 * T, C)),
+                    axis=0).astype(np.int16)
+    path = write_arr(tmp_path_ / 'u.bin', arr)
+    compress(path, tmp_path_ / 'u.cbin', tmp_path_ / 'u.ch',
+             sample_rate=1000.0, n_channels=C, dtype='int16',
+             algorithm='ans', quiet=True, ans_seg_log2=12,
+             check_after_compress=False)
+    r = decompress(tmp_path_ / 'u.cbin', tmp_path_ / 'u.ch', quiet=True)
+    try:
+        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(2)]
+        dec = DeviceBatchDecoder(r)
+        assert dec.supported(parsed, T)
+        fn, args = dec.pack(parsed, T)
+        assert dec.last_tail is None
+        out, _ = fn(*args)
+        assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
+    finally:
+        r.close()
+
+
+@pytest.mark.parametrize('case', ['order2', 'float16'])
+def test_ragged_tail_split_variants(tmp_path_, monkeypatch, case):
+    """Split path composed with the v2 extensions that share the fuse8
+    kernels: second-order prediction (extra carried scan after the
+    fused finalize) and float16 bitcast (i16 kernels + reinterpret)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                               _read_payload)
+    if case == 'order2':
+        arr, C, T = _ragged_geometry_file(tmp_path_, 'v', time_diff_order=2)
+    else:
+        rng = np.random.default_rng(9)
+        C, T = 129, 1000
+        arr = np.cumsum(rng.normal(0, 0.5, size=(2 * T, C)),
+                        axis=0).astype(np.float16)
+        path = write_arr(tmp_path_ / 'v.bin', arr)
+        compress(path, tmp_path_ / 'v.cbin', tmp_path_ / 'v.ch',
+                 sample_rate=1000.0, n_channels=C, dtype='float16',
+                 algorithm='ans', quiet=True, ans_seg_log2=12,
+                 check_after_compress=False)
+    r = decompress(tmp_path_ / 'v.cbin', tmp_path_ / 'v.ch', quiet=True)
+    try:
+        parsed = [r.codec.parse(_read_payload(r, i))
+                  for i in range(r.n_chunks)]
+        dec = DeviceBatchDecoder(r)
+        if dec.supported(parsed, T):
+            fn, args = dec.pack(parsed, T)
+            out, _ = fn(*args)
+            got = np.asarray(out).reshape(arr.shape)
+            if case == 'float16':
+                got = got.view(np.float16)
+            assert got.tobytes() == arr.tobytes()
+        # Whatever the route, the reader contract holds bit-exactly.
+        assert r[:].tobytes() == arr.tobytes()
+    finally:
+        r.close()
+
+
+def test_ragged_tail_split_mesh(tmp_path_, monkeypatch):
+    """Ragged-tail packing under the 8-device mesh: the per-shard
+    [fulls | tails] layout must keep each device's slab self-contained
+    (a global permutation would hand shards other chunks' groups)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                               _read_payload,
+                                               check_words_used)
+    from mtscomp_tpu.parallel.mesh import chunk_mesh
+    rng = np.random.default_rng(11)
+    C, T = 129, 1000
+    arr = np.cumsum(rng.normal(0, 5, size=(8 * T, C)),
+                    axis=0).astype(np.int16)
+    path = write_arr(tmp_path_ / 'mg.bin', arr)
+    compress(path, tmp_path_ / 'mg.cbin', tmp_path_ / 'mg.ch',
+             sample_rate=1000.0, n_channels=C, dtype='int16',
+             algorithm='ans', quiet=True, ans_seg_log2=12,
+             check_after_compress=False)
+    r = decompress(tmp_path_ / 'mg.cbin', tmp_path_ / 'mg.ch', quiet=True)
+    try:
+        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(8)]
+        dec = DeviceBatchDecoder(r)
+        assert dec.supported(parsed, T)
+        fn, args = dec.pack(parsed, T, mesh=chunk_mesh(n_devices=8))
+        assert dec.last_tail == (1, 8, 8)
+        out, used = fn(*args)
+        check_words_used(parsed, used)
+        assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
+    finally:
+        r.close()
+
+
+def test_ragged_tail_split_kill_switch(tmp_path_, monkeypatch):
+    """MTSCOMP_DEC_TAILSPLIT=0 keeps the chunk-major single layout (the
+    A/B escape), still bit-exact."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    monkeypatch.setenv('MTSCOMP_DEC_TAILSPLIT', '0')
+    from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                               _read_payload)
+    arr, C, T = _ragged_geometry_file(tmp_path_, 'ks')
+    r = decompress(tmp_path_ / 'ks.cbin', tmp_path_ / 'ks.ch', quiet=True)
+    try:
+        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(4)]
+        dec = DeviceBatchDecoder(r)
+        fn, args = dec.pack(parsed, T)
+        assert dec.last_tail is None
+        out, _ = fn(*args)
+        assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
+    finally:
+        r.close()

@@ -104,7 +104,27 @@ def main():
     inner = int(os.environ.get('BENCH_INNER', '8' if on_accel else '1'))
     reps = int(os.environ.get('BENCH_REPS', '8' if on_accel else '1'))
 
-    if variant == 'base':
+    if variant in ('pipe', 'pipe_off'):
+        # Full staged pipeline (pack + fused decode incl. finalize),
+        # exactly bench.py's headline phase; 'pipe_off' disables the
+        # ragged-tail packing via the kill switch for the A/B.
+        if variant == 'pipe_off':
+            os.environ['MTSCOMP_DEC_TAILSPLIT'] = '0'
+        from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                                   check_words_used)
+        dec = DeviceBatchDecoder(r)
+        assert dec.supported(parsed_list, T)
+        fnp, dev_args = dec.pack(parsed_list, T)
+        print('# tail=%r' % (dec.last_tail,), file=sys.stderr)
+        out, used = fnp(*dev_args)
+        check_words_used(parsed_list, used)
+        assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
+
+        def run():
+            for _ in range(inner):
+                o, _u = fnp(*dev_args)
+            return float(jnp.sum(o[:, ::61, ::17].astype(jnp.float32)))
+    elif variant == 'base':
         sA, wA, cA, dA, cbA, nsA, small, onef = pack_groups(all_sel)
 
         def run():
@@ -132,6 +152,31 @@ def main():
                                               small_alpha=smallB,
                                               one_fixup=onefB, octet=True)
             return float(jnp.sum(u2))
+    elif variant == 'split1':
+        # Both kernel calls inside ONE jit: a single Python dispatch,
+        # kernels back-to-back in one XLA program — the shape the real
+        # fused decode fn would take (the two-dispatch 'split' variant
+        # measures this attachment's ~3 ms per-dispatch overhead, not
+        # the kernels).
+        sA, wA, cA, dA, cbA, nsA, small, onef = pack_groups(full_sel)
+        sB, wB, cB, dB, cbB, nsB, smallB, onefB = pack_groups(tail_sel)
+        import jax as _jax
+
+        @_jax.jit
+        def both(sA, wA, cA, dA, cbA, sB, wB, cB, dB, cbB):
+            o, u = decode_groups_pallas(sA, wA, cA, dA, cbA,
+                                        n_steps=nsA, small_alpha=small,
+                                        one_fixup=onef, octet=True)
+            o2, u2 = decode_groups_pallas(sB, wB, cB, dB, cbB,
+                                          n_steps=nsB, small_alpha=smallB,
+                                          one_fixup=onefB, octet=True)
+            return o, u, o2, u2
+
+        def run():
+            for _ in range(inner):
+                o, u, o2, u2 = both(sA, wA, cA, dA, cbA,
+                                    sB, wB, cB, dB, cbB)
+            return float(jnp.sum(u)) + float(jnp.sum(u2))
     else:
         sA, wA, cA, dA, cbA, nsA, small, onef = pack_groups(full_sel)
         sB, wB, cB, dB, cbB, nsB, smallB, onefB = pack_groups(tail_sel)
@@ -149,7 +194,7 @@ def main():
 
     run()   # compile + warm
     # Correctness signal: exact per-group stream-word consumption.
-    if variant in ('full_only', 'tail_only'):
+    if variant in ('full_only', 'tail_only', 'split1', 'pipe', 'pipe_off'):
         pass
     elif variant == 'base':
         _, u = decode_groups_pallas(sA, wA, cA, dA, cbA, n_steps=nsA,
