@@ -18,6 +18,7 @@ and device-batched bulk decode through ``mtscomp_tpu.parallel.pipeline``.
 
 import bisect
 import hashlib
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from functools import lru_cache
 import math
@@ -110,6 +111,9 @@ def probe_transform(probe, codec, chunk_order, do_time_diff, orders,
     (the first buffered chunk at first flush) so streamed output stays
     byte-identical to a batch compress of the same recording.
     """
+    if len(orders) == 1 and len(spatials) == 1:
+        # Degenerate grid (everything explicit): nothing to probe.
+        return orders[0], bool(spatials[0])
     base = diff_along_axis(probe, axis=0) if do_time_diff else probe
     sizes = {}
     for order in orders:
@@ -161,6 +165,16 @@ class Writer:
         if self.time_diff_order not in (1, 2, 'auto'):
             raise ValueError("time_diff_order must be 1, 2 or 'auto' "
                              "(got %r)." % (self.time_diff_order,))
+        self.transform_adapt = int(config.get('transform_adapt', 0) or 0)
+        if self.transform_adapt < 0:
+            raise ValueError("transform_adapt must be >= 0 (got %r)."
+                             % (self.transform_adapt,))
+        if self.transform_adapt and self.algorithm != 'ans':
+            raise ValueError(
+                "transform_adapt requires algorithm='ans' (zlib output "
+                "must stay byte-identical to the reference).")
+        self._adapt_cache = {}
+        self._adapt_lock = threading.Lock()
         self.chunk_order = config.chunk_order
         self.n_threads = max(1, int(config.n_threads))
         self.check_after_compress = config.check_after_compress
@@ -247,11 +261,27 @@ class Writer:
         else:
             if not self.do_time_diff:
                 self.time_diff_order = 1
+            # Candidate grids for the transform probe, captured BEFORE
+            # 'auto' resolves: adaptive windows re-probe the same grid
+            # the chunk-0 probe searched (a fixed order/spatial setting
+            # stays fixed — adaptation never overrides an explicit
+            # user choice, it only re-runs the open decisions).
+            self._adapt_orders = (
+                [1, 2] if self.time_diff_order == 'auto'
+                else [self.time_diff_order]) if self.do_time_diff else [1]
+            self._adapt_spatials = (
+                [False, True] if self.do_spatial_diff == 'auto'
+                else [bool(self.do_spatial_diff)])
             if (self.time_diff_order == 'auto'
                     or self.do_spatial_diff == 'auto'):
                 order, spatial = self._pick_transform()
                 self.time_diff_order = order
                 self.do_spatial_diff = spatial
+            if self.transform_adapt:
+                # Window 0's leader is chunk 0 — same probe, same
+                # result; seed the cache so it never re-runs.
+                self._adapt_cache[0] = (self.time_diff_order,
+                                        bool(self.do_spatial_diff))
         # SHA1 accumulators are (re)seeded per write() call.
 
     def _pick_transform(self):
@@ -260,16 +290,39 @@ class Writer:
         (:func:`probe_transform`; StreamWriter runs the identical probe
         on its first buffered chunk so streamed bytes stay identical to
         batch-compressed ones)."""
-        orders = ([1, 2] if self.time_diff_order == 'auto'
-                  else [self.time_diff_order])
-        if not self.do_time_diff:
-            orders = [1]
-        spatials = ([False, True] if self.do_spatial_diff == 'auto'
-                    else [bool(self.do_spatial_diff)])
-        ns = min(self.chunk_bounds[1], TRANSFORM_PROBE_SAMPLES)
-        probe = np.ascontiguousarray(self.get_chunk(0)[:ns])
+        return self._probe_chunk_transform(0)
+
+    def _probe_chunk_transform(self, chunk_idx):
+        """Run the candidate-grid probe on one chunk's leading slice."""
+        ns = min(self.chunk_bounds[chunk_idx + 1]
+                 - self.chunk_bounds[chunk_idx], TRANSFORM_PROBE_SAMPLES)
+        probe = np.ascontiguousarray(self.get_chunk(chunk_idx)[:ns])
         return probe_transform(probe, self.codec, self.chunk_order,
-                               self.do_time_diff, orders, spatials)
+                               self.do_time_diff, self._adapt_orders,
+                               self._adapt_spatials)
+
+    def _chunk_transform(self, chunk_idx):
+        """Effective ``(time_diff_order, spatial)`` for one chunk.
+
+        Adaptive mode: chunks are grouped in fixed windows of
+        ``transform_adapt`` chunks; the window LEADER's probe decides
+        for the whole window. The rule depends only on chunk content
+        and absolute indices — bytes are identical whatever the thread
+        schedule, batch size, or multi-host part split (leaders are
+        probed lazily from the memmap by whichever worker needs them
+        first).
+        """
+        if not self.transform_adapt:
+            return self.time_diff_order, bool(self.do_spatial_diff)
+        leader = (chunk_idx // self.transform_adapt) * self.transform_adapt
+        with self._adapt_lock:
+            got = self._adapt_cache.get(leader)
+            if got is None:
+                got = self._probe_chunk_transform(leader)
+                logger.debug("transform adapt: window leader %d -> "
+                             "order %d, spatial %s.", leader, *got)
+                self._adapt_cache[leader] = got
+        return got
 
     # -- per-chunk pipeline ---------------------------------------------------
 
@@ -286,12 +339,16 @@ class Writer:
         chunk = self.data[i0:i1, :]
         return chunk.view(self.code_dtype) if self.float_bitcast else chunk
 
-    def _transform_chunk(self, chunk):
+    def _transform_chunk(self, chunk, order=None, spatial=None):
         """Delta stage: time diff (order 1 or 2), then spatial diff."""
+        if order is None:
+            order = self.time_diff_order
+        if spatial is None:
+            spatial = self.do_spatial_diff
         chunkd = diff_along_axis(chunk, axis=0 if self.do_time_diff else None)
-        if self.do_time_diff and self.time_diff_order == 2:
+        if self.do_time_diff and order == 2:
             chunkd = diff_along_axis(chunkd, axis=0)
-        chunkd = diff_along_axis(chunkd, axis=1 if self.do_spatial_diff else None)
+        chunkd = diff_along_axis(chunkd, axis=1 if spatial else None)
         assert chunkd.shape == chunk.shape
         assert chunkd.dtype == chunk.dtype
         return chunkd
@@ -300,24 +357,36 @@ class Writer:
         """Transform + entropy-code one chunk; returns (idx, (raw, payload))."""
         chunk = self.get_chunk(chunk_idx)
         assert chunk.ndim == 2 and chunk.shape[1] == self.n_channels
+        if self.transform_adapt:
+            t_order, t_spatial = self._chunk_transform(chunk_idx)
+            # Stamp the container (flags bit5): every adaptive chunk is
+            # self-describing; decoders honor it over the sidecar.
+            tdesc = (t_order if self.do_time_diff else 0, t_spatial)
+        else:
+            t_order, t_spatial = self.time_diff_order, self.do_spatial_diff
+            tdesc = None
         # Prefer the parts form (a list of byte-like container pieces):
         # the write-back loop streams parts straight to the file, so
         # the multi-MB per-chunk container join never happens.
         enc = getattr(self.codec, 'encode_parts', self.codec.encode)
         if (self.algorithm == 'ans' and self.do_time_diff
-                and not self.do_spatial_diff):
+                and not t_spatial):
             # The ANS codec fuses the axis-0 diff into its native prep
             # pass (byte-identical output; saves a memory round trip —
             # and reads the memmap pages directly instead of through a
             # diffed copy). Order 2: the first diff runs here, the
             # second fuses into the prep — still one extra pass total.
             src = (diff_along_axis(chunk, axis=0)
-                   if self.time_diff_order == 2 else chunk)
+                   if t_order == 2 else chunk)
             payload = enc(src, order=self.chunk_order,
-                          time_diff_pending=True)
+                          time_diff_pending=True, transform=tdesc)
         else:
-            chunkd = self._transform_chunk(chunk)
-            payload = enc(chunkd, order=self.chunk_order)
+            chunkd = self._transform_chunk(chunk, t_order, t_spatial)
+            if tdesc is not None:
+                payload = enc(chunkd, order=self.chunk_order,
+                              transform=tdesc)
+            else:
+                payload = enc(chunkd, order=self.chunk_order)
         size = (sum(len(p) for p in payload)
                 if isinstance(payload, list) else len(payload))
         logger.debug("Chunk %d/%d: -%.3f%%.", chunk_idx + 1, self.n_chunks,
@@ -339,6 +408,12 @@ class Writer:
         random-access windows.
         """
         if self.algorithm != 'ans':
+            return False
+        if self.transform_adapt:
+            # The device batch encoder applies ONE transform per batch;
+            # adaptive windows would need per-chunk re-transform and
+            # probe results mid-batch. Host encode (which adaptation
+            # targets: long drifting recordings, ratio over speed).
             return False
         device = self.config.device
         if device in ('tpu', 'cpu'):
@@ -542,6 +617,17 @@ class Writer:
                 # readers apply the inverse time cumsum twice. Absent
                 # key = order 1 (every pre-existing file).
                 extra['time_diff_order'] = 2
+            if self.transform_adapt:
+                # Informational + resume state (the writer setting and
+                # its probe grid); decoding NEVER depends on these —
+                # every adaptive chunk self-describes via the
+                # container's flags bit5, so the keys are deliberately
+                # NOT decode-identity (mixing adaptive and static
+                # chunks/parts is safe).
+                extra['transform_adapt'] = int(self.transform_adapt)
+                extra['transform_adapt_grid'] = [
+                    list(self._adapt_orders),
+                    [bool(s) for s in self._adapt_spatials]]
         part = getattr(self, '_part', None)
         bounds = self.chunk_bounds
         shape = self.shape
@@ -625,6 +711,11 @@ class Reader:
         # Sidecar extension (v2): second-order time prediction — the
         # inverse applies the modular cumsum twice. Absent key = 1.
         self.time_diff_order = int(self.cmeta.get('time_diff_order', 1))
+        # Informational: the writer's adaptive-window setting. Decoding
+        # does NOT consult it — per-chunk transforms ride the payload
+        # header (flags bit5), which every inverse site peeks.
+        self.transform_adapt = int(self.cmeta.get('transform_adapt', 0)
+                                   or 0)
         self.codec = get_codec(self.algorithm,
                                seg_log2=self.cmeta.get('ans_seg_log2', 16))
         self.n_samples = self.chunk_bounds[-1]
@@ -681,9 +772,7 @@ class Reader:
             raise IOError("Compressed chunk #%d is corrupted." % chunk_idx)
         # inplace: codec.decode output is a private buffer (or a
         # read-only view, which the helper detects and copies).
-        chunki = cumsum_along_axis(
-            chunkd, axis=1 if self.cmeta.do_spatial_diff else None)
-        chunki = self._inverse_time(chunki)
+        chunki = self._inverse_transform(chunkd, cbuffer)
         assert chunki.dtype == self.code_dtype
         assert chunki.shape == (ns, self.n_channels)
         chunki = np.ascontiguousarray(chunki)
@@ -698,6 +787,30 @@ class Reader:
             return chunki
         chunki = cumsum_along_axis(chunki, axis=0, inplace=True)
         if self.time_diff_order == 2:
+            chunki = cumsum_along_axis(chunki, axis=0, inplace=True)
+        return chunki
+
+    def _payload_transform(self, cbuffer):
+        """Per-chunk transform descriptor from the container header
+        (flags bit5), or None for static chunks. Honored over the
+        sidecar so adaptive chunks decode correctly everywhere — even
+        in merged files whose sidecar predates/ignores adaptation."""
+        if self.algorithm != 'ans':
+            return None
+        from .codec.ans import peek_transform
+        return peek_transform(cbuffer)
+
+    def _inverse_transform(self, chunkd, cbuffer):
+        """Spatial cumsum then time cumsum(s), per this chunk's
+        effective transform (payload descriptor or sidecar global)."""
+        desc = self._payload_transform(cbuffer)
+        if desc is None:
+            chunki = cumsum_along_axis(
+                chunkd, axis=1 if self.cmeta.do_spatial_diff else None)
+            return self._inverse_time(chunki)
+        t_order, t_spatial = desc
+        chunki = cumsum_along_axis(chunkd, axis=1 if t_spatial else None)
+        for _ in range(t_order):
             chunki = cumsum_along_axis(chunki, axis=0, inplace=True)
         return chunki
 
@@ -723,6 +836,11 @@ class Reader:
         start = self.chunk_offsets[chunk_idx]
         length = self.chunk_offsets[chunk_idx + 1] - start
         cbuffer = pread_exact(self.cdata, length, start)
+        desc = self._payload_transform(cbuffer)
+        if desc is not None and desc[1]:
+            # This chunk was adaptively spatial-diffed: columns are
+            # coupled, full-chunk fallback.
+            return None
         i0, i1 = self.chunk_bounds[chunk_idx:chunk_idx + 2]
         ns = i1 - i0
         try:
@@ -737,7 +855,11 @@ class Reader:
             return None
         # Columns are independent under the time diff: the per-column
         # modular cumsum is the exact inverse restricted to ``cols``.
-        part = self._inverse_time(part)
+        if desc is not None:
+            for _ in range(desc[0]):
+                part = cumsum_along_axis(part, axis=0, inplace=True)
+        else:
+            part = self._inverse_time(part)
         return part.view(self.dtype) if self.float_bitcast else part
 
     def decompress_chunks(self, chunk_ids, pool=None):
@@ -785,10 +907,8 @@ class Reader:
             raise IOError("A compressed chunk in %s..%s is corrupted."
                           % (chunk_ids[0], chunk_ids[-1]))
         out = {}
-        for i, chunkd in zip(chunk_ids, chunkds):
-            chunki = cumsum_along_axis(
-                chunkd, axis=1 if self.cmeta.do_spatial_diff else None)
-            chunki = self._inverse_time(chunki)
+        for i, chunkd, payload in zip(chunk_ids, chunkds, payloads):
+            chunki = self._inverse_transform(chunkd, payload)
             chunki = np.ascontiguousarray(chunki)
             if self.float_bitcast:
                 # Keep the caller's in-place identity contract: when the

@@ -85,6 +85,7 @@ def _args_to_config(parser, args, compress=True):
                 getattr(pargs, 'time_diff_order', None)),
             do_spatial_diff=_parse_spatial(
                 getattr(pargs, 'do_spatial_diff', None)),
+            transform_adapt=getattr(pargs, 'transform_adapt', None),
         )
     else:
         kwargs.update(check_after_decompress=check_after)
@@ -173,6 +174,16 @@ def mtscomp_parser():
                              "wins (channel-correlated bands: smooth "
                              "LFP fields, common-mode artifacts); '0' "
                              "is the reference default, '1' forces it")
+    parser.add_argument('--adapt', type=int, nargs='?', const=30,
+                        dest='transform_adapt', metavar='N',
+                        help="re-probe the transform every N chunks "
+                             "(default 30 when the flag is given "
+                             "bare; ans only): each window leader is "
+                             "probed over the order x spatial grid and "
+                             "its choice is stamped per chunk, so "
+                             "recordings whose statistics drift (e.g. "
+                             "LFP onset mid-file) keep the best "
+                             "transform throughout")
     parser.add_argument('--range', type=str, dest='chunk_range',
                         help='compress only chunks FIRST:LAST (exclusive) '
                              'into a standalone part file; merge parts '

@@ -96,6 +96,18 @@ FLAG_CRC32 = 8
 # assigned to clustered tables; see cluster_segment_tables.
 FLAG_MULTITABLE = 16
 
+# flags bit5: per-chunk transform descriptor. The header's first
+# reserved byte (offset 15) carries how THIS chunk was transformed:
+# bits 0-1 = time-diff order (0 none, 1, 2), bit 2 = spatial diff.
+# Written by adaptive writers (``transform_adapt``), whose periodic
+# probe may change the transform mid-recording as the signal drifts;
+# every chunk stays self-describing, so chop/merge/random access need
+# no extra state and mixing adaptive with static chunks in one file is
+# safe. Decoders must honor the descriptor over the sidecar's global
+# transform keys whenever the bit is set (absent bit = sidecar
+# semantics, i.e. every pre-bit5 file decodes unchanged).
+FLAG_TRANSFORM = 32
+
 DEFAULT_SEG_LOG2 = 16           # 65536 symbols per segment
 
 
@@ -131,6 +143,28 @@ def _append_crc(parts):
 
 _HEADER = struct.Struct('<IBBBBIBBBBHH')
 assert _HEADER.size == 20
+
+
+def peek_transform(payload):
+    """Per-chunk transform descriptor of a container, or None.
+
+    Reads only the 20-byte header (flags bit5 + the reserved byte) —
+    the Reader's inverse-transform sites call this on EVERY ans chunk
+    so adaptive chunks decode correctly even when the sidecar knows
+    nothing about them (e.g. a merged file mixing adaptive and static
+    parts). Returns ``(time_diff_order, spatial)`` or None; malformed
+    headers return None and fail loudly in the full parse instead.
+    """
+    if len(payload) < _HEADER.size:
+        return None
+    (magic, version, _it, flags, _sb, _ne, _sl, _mf, _gr, tdesc,
+     _nh, _r2) = _HEADER.unpack_from(payload, 0)
+    if magic != MAGIC or version != CONTAINER_VERSION:
+        return None
+    if not flags & FLAG_TRANSFORM:
+        return None
+    order = tdesc & 3
+    return (order if order != 3 else 0, bool(tdesc & 4))
 
 
 def split_planes(elements, zigzag):
@@ -400,12 +434,15 @@ class AnsCodec:
 
     # --- encode -----------------------------------------------------------
 
-    def encode(self, chunkd, order='F', time_diff_pending=False):
+    def encode(self, chunkd, order='F', time_diff_pending=False,
+               transform=None):
         """Encode one transformed chunk into one container bytestring."""
         return b''.join(self.encode_parts(
-            chunkd, order=order, time_diff_pending=time_diff_pending))
+            chunkd, order=order, time_diff_pending=time_diff_pending,
+            transform=transform))
 
-    def encode_parts(self, chunkd, order='F', time_diff_pending=False):
+    def encode_parts(self, chunkd, order='F', time_diff_pending=False,
+                     transform=None):
         """Encode one transformed chunk into container parts.
 
         Returns the list of byte-like parts (CRC32 tail included) whose
@@ -421,6 +458,13 @@ class AnsCodec:
         Output bytes are identical either way — callers (Writer,
         StreamWriter) use the flag whenever the transform is exactly
         the axis-0 diff.
+
+        ``transform=(time_diff_order, spatial)`` stamps the per-chunk
+        transform descriptor into the container (flags bit5 + the
+        header's reserved byte) — adaptive writers pass the transform
+        they actually applied to ``chunkd`` so each chunk is
+        self-describing; ``None`` (the default) leaves the container
+        byte-identical to pre-bit5 writers.
         """
         chunkd = np.asarray(chunkd)
         n_elems = chunkd.size
@@ -500,10 +544,15 @@ class AnsCodec:
             # Fused-diff prep unavailable (no native library, or a
             # layout the fast path declines): materialize the diff and
             # restart on the generic path. diff_along_axis keeps row 0
-            # verbatim, so head semantics are identical.
+            # verbatim, so head semantics are identical. The transform
+            # descriptor MUST ride along — dropping it here once wrote
+            # adaptive int32 chunks without their bit5 stamp while the
+            # probed transform was still applied (silently corrupt
+            # whenever the probe disagreed with the sidecar global;
+            # found by the lifecycle storm).
             from ..ops.delta import diff_along_axis
             return self.encode_parts(diff_along_axis(chunkd, axis=0),
-                                     order=order)
+                                     order=order, transform=transform)
         if fast is None:
             elements = (chunkd[1:] if split_head else chunkd
                         ).ravel(order=order)
@@ -552,11 +601,19 @@ class AnsCodec:
         flags = (int(zigzag) | (2 if split_head else 0)
                  | (4 if aligned else 0)
                  | (FLAG_MULTITABLE if multitable else 0) | FLAG_CRC32)
+        tdesc = 0
+        if transform is not None:
+            t_order, t_spatial = transform
+            if not 0 <= int(t_order) <= 2:
+                raise ValueError("transform order must be 0, 1 or 2 "
+                                 "(got %r)." % (t_order,))
+            flags |= FLAG_TRANSFORM
+            tdesc = int(t_order) | (4 if t_spatial else 0)
         seg_field = k if aligned else self.seg_log2
         parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
                               flags, rans.SCALE_BITS, n_elems,
                               seg_field, rans.MIN_FREQ,
-                              rans.GROUP_ROWS, 0, n_head, 0)]
+                              rans.GROUP_ROWS, tdesc, n_head, 0)]
         if split_head:
             h = head
             if h.dtype.byteorder == '>':  # pragma: no cover
@@ -1040,9 +1097,15 @@ class AnsCodec:
                                'words': words})
         if off != len(mv):
             raise IOError("ANS chunk has %d trailing bytes." % (len(mv) - off))
+        transform = None
+        if flags & FLAG_TRANSFORM:
+            t_order = _r1 & 3
+            if t_order == 3:
+                raise IOError("ANS chunk transform descriptor order 3.")
+            transform = (t_order, bool(_r1 & 4))
         return {'itemsize': itemsize, 'n_elems': n_elems,
                 'n_head': n_head, 'head': head,
                 'zigzag': bool(flags & 1), 'seg_log2': seg_log2,
                 'seg': seg, 'aligned': aligned, 'tcs': tcs, 'tp': tp,
-                'n_stream': n_stream,
+                'n_stream': n_stream, 'transform': transform,
                 'modes': modes, 'planes': planes, 'groups': groups}

@@ -56,6 +56,16 @@ DEFAULT_CONFIG = (
                                     # on oversampled/LFP-like bands, loses on
                                     # noise-dominated ones; zlib stays order 1
                                     # for reference byte-identity)
+    ('transform_adapt', 0),         # 0 = off; N > 0 re-probes the transform
+                                    # every N chunks (ans only): each window
+                                    # leader is probed over the order x
+                                    # spatial grid and its choice applies to
+                                    # the window, stamped per chunk in the
+                                    # container (flags bit5) so drifting
+                                    # recordings (e.g. LFP onset mid-file)
+                                    # keep the best transform throughout.
+                                    # Deterministic bytes regardless of
+                                    # thread count or part splits.
 )
 
 CHECK_ATOL = 1e-16  # float comparison tolerance (reference mtscomp.py:59)

@@ -555,6 +555,11 @@ class DeviceBatchDecoder:
         for parsed in parsed_list:
             if parsed['modes'] != first['modes']:
                 return False
+            if parsed.get('transform') != first.get('transform'):
+                # Adaptive chunks with differing transforms cannot share
+                # one compiled decode fn; host path decodes them
+                # per-chunk (uniform windows still batch on device).
+                return False
             if parsed['seg'] != first['seg']:
                 return False
             if parsed['aligned'] != first['aligned']:
@@ -617,6 +622,18 @@ class DeviceBatchDecoder:
         n_seg = -(-n_stream // seg) if rans_planes else 0
         G = len(first['groups'])
         S = -(-min(seg, n_stream) // LANES) if rans_planes else 0
+        # Effective transform: adaptive chunks' payload descriptor
+        # (batch-uniform, enforced by supported()) overrides the
+        # sidecar-derived reader attributes.
+        tr = first.get('transform')
+        if tr is not None:
+            do_time_diff = tr[0] > 0
+            diff_order = tr[0] if tr[0] else 1
+            do_spatial_diff = bool(tr[1])
+        else:
+            do_time_diff = self.do_time_diff
+            diff_order = self.diff_order
+            do_spatial_diff = self.do_spatial_diff
 
         jax_mod = _jax()[0]
         from ..ops.pallas_rans import force_interpret
@@ -635,7 +652,7 @@ class DeviceBatchDecoder:
         tp = -(-Tc // LANES) * LANES if aligned else 0
         fuse8_pre, k8, _spb8 = _fuse8_geom(
             modes, self.dtype, first['zigzag'], self.order,
-            self.do_time_diff, self.do_spatial_diff, seg, tp, T, S,
+            do_time_diff, do_spatial_diff, seg, tp, T, S,
             use_pallas, aligned, has_head)
         tail = None
         if (fuse8_pre and G >= 2
@@ -764,9 +781,9 @@ class DeviceBatchDecoder:
         if mesh is None:
             fn = _build_decode_fn(
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
-                self.order, self.do_time_diff, self.do_spatial_diff,
+                self.order, do_time_diff, do_spatial_diff,
                 first['zigzag'], has_head, use_pallas, small_alpha,
-                aligned, one_fixup, self.diff_order, octet, tail)
+                aligned, one_fixup, diff_order, octet, tail)
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -782,9 +799,9 @@ class DeviceBatchDecoder:
         axis = mesh.axis_names[0]
         inner = _build_decode_fn(
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
-            self.order, self.do_time_diff, self.do_spatial_diff,
+            self.order, do_time_diff, do_spatial_diff,
             first['zigzag'], has_head, use_pallas, small_alpha, aligned,
-            one_fixup, self.diff_order, octet, tail)
+            one_fixup, diff_order, octet, tail)
         spec = PartitionSpec(axis)
         # check_vma stays on for compiled (TPU) runs; interpret-mode
         # pallas_call cannot declare its outputs' varying-manifest, so

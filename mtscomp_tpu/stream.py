@@ -85,6 +85,19 @@ class StreamWriter:
         self._probe_order = (order_cfg == 'auto'
                              and config.algorithm == 'ans'
                              and bool(config.do_time_diff))
+        self.transform_adapt = int(config.get('transform_adapt', 0) or 0)
+        if self.transform_adapt and self.algorithm != 'ans':
+            raise ValueError(
+                "transform_adapt requires algorithm='ans' (zlib output "
+                "must stay byte-identical to the reference).")
+        # Candidate grids for adaptive window probes: the same grids
+        # the 'auto' settings search (explicit settings stay fixed).
+        self._adapt_orders = (
+            [1, 2] if order_cfg == 'auto'
+            else [order_cfg]) if config.do_time_diff else [1]
+        self._adapt_spatials = ([False, True]
+                                if config.do_spatial_diff == 'auto'
+                                else [bool(config.do_spatial_diff)])
         self.chunk_order = config.chunk_order
         self.comp_level = config.comp_level
         self.codec = get_codec(
@@ -113,6 +126,8 @@ class StreamWriter:
         self._buffer = np.empty((self.chunk_size, self.n_channels),
                                 dtype=self.dtype)
         self._fill = 0
+        self._adapt_current = None
+        self._adapt_win = -1
         self.chunk_bounds = [0]
         self.chunk_offsets = [0]
         self.n_samples = 0
@@ -213,7 +228,7 @@ class StreamWriter:
         # the audit runs with the ORIGINAL sidecar).
         for key in ('sample_rate', 'n_channels', 'dtype', 'algorithm',
                     'do_time_diff', 'do_spatial_diff', 'time_diff_order',
-                    'chunk_order', 'float_bitcast'):
+                    'chunk_order', 'float_bitcast', 'transform_adapt'):
             if key in overrides:
                 raise ValueError("resume derives %r from the sidecar; "
                                  "it cannot be overridden." % key)
@@ -230,6 +245,10 @@ class StreamWriter:
         )
         if cm.get('ans_seg_log2') is not None:
             kwargs['ans_seg_log2'] = cm['ans_seg_log2']
+        adapt_grid = None
+        if cm.get('transform_adapt'):
+            kwargs['transform_adapt'] = int(cm['transform_adapt'])
+            adapt_grid = cm.get('transform_adapt_grid')
         # The sidecar records ans_table_mode only when it is not
         # 'plane' — absence means plane, which must NOT fall back to
         # the library default (segment since round 2) or the resumed
@@ -265,6 +284,12 @@ class StreamWriter:
                            and w.dtype.kind == 'f')
         w.code_dtype = (np.dtype('int%d' % (w.dtype.itemsize * 8))
                         if w.float_bitcast else w.dtype)
+        if adapt_grid:
+            # The probe grid the original writer searched ('auto'
+            # candidates); the resumed writer must keep probing the
+            # same grid, not the singletons its resolved kwargs imply.
+            w._adapt_orders = [int(o) for o in adapt_grid[0]]
+            w._adapt_spatials = [bool(s) for s in adapt_grid[1]]
         try:
             if w.chunk_size != chunk_size:
                 # Guard against chunk_duration float round-trip drift.
@@ -302,10 +327,32 @@ class StreamWriter:
             from .api import Reader
             r = Reader(quiet=True, device='none')
             r.open(out, outmeta)
+            # Mid-window resume of an adaptive stream: the NEXT chunk's
+            # transform is its window LEADER's probe result; the leader
+            # is already on disk, so re-derive the choice from its
+            # decoded samples (bit-exact for ans) during the audit pass
+            # below — resumed bytes stay identical to an uninterrupted
+            # stream.
+            n_done = len(bounds) - 1
+            adapt_leader = None
+            if w.transform_adapt and n_done % w.transform_adapt:
+                adapt_leader = ((n_done // w.transform_adapt)
+                                * w.transform_adapt)
             try:
                 for i, start, length in r.iter_chunks():
                     chunk = r.read_chunk(i, start, length)
-                    w.sha1_uncompressed.update(np.ascontiguousarray(chunk))
+                    chunk = np.ascontiguousarray(chunk)
+                    w.sha1_uncompressed.update(chunk)
+                    if i == adapt_leader:
+                        from .api import (probe_transform,
+                                          TRANSFORM_PROBE_SAMPLES)
+                        probe = chunk.view(w.code_dtype) \
+                            if w.float_bitcast else chunk
+                        w._adapt_current = probe_transform(
+                            probe[:TRANSFORM_PROBE_SAMPLES], w.codec,
+                            w.chunk_order, w.do_time_diff,
+                            w._adapt_orders, w._adapt_spatials)
+                        w._adapt_win = i // w.transform_adapt
             finally:
                 r.close()
             if cm.get('sha1_uncompressed') is not None \
@@ -357,26 +404,55 @@ class StreamWriter:
                 self.chunk_order, self.do_time_diff, orders, spatials)
             self.time_diff_order, self.do_spatial_diff = order, spatial
             self._probe_order = self._probe_spatial = False
+            if self.transform_adapt:
+                # This probe IS window 0's leader probe (same inputs,
+                # same grids); seed the adaptive state instead of
+                # re-running it below.
+                self._adapt_current = (order, spatial)
+                self._adapt_win = 0
+        if self.transform_adapt:
+            idx = len(self.chunk_bounds) - 1
+            win = idx // self.transform_adapt
+            if win != self._adapt_win or self._adapt_current is None:
+                # Window leader: re-probe (identical inputs and grids
+                # to the batch Writer's window probe, so stream bytes
+                # stay identical to a batch compress with the same
+                # transform_adapt).
+                from .api import probe_transform, TRANSFORM_PROBE_SAMPLES
+                self._adapt_current = probe_transform(
+                    chunk[:TRANSFORM_PROBE_SAMPLES], self.codec,
+                    self.chunk_order, self.do_time_diff,
+                    self._adapt_orders, self._adapt_spatials)
+                self._adapt_win = win
+            t_order, t_spatial = self._adapt_current
+            tdesc = (t_order if self.do_time_diff else 0, t_spatial)
+        else:
+            t_order, t_spatial = self.time_diff_order, self.do_spatial_diff
+            tdesc = None
         # Parts form when available: the container streams to the file
         # part by part instead of through one multi-MB join (see
         # Writer._compress_chunk).
         enc = getattr(self.codec, 'encode_parts', self.codec.encode)
         if (self.algorithm == 'ans' and self.do_time_diff
-                and not self.do_spatial_diff):
+                and not t_spatial):
             # The codec fuses the axis-0 diff into its native prep
             # pass (byte-identical output; saves a memory round trip).
             src = (diff_along_axis(chunk, axis=0)
-                   if self.time_diff_order == 2 else chunk)
+                   if t_order == 2 else chunk)
             payload = enc(src, order=self.chunk_order,
-                          time_diff_pending=True)
+                          time_diff_pending=True, transform=tdesc)
         else:
             chunkd = diff_along_axis(chunk,
                                      axis=0 if self.do_time_diff else None)
-            if self.do_time_diff and self.time_diff_order == 2:
+            if self.do_time_diff and t_order == 2:
                 chunkd = diff_along_axis(chunkd, axis=0)
             chunkd = diff_along_axis(chunkd,
-                                     axis=1 if self.do_spatial_diff else None)
-            payload = enc(chunkd, order=self.chunk_order)
+                                     axis=1 if t_spatial else None)
+            if tdesc is not None:
+                payload = enc(chunkd, order=self.chunk_order,
+                              transform=tdesc)
+            else:
+                payload = enc(chunkd, order=self.chunk_order)
         parts = payload if isinstance(payload, list) else (payload,)
         size = 0
         for part in parts:
@@ -409,6 +485,16 @@ class StreamWriter:
                 extra['float_bitcast'] = True
             if self.do_time_diff and self.time_diff_order == 2:
                 extra['time_diff_order'] = 2
+            if self.transform_adapt:
+                # Writer setting + its probe grid (resume must keep
+                # probing the SAME candidate grid or post-resume
+                # windows would diverge from an uninterrupted stream).
+                # Decode never consults these: chunks self-describe
+                # via the container's flags bit5.
+                extra['transform_adapt'] = int(self.transform_adapt)
+                extra['transform_adapt_grid'] = [
+                    list(self._adapt_orders),
+                    [bool(s) for s in self._adapt_spatials]]
         if streaming:
             extra['streaming'] = True
         cmeta = build_cmeta(

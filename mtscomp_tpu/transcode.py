@@ -82,6 +82,13 @@ def transcode(cdata, cmeta=None, out=None, outmeta=None, algorithm='ans',
         # order for ans targets (absent key = 1); zlib targets always
         # order 1 (reference byte-identity). Explicit override via
         # kwargs['time_diff_order'] (1 or 2).
+        if kwargs.get('transform_adapt'):
+            # Adaptive windows are a Writer-side probe schedule over the
+            # raw recording; a transcode re-encodes chunk-by-chunk with
+            # ONE target transform (adaptive SOURCES are fine — the
+            # Reader already honors their per-chunk descriptors).
+            raise ValueError("transcode does not take transform_adapt; "
+                             "recompress from the raw file to adapt.")
         tdo = kwargs.get('time_diff_order')
         if isinstance(tdo, str):
             # 'auto' is a Writer-side probe of the raw file; a transcode

@@ -84,6 +84,11 @@ def test_lifecycle_storm(tmp_path_, seed):
             kwargs['do_spatial_diff'] = bool(rng.integers(0, 2))
         if rng.integers(0, 2):
             kwargs['ans_seg_log2'] = int(rng.integers(9, 14))
+        if rng.integers(0, 2):
+            # Per-chunk transform adaptation (flags bit5): chains must
+            # keep decoding self-described chunks exactly through
+            # transcode/chop/merge/resume.
+            kwargs['transform_adapt'] = int(rng.integers(1, 4))
         cb, ch = base / 'f0.cbin', base / 'f0.ch'
         compress(raw, cb, ch, sample_rate=sr, n_channels=nc, dtype=dtype,
                  algorithm='ans', quiet=True, **kwargs)

@@ -1,0 +1,262 @@
+"""Periodic per-chunk transform adaptation (transform_adapt, flags bit5).
+
+Windows of N chunks share their leader's probed transform; every
+adaptive chunk self-describes via the container header, so decode never
+consults the sidecar for them. Beyond-reference ratio feature: the
+reference's transform is global (mtscomp.py:375-397) — a drifting
+recording keeps chunk 0's choice forever there.
+"""
+
+import numpy as np
+import pytest
+
+from mtscomp_tpu import compress, decompress
+from mtscomp_tpu.parallel.pipeline import _read_payload
+
+from conftest import write_arr
+
+SR, NC = 2000.0, 24
+
+
+def drifting_signal(n_chunks=12, ns=2000, nc=NC, seed=0):
+    """First half noise-dominated (order 1 wins), second half
+    oscillatory LFP-like (order 2 wins)."""
+    rng = np.random.default_rng(seed)
+    half = ns * n_chunks // 2
+    t = np.arange(half)
+    noise = np.cumsum(rng.normal(0, 8, size=(half, nc)), axis=0)
+    lfp = (800 * np.sin(2 * np.pi * 4 * t / 2000.0)[:, None]
+           + np.cumsum(rng.normal(0, .6, size=(half, nc)), axis=0))
+    return np.concatenate([noise, lfp]).astype(np.int16)
+
+
+def _descs(r):
+    return [r.codec.parse(_read_payload(r, i))['transform']
+            for i in range(r.n_chunks)]
+
+
+def test_adapt_ratio_gain_and_exactness(tmp_path_):
+    arr = drifting_signal()
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    rs = compress(path, tmp_path_ / 's.cbin', tmp_path_ / 's.ch',
+                  sample_rate=SR, n_channels=NC, dtype='int16',
+                  algorithm='ans', quiet=True)
+    ra = compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+                  sample_rate=SR, n_channels=NC, dtype='int16',
+                  algorithm='ans', quiet=True, transform_adapt=4)
+    # Static keeps chunk 0's order-1 choice for the LFP half; adaptive
+    # switches at the window boundary -> strictly better ratio.
+    assert 1 / ra > 1.05 * (1 / rs)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+        assert r.cmeta['transform_adapt'] == 4
+        descs = _descs(r)
+        assert all(d is not None for d in descs)
+        assert descs[0][0] == 1 and descs[-1][0] == 2
+        # Windows change only at window boundaries.
+        for i, d in enumerate(descs):
+            assert d == descs[(i // 4) * 4]
+        # Random access + column reads ride the per-chunk descriptors.
+        assert np.array_equal(r[2100:9500], arr[2100:9500])
+        assert np.array_equal(r[:, 3], arr[:, 3])
+        assert np.array_equal(r[:, 7:9], arr[:, 7:9])
+    finally:
+        r.close()
+
+
+def test_adapt_bytes_deterministic_across_threads(tmp_path_):
+    arr = drifting_signal(n_chunks=8)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    for i, nt in enumerate([1, 4]):
+        compress(path, tmp_path_ / ('t%d.cbin' % i),
+                 tmp_path_ / ('t%d.ch' % i), sample_rate=SR,
+                 n_channels=NC, dtype='int16', algorithm='ans',
+                 quiet=True, transform_adapt=3, n_threads=nt,
+                 check_after_compress=False)
+    assert (tmp_path_ / 't0.cbin').read_bytes() \
+        == (tmp_path_ / 't1.cbin').read_bytes()
+
+
+def test_adapt_stream_matches_batch_and_resume(tmp_path_):
+    from mtscomp_tpu.stream import StreamWriter
+    arr = drifting_signal(n_chunks=10)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'b.cbin', tmp_path_ / 'b.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=3,
+             check_after_compress=False)
+    with StreamWriter(tmp_path_ / 's.cbin', tmp_path_ / 's.ch',
+                      sample_rate=SR, n_channels=NC, dtype='int16',
+                      algorithm='ans', transform_adapt=3) as w:
+        for i in range(0, len(arr), 1500):
+            w.append(arr[i:i + 1500])
+    assert (tmp_path_ / 's.cbin').read_bytes() \
+        == (tmp_path_ / 'b.cbin').read_bytes()
+    # Crash-resume MID-WINDOW (5 chunks in, window size 3): the resumed
+    # writer re-derives the window leader's probe from the decoded
+    # leader chunk; the finished file must stay byte-identical.
+    w = StreamWriter(tmp_path_ / 'r.cbin', tmp_path_ / 'r.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm='ans', transform_adapt=3,
+                     live_sidecar=True)
+    w.append(arr[:5 * 2000])
+    w._fb.close()                      # simulated crash (no finalize)
+    w._closed = True
+    w2 = StreamWriter.resume(tmp_path_ / 'r.cbin', tmp_path_ / 'r.ch')
+    try:
+        w2.append(arr[5 * 2000:])
+    finally:
+        w2.close()
+    assert (tmp_path_ / 'r.cbin').read_bytes() \
+        == (tmp_path_ / 'b.cbin').read_bytes()
+    with pytest.raises(ValueError, match='sidecar'):
+        StreamWriter.resume(tmp_path_ / 'b.cbin', tmp_path_ / 'b.ch',
+                            transform_adapt=5)
+
+
+def test_adapt_device_batch_uniform_windows(tmp_path_, monkeypatch):
+    """Uniform-transform batches decode on the device path; a batch
+    mixing transforms is declined (host decodes it exactly)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel.pipeline import DeviceBatchDecoder
+    arr = drifting_signal(n_chunks=8)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=4,
+             check_after_compress=False)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    try:
+        descs = _descs(r)
+        assert descs[0] != descs[4]     # the signal drifts mid-file
+        parsed = [r.codec.parse(_read_payload(r, i)) for i in range(8)]
+        dec = DeviceBatchDecoder(r)
+        ns = r.chunk_bounds[1]
+        assert not dec.supported(parsed, ns)          # mixed transforms
+        assert dec.supported(parsed[:4], ns)          # uniform window
+        assert dec.supported(parsed[4:], ns)
+        out = dec.decode_batch(parsed[4:], ns)
+        assert np.array_equal(out.reshape(-1, NC), arr[4 * 2000:])
+    finally:
+        r.close()
+
+
+def test_adapt_guards(tmp_path_):
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.transcode import transcode
+    with pytest.raises(ValueError, match='ans'):
+        Writer(algorithm='zlib', transform_adapt=4)
+    arr = drifting_signal(n_chunks=4)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=2,
+             check_after_compress=False)
+    with pytest.raises(ValueError, match='transform_adapt'):
+        transcode(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+                  tmp_path_ / 'o.cbin', tmp_path_ / 'o.ch',
+                  transform_adapt=2, quiet=True)
+    # Adaptive SOURCES transcode fine (the Reader undoes per-chunk
+    # transforms before re-encoding).
+    transcode(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+              tmp_path_ / 'z.cbin', tmp_path_ / 'z.ch',
+              algorithm='zlib', quiet=True)
+    r = decompress(tmp_path_ / 'z.cbin', tmp_path_ / 'z.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_adapt_chop_and_verify(tmp_path_):
+    from mtscomp_tpu.verify import verify_file
+    arr = drifting_signal(n_chunks=8)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=3,
+             check_after_compress=False)
+    assert verify_file(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+                       deep=True, quiet=True)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    try:
+        # Chop keeps chunks self-contained: the truncated file decodes
+        # its surviving adaptive chunks from their own descriptors.
+        r.chop(6, tmp_path_ / 'c.cbin')
+    finally:
+        r.close()
+    rc = decompress(tmp_path_ / 'c.cbin', tmp_path_ / 'c.ch', quiet=True)
+    try:
+        assert np.array_equal(rc[:], arr[:6 * 2000])
+    finally:
+        rc.close()
+
+
+def test_adapt_spatial_window_and_columns(tmp_path_):
+    """A window whose leader picks the spatial diff: decodes exactly;
+    column-restricted reads detect the per-chunk spatial flag and fall
+    back to full-chunk decode (columns are coupled there)."""
+    rng = np.random.default_rng(3)
+    half = 4 * 2000
+    indep = np.cumsum(rng.normal(0, 8, size=(half, NC)), axis=0)
+    common = (np.cumsum(rng.normal(0, 60, size=(half, 1)), axis=0)
+              + np.cumsum(rng.normal(0, .5, size=(half, NC)), axis=0))
+    arr = np.concatenate([indep, common]).astype(np.int16)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=4,
+             check_after_compress=False)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    try:
+        descs = _descs(r)
+        assert descs[4][1] and not descs[0][1]     # spatial engaged late
+        assert np.array_equal(r[:], arr)
+        assert np.array_equal(r[:, 5], arr[:, 5])
+        assert np.array_equal(r[3000:13000, 2:7], arr[3000:13000, 2:7])
+    finally:
+        r.close()
+
+
+def test_adapt_cli_flag(tmp_path_):
+    from mtscomp_tpu.cli import mtscomp as cli_compress
+    arr = drifting_signal(n_chunks=6)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    cli_compress([str(path), str(tmp_path_ / 'a.cbin'),
+                  str(tmp_path_ / 'a.ch'), '-d', 'int16', '-s', '2000',
+                  '-n', str(NC), '-a', 'ans', '--adapt', '3', '-nc'])
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    try:
+        assert r.cmeta['transform_adapt'] == 3
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_adapt_desc_survives_generic_encode_path(tmp_path_):
+    """The encode restart for dtypes the fused native prep declines
+    (int32 here) must keep the bit5 descriptor: it was once dropped,
+    writing adaptive chunks whose applied transform was unrecorded —
+    silently corrupt whenever the window probe disagreed with the
+    sidecar global (found by the lifecycle storm)."""
+    rng = np.random.default_rng(5)
+    half = 4 * 2000
+    t = np.arange(half)
+    noise = np.cumsum(rng.normal(0, 8, size=(half, NC)), axis=0)
+    lfp = (800 * np.sin(2 * np.pi * 4 * t / 2000.0)[:, None]
+           + np.cumsum(rng.normal(0, .6, size=(half, NC)), axis=0))
+    arr = np.concatenate([noise, lfp]).astype(np.int32)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='int32',
+             algorithm='ans', quiet=True, transform_adapt=2,
+             check_after_compress=False)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    try:
+        descs = _descs(r)
+        assert all(d is not None for d in descs)
+        assert descs[0] != descs[-1]         # the probe really switched
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
