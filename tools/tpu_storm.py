@@ -195,7 +195,7 @@ def device_decode_all(reader, arr):
         parsed = reader.codec.parse(_read_payload(reader, idx))
         sig = (ns, tuple(parsed['modes']), parsed['seg'],
                parsed['aligned'], parsed['zigzag'], parsed['n_stream'],
-               parsed['n_head'])
+               parsed['n_head'], parsed.get('transform'))
         if groups and groups[-1][1] == sig:
             groups[-1][0].append(parsed)
         else:
@@ -553,6 +553,84 @@ def main():
                             do_spatial_diff='auto',
                             time_diff_order='auto',
                             expect_meta={'do_spatial_diff': True}))
+
+    # --- ragged-tail split packing (the 385th-channel fix) --------------
+    # ans_seg_log2=14 -> k=4-channel segments, 97 per plane, groups
+    # [32,32,32,1]: the packer must engage the [fulls | tails] layout
+    # (pack introspection asserted) and the two-ref finalize must be
+    # byte-exact on silicon — the interpret tests cannot prove the
+    # Mosaic lowering of either.
+    def cell_ragged_tail():
+        from mtscomp_tpu.parallel.pipeline import (DeviceBatchDecoder,
+                                                   _read_payload,
+                                                   check_words_used)
+        dt = np.dtype(np.int16)
+        arr = make_data('walk', dt, NS, C, seed=5)
+        sub = tmp / ("cell_%d" % len(RESULTS))
+        sub.mkdir()
+        raw = sub / 'x.bin'
+        arr.tofile(raw)
+        # k=4-channel segments at either storm SR (tp 2048 quick / 4096
+        # full): seg0 <= 4*tp keeps k at the 4 floor.
+        compress(raw, sub / 'x.cbin', sub / 'x.ch', sample_rate=SR,
+                 n_channels=C, dtype='int16',
+                 **cbase(ans_seg_log2=13 if args.quick else 14))
+        r = decompress(sub / 'x.cbin', sub / 'x.ch', quiet=True)
+        try:
+            parsed = [r.codec.parse(_read_payload(r, i))
+                      for i in range(2)]          # the two full chunks
+            assert [len(g['segments'])
+                    for g in parsed[0]['groups']] == [32, 32, 32, 1]
+            ns = r.chunk_bounds[1]
+            dec = DeviceBatchDecoder(r)
+            assert dec.supported(parsed, ns)
+            fn, dev_args = dec.pack(parsed, ns)
+            assert dec.last_tail is not None, "tail split not engaged"
+            out, used = fn(*dev_args)
+            check_words_used(parsed, used)
+            got = np.asarray(out).reshape(2 * ns, C)
+            assert np.array_equal(got, arr[:2 * ns]), "split mismatch"
+            device_decode_all(r, arr)      # incl. the partial tail chunk
+            return {'tail': list(dec.last_tail)}
+        finally:
+            r.close()
+
+    run_cell('ragged_tail_split',
+             'groups [32,32,32,1]: [fulls|tails] packing + two-ref '
+             'finalize byte-exact', cell_ragged_tail)
+
+    # --- per-chunk transform adaptation (flags bit5) ---------------------
+    def cell_transform_adapt():
+        dt = np.dtype(np.int16)
+        half = NS // 2
+        rng = np.random.default_rng(21)
+        t = np.arange(half)
+        noise = np.cumsum(rng.normal(0, 8, size=(half, C)), axis=0)
+        lfp = (800 * np.sin(2 * np.pi * 4 * t / SR)[:, None]
+               + np.cumsum(rng.normal(0, .6, size=(NS - half, C)),
+                           axis=0))
+        arr = np.concatenate([noise, lfp]).astype(dt)
+        sub = tmp / ("cell_%d" % len(RESULTS))
+        sub.mkdir()
+        raw = sub / 'x.bin'
+        arr.tofile(raw)
+        compress(raw, sub / 'x.cbin', sub / 'x.ch', sample_rate=SR,
+                 n_channels=C, dtype='int16',
+                 **cbase(transform_adapt=1))
+        r = decompress(sub / 'x.cbin', sub / 'x.ch', quiet=True)
+        try:
+            from mtscomp_tpu.parallel.pipeline import _read_payload
+            descs = [r.codec.parse(_read_payload(r, i))['transform']
+                     for i in range(r.n_chunks)]
+            assert all(d is not None for d in descs)
+            device_decode_all(r, arr)    # per-window device batches
+            return {'descs': [list(d) for d in descs]}
+        finally:
+            r.close()
+
+    run_cell('transform_adapt_int16',
+             'adaptive bit5 chunks decode on device per uniform window',
+             cell_transform_adapt)
 
     # --- encode kernel: capacity overflow + scan fallback ---------------
     def cell_encode_overflow():
