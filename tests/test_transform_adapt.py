@@ -260,3 +260,50 @@ def test_adapt_desc_survives_generic_encode_path(tmp_path_):
         assert np.array_equal(r[:], arr)
     finally:
         r.close()
+
+
+def test_adapt_multihost_parts_byte_identical(tmp_path_):
+    """Window leaders are absolute chunk indices, so ranged part writes
+    re-derive the same probes whatever the split: merged parts must be
+    byte-identical to a one-shot adaptive compress."""
+    from mtscomp_tpu.parallel.distributed import compress_multihost
+    arr = drifting_signal(n_chunks=9)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'one.cbin', tmp_path_ / 'one.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=4,
+             check_after_compress=False)
+    compress_multihost(path, tmp_path_ / 'm.cbin', tmp_path_ / 'm.ch',
+                       sample_rate=SR, n_channels=NC, dtype='int16',
+                       algorithm='ans', quiet=True, transform_adapt=4,
+                       n_parts=3, check_after_compress=False)
+    assert (tmp_path_ / 'm.cbin').read_bytes() \
+        == (tmp_path_ / 'one.cbin').read_bytes()
+
+
+def test_adapt_decompress_multi_falls_back(tmp_path_, monkeypatch):
+    """Multi-probe decode of adaptive recordings: windows with mixed
+    transforms cannot merge into one device batch — the documented
+    per-reader fallback must decode exactly."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel.pipeline import decompress_multi
+    arrs, readers = [], []
+    try:
+        for i in range(2):
+            arr = drifting_signal(n_chunks=6, seed=10 + i)
+            path = write_arr(tmp_path_ / ('p%d.bin' % i), arr)
+            compress(path, tmp_path_ / ('p%d.cbin' % i),
+                     tmp_path_ / ('p%d.ch' % i), sample_rate=SR,
+                     n_channels=NC, dtype='int16', algorithm='ans',
+                     quiet=True, transform_adapt=3,
+                     check_after_compress=False)
+            arrs.append(arr)
+            readers.append(decompress(tmp_path_ / ('p%d.cbin' % i),
+                                      tmp_path_ / ('p%d.ch' % i),
+                                      quiet=True))
+        outs = decompress_multi(readers)
+        for out, arr in zip(outs, arrs):
+            assert np.array_equal(out, arr)
+    finally:
+        for r in readers:
+            r.close()
