@@ -551,6 +551,9 @@ def mtsdesc(args=None):
         info['time_diff_order'] = int(r.cmeta['time_diff_order'])
     if r.cmeta.get('float_bitcast'):
         info['float_bitcast'] = True
+    if r.cmeta.get('transform_adapt'):
+        info['transform_adapt'] = ('every %d chunks'
+                                   % int(r.cmeta['transform_adapt']))
     part = r.cmeta.get('part')
     if part is not None:
         info['part'] = 'chunks [%d, %d) of %s' % (

@@ -106,6 +106,24 @@ def main():
                  sample_rate=800.0, n_channels=17, dtype='int16',
                  algorithm='ans', time_diff_order=2, quiet=True)
 
+    if wanted('adapt_int16_13ch'):
+        # Per-chunk transform descriptors (flags bit5): drifting signal
+        # (noise half -> smooth half) so the adaptive windows genuinely
+        # switch transforms mid-file; freezes the bit5 container layout.
+        rng = np.random.default_rng(5)
+        half = 2000
+        noise = np.cumsum(rng.normal(0, 8, size=(half, 13)), axis=0)
+        accel = rng.normal(0, 0.02, size=(half, 13))
+        smooth = np.cumsum(np.cumsum(accel, axis=0), axis=0) * 50
+        arr = np.clip(np.concatenate([noise, smooth]), -30000,
+                      30000).astype(np.int16)
+        raw = HERE / 'np_adapt_int16_13ch.bin'
+        arr.tofile(raw)
+        compress(raw, HERE / 'ans_adapt_int16_13ch.cbin',
+                 HERE / 'ans_adapt_int16_13ch.ch',
+                 sample_rate=1000.0, n_channels=13, dtype='int16',
+                 algorithm='ans', transform_adapt=2, quiet=True)
+
     if wanted('f32_11ch'):
         rng = np.random.default_rng(4)
         arr = np.cumsum(rng.normal(0, 0.5, size=(2500, 11)),

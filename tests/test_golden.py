@@ -101,6 +101,29 @@ def test_golden_order2_decode(tmp_path_):
         r.close()
 
 
+def test_golden_transform_adapt_decode(tmp_path_):
+    """The frozen flags-bit5 (adaptive transform) file keeps decoding
+    exactly, with its per-chunk descriptors honored over the sidecar
+    (the artifact genuinely switches transforms mid-file)."""
+    import json
+    from mtscomp_tpu.parallel.pipeline import _read_payload
+    meta = json.loads((GOLDEN / 'ans_adapt_int16_13ch.ch').read_text())
+    assert meta['transform_adapt'] == 2
+    arr = _raw('adapt_int16_13ch', np.int16, 13)
+    r = decompress(GOLDEN / 'ans_adapt_int16_13ch.cbin',
+                   GOLDEN / 'ans_adapt_int16_13ch.ch', quiet=True)
+    try:
+        descs = [r.codec.parse(_read_payload(r, i))['transform']
+                 for i in range(r.n_chunks)]
+        assert all(d is not None for d in descs)
+        assert len(set(descs)) > 1       # the windows really switched
+        assert np.array_equal(r[:], arr)
+        assert np.array_equal(r[500:3500, 2:9], arr[500:3500, 2:9])
+        assert np.array_equal(r[:, 12], arr[:, 12])
+    finally:
+        r.close()
+
+
 def test_golden_float_bitcast_decode(tmp_path_):
     """The frozen `float_bitcast` file keeps decoding BIT-exactly."""
     import json
