@@ -142,7 +142,7 @@ def orchestrate():
     e2e_mbps, e2e_path = 0.0, 'skipped'
     if remaining() > 90:
         e2e = _run_phase('e2e', tmp, timeout=min(300.0, remaining() - 30),
-                         attempts=1, budget_left=remaining)
+                         attempts=2, budget_left=remaining)
         if e2e:
             e2e_mbps, e2e_path = e2e['e2e_mbps'], e2e['path']
         else:
@@ -154,7 +154,7 @@ def orchestrate():
     if remaining() > 90:
         de = _run_phase('dev_encode', tmp,
                         timeout=min(360.0, remaining() - 15),
-                        attempts=1, budget_left=remaining)
+                        attempts=2, budget_left=remaining)
         if de:
             dev_enc_gbps = de['dev_enc_gbps']
         else:
