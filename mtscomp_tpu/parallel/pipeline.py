@@ -1346,15 +1346,29 @@ def decompress_to_array(reader, first_chunk=0, last_chunk=None, out=None,
     total = bounds[last_chunk + 1] - bounds[first_chunk]
     if out is not None:
         assert out.shape == (total, C) and out.dtype == reader.dtype
+    def _peek_desc(idx):
+        # Adaptive files (flags bit5): batches must be uniform in the
+        # per-chunk transform, so runs split at window boundaries —
+        # each uniform run still rides the device path instead of the
+        # whole span falling back to host. 20-byte header pread only.
+        if reader.algorithm != 'ans':
+            return None
+        from ..codec.ans import peek_transform
+        from ..io_host import pread_exact
+        start = reader.chunk_offsets[idx]
+        length = min(20, reader.chunk_offsets[idx + 1] - start)
+        return peek_transform(pread_exact(reader.cdata, length, start))
+
     groups = []
     for idx in range(first_chunk, last_chunk + 1):
         ns = bounds[idx + 1] - bounds[idx]
-        if groups and groups[-1][1] == ns:
+        key = (ns, _peek_desc(idx))
+        if groups and groups[-1][1] == key:
             groups[-1][0].append(idx)
         else:
-            groups.append(([idx], ns))
+            groups.append(([idx], key))
     pos = 0
-    for chunk_ids, ns in groups:
+    for chunk_ids, (ns, _desc) in groups:
         n_span = len(chunk_ids) * ns
         device_ok = False
         if reader.algorithm == 'ans':

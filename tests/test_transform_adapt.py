@@ -307,3 +307,33 @@ def test_adapt_decompress_multi_falls_back(tmp_path_, monkeypatch):
     finally:
         for r in readers:
             r.close()
+
+
+def test_adapt_bulk_device_runs_per_window(tmp_path_, monkeypatch):
+    """decompress_to_array on an adaptive file: uniform-transform runs
+    each ride the device batch decoder (one call per window run) —
+    mixing windows must not dump the whole span to the host path."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel import pipeline as pl
+    arr = drifting_signal(n_chunks=8)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=4,
+             check_after_compress=False)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    calls = []
+    orig = pl.DeviceBatchDecoder.decode_batch
+
+    def spy(self, parsed_list, ns, mesh=None):
+        calls.append(len(parsed_list))
+        return orig(self, parsed_list, ns, mesh=mesh)
+
+    monkeypatch.setattr(pl.DeviceBatchDecoder, 'decode_batch', spy)
+    try:
+        assert _descs(r)[0] != _descs(r)[4]
+        out = pl.decompress_to_array(r)
+        assert np.array_equal(out, arr)
+        assert calls == [4, 4]     # one device batch per uniform window
+    finally:
+        r.close()
