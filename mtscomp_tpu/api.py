@@ -175,6 +175,12 @@ class Writer:
                 "must stay byte-identical to the reference).")
         self._adapt_cache = {}
         self._adapt_lock = threading.Lock()
+        # As-configured transform settings: open() resolves 'auto'
+        # in place (probing the opened file), so a REUSED writer must
+        # restart each open from these, not from the previous file's
+        # resolution.
+        self._cfg_time_diff_order = self.time_diff_order
+        self._cfg_do_spatial_diff = self.do_spatial_diff
         self.chunk_order = config.chunk_order
         self.n_threads = max(1, int(config.n_threads))
         self.check_after_compress = config.check_after_compress
@@ -254,6 +260,8 @@ class Writer:
         # Second-order time prediction and the auto spatial decision are
         # ans (v2) extensions; zlib output must stay byte-identical to
         # the reference ('auto' resolves to the reference transform).
+        self.time_diff_order = self._cfg_time_diff_order
+        self.do_spatial_diff = self._cfg_do_spatial_diff
         if self.algorithm != 'ans':
             self.time_diff_order = 1
             if self.do_spatial_diff == 'auto':
@@ -278,10 +286,13 @@ class Writer:
                 self.time_diff_order = order
                 self.do_spatial_diff = spatial
             if self.transform_adapt:
-                # Window 0's leader is chunk 0 — same probe, same
-                # result; seed the cache so it never re-runs.
-                self._adapt_cache[0] = (self.time_diff_order,
-                                        bool(self.do_spatial_diff))
+                # Fresh cache per open(): a reused Writer must probe
+                # the NEW file's windows, not return another
+                # recording's cached choices. Window 0's leader is
+                # chunk 0 — same probe as the resolution above, same
+                # result; seed it so it never re-runs.
+                self._adapt_cache = {0: (self.time_diff_order,
+                                         bool(self.do_spatial_diff))}
         # SHA1 accumulators are (re)seeded per write() call.
 
     def _pick_transform(self):
@@ -317,10 +328,18 @@ class Writer:
         leader = (chunk_idx // self.transform_adapt) * self.transform_adapt
         with self._adapt_lock:
             got = self._adapt_cache.get(leader)
-            if got is None:
-                got = self._probe_chunk_transform(leader)
-                logger.debug("transform adapt: window leader %d -> "
-                             "order %d, spatial %s.", leader, *got)
+        if got is None:
+            # Probe OUTSIDE the lock: a probe is several sub-chunk
+            # encodes, and holding the global lock across it would
+            # serialize every pool worker — including cached lookups —
+            # whenever any window is being decided. Concurrent
+            # duplicate probes are deterministic and idempotent, so a
+            # double-checked insert is safe (last writer stores the
+            # same value).
+            got = self._probe_chunk_transform(leader)
+            logger.debug("transform adapt: window leader %d -> "
+                         "order %d, spatial %s.", leader, *got)
+            with self._adapt_lock:
                 self._adapt_cache[leader] = got
         return got
 

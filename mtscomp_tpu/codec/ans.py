@@ -164,7 +164,12 @@ def peek_transform(payload):
     if not flags & FLAG_TRANSFORM:
         return None
     order = tdesc & 3
-    return (order if order != 3 else 0, bool(tdesc & 4))
+    if order == 3:
+        # Reserved descriptor value: treat as malformed (None) — the
+        # full parse raises on it; a peek-only consumer must never act
+        # on a fabricated order-0 reading of a corrupt header.
+        return None
+    return (order, bool(tdesc & 4))
 
 
 def split_planes(elements, zigzag):

@@ -86,6 +86,9 @@ class StreamWriter:
                              and config.algorithm == 'ans'
                              and bool(config.do_time_diff))
         self.transform_adapt = int(config.get('transform_adapt', 0) or 0)
+        if self.transform_adapt < 0:
+            raise ValueError("transform_adapt must be >= 0 (got %r)."
+                             % (self.transform_adapt,))
         if self.transform_adapt and self.algorithm != 'ans':
             raise ValueError(
                 "transform_adapt requires algorithm='ans' (zlib output "
@@ -324,6 +327,21 @@ class StreamWriter:
                     "Cannot resume %s: payload does not match the "
                     "sidecar's sha1_compressed — the surviving prefix "
                     "is corrupt." % out)
+            if w.algorithm == 'ans' and 'ans_channel_segments' \
+                    not in overrides:
+                # The sidecar does not record the channel-aligned
+                # layout choice (it is a per-container flag, bit2);
+                # derive it from the first surviving chunk so resumed
+                # chunks keep the file's layout. Restored BEFORE the
+                # audit pass: the adaptive leader re-probe below sizes
+                # candidates with w.codec, and probe_transform's winner
+                # can flip with channel_aligned — probing with the
+                # constructor default would silently diverge resumed
+                # bytes for ans_channel_segments=False streams.
+                w._fb.seek(offsets[0])
+                parsed0 = w.codec.parse(
+                    w._fb.read(offsets[1] - offsets[0]))
+                w.codec.channel_aligned = bool(parsed0['aligned'])
             from .api import Reader
             r = Reader(quiet=True, device='none')
             r.open(out, outmeta)
@@ -360,16 +378,6 @@ class StreamWriter:
                 raise IOError(
                     "Cannot resume %s: decoded data does not match the "
                     "sidecar's sha1_uncompressed." % out)
-            if w.algorithm == 'ans' and 'ans_channel_segments' \
-                    not in overrides:
-                # The sidecar does not record the channel-aligned
-                # layout choice (it is a per-container flag, bit2);
-                # derive it from the first surviving chunk so resumed
-                # chunks keep the file's layout.
-                w._fb.seek(offsets[0])
-                parsed0 = w.codec.parse(
-                    w._fb.read(offsets[1] - offsets[0]))
-                w.codec.channel_aligned = bool(parsed0['aligned'])
             w.chunk_bounds = bounds
             w.chunk_offsets = offsets
             w.n_samples = bounds[-1]

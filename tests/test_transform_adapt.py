@@ -337,3 +337,72 @@ def test_adapt_bulk_device_runs_per_window(tmp_path_, monkeypatch):
         assert calls == [4, 4]     # one device batch per uniform window
     finally:
         r.close()
+
+
+def test_adapt_resume_non_aligned_stream(tmp_path_):
+    """Resume of an adaptive ans_channel_segments=False stream: the
+    codec's layout flag must be restored BEFORE the mid-window leader
+    re-probe (probe sizes depend on it), keeping resumed bytes
+    identical to an uninterrupted batch compress."""
+    from mtscomp_tpu.stream import StreamWriter
+    arr = drifting_signal(n_chunks=10)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'b.cbin', tmp_path_ / 'b.ch',
+             sample_rate=SR, n_channels=NC, dtype='int16',
+             algorithm='ans', quiet=True, transform_adapt=3,
+             ans_channel_segments=False, check_after_compress=False)
+    w = StreamWriter(tmp_path_ / 'r.cbin', tmp_path_ / 'r.ch',
+                     sample_rate=SR, n_channels=NC, dtype='int16',
+                     algorithm='ans', transform_adapt=3,
+                     ans_channel_segments=False, live_sidecar=True)
+    w.append(arr[:5 * 2000])           # crash mid-window (5 % 3 != 0)
+    w._fb.close()
+    w._closed = True
+    w2 = StreamWriter.resume(tmp_path_ / 'r.cbin', tmp_path_ / 'r.ch')
+    try:
+        assert w2.codec.channel_aligned is False
+        w2.append(arr[5 * 2000:])
+    finally:
+        w2.close()
+    assert (tmp_path_ / 'r.cbin').read_bytes() \
+        == (tmp_path_ / 'b.cbin').read_bytes()
+
+
+def test_adapt_negative_window_rejected():
+    from mtscomp_tpu import Writer
+    from mtscomp_tpu.stream import StreamWriter
+    with pytest.raises(ValueError, match='>= 0'):
+        Writer(algorithm='ans', transform_adapt=-2)
+    with pytest.raises(ValueError, match='>= 0'):
+        StreamWriter('x.cbin', 'x.ch', sample_rate=SR, n_channels=NC,
+                     dtype='int16', algorithm='ans', transform_adapt=-2)
+
+
+def test_adapt_writer_reuse_probes_fresh_file(tmp_path_):
+    """A reused Writer must probe the SECOND file's windows, not serve
+    the first file's cached leader choices."""
+    from mtscomp_tpu import Writer
+    sig = drifting_signal(n_chunks=6)                 # 6 x 2000 samples
+    lfp = sig[3 * 2000:]                              # LFP half only
+    noise = sig[:3 * 2000]                            # noise half only
+    p1 = write_arr(tmp_path_ / 'f1.bin', lfp)
+    p2 = write_arr(tmp_path_ / 'f2.bin', noise)
+    w = Writer(algorithm='ans', quiet=True, transform_adapt=2,
+               check_after_compress=False)
+    try:
+        w.open(p1, sample_rate=SR, n_channels=NC, dtype='int16')
+        w.write(tmp_path_ / 'f1.cbin', tmp_path_ / 'f1.ch')
+        w.open(p2, sample_rate=SR, n_channels=NC, dtype='int16')
+        w.write(tmp_path_ / 'f2.cbin', tmp_path_ / 'f2.ch')
+    finally:
+        w.close()
+    r1 = decompress(tmp_path_ / 'f1.cbin', tmp_path_ / 'f1.ch', quiet=True)
+    r2 = decompress(tmp_path_ / 'f2.cbin', tmp_path_ / 'f2.ch', quiet=True)
+    try:
+        d1, d2 = _descs(r1), _descs(r2)
+        assert d1[2][0] == 2            # LFP window leaders pick order 2
+        assert all(d[0] == 1 for d in d2), d2   # noise file: order 1
+        assert np.array_equal(r2[:], noise)
+    finally:
+        r1.close()
+        r2.close()
