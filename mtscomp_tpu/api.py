@@ -428,12 +428,6 @@ class Writer:
         """
         if self.algorithm != 'ans':
             return False
-        if self.transform_adapt:
-            # The device batch encoder applies ONE transform per batch;
-            # adaptive windows would need per-chunk re-transform and
-            # probe results mid-batch. Host encode (which adaptation
-            # targets: long drifting recordings, ratio over speed).
-            return False
         device = self.config.device
         if device in ('tpu', 'cpu'):
             return True
@@ -467,6 +461,56 @@ class Writer:
         dev_rate = min(bw, DEV_ENCODE_RATE_CAP)   # upload-bound
         return dev_rate > host_rate
 
+    def _compress_batch_device(self, ids, chunks):
+        """Device-encode one equal-shape batch; None = use host path.
+
+        Adaptive writers split the batch into uniform-transform window
+        runs — each run encodes as its own device batch with the
+        window's transform and the bit5 stamp (byte-identical to the
+        host path's containers). Runs too short to amortize a device
+        signature go to the host codec per chunk.
+        """
+        from .parallel.pipeline import DeviceBatchEncoder, \
+            MIN_DEVICE_SUBBATCH
+        ids = list(ids)
+        if not self.transform_adapt:
+            enc = DeviceBatchEncoder(self)
+            if not enc.supported(chunks[0].shape[0]):
+                return None
+            payloads = enc.encode_batch(
+                np.stack([np.asarray(c) for c in chunks]))
+            if payloads is None:
+                return None
+            return {i: (c, p) for i, c, p in zip(ids, chunks, payloads)}
+        runs = []
+        for j, i in enumerate(ids):
+            tr = self._chunk_transform(i)
+            if runs and runs[-1][0] == tr:
+                runs[-1][1].append(j)
+            else:
+                runs.append((tr, [j]))
+        out = {}
+        for tr, js in runs:
+            enc = DeviceBatchEncoder(self, transform=tr)
+            if not enc.supported(chunks[0].shape[0]):
+                return None
+            if len(js) < MIN_DEVICE_SUBBATCH:
+                # Host codec for runt runs (byte-identical by the
+                # cross-implementation invariant): a drifting file
+                # with 1-chunk windows would otherwise compile a
+                # device signature per run length.
+                for j in js:
+                    _, res = self._compress_chunk(ids[j])
+                    out[ids[j]] = res
+                continue
+            payloads = enc.encode_batch(
+                np.stack([np.asarray(chunks[j]) for j in js]))
+            if payloads is None:
+                return None
+            for j, p in zip(js, payloads):
+                out[ids[j]] = (chunks[j], p)
+        return out
+
     def compress_batch(self, first_chunk, last_chunk):
         """Compress chunks ``[first_chunk, last_chunk)``; returns idx->result."""
         assert 0 <= first_chunk < last_chunk <= self.n_chunks
@@ -475,14 +519,9 @@ class Writer:
             chunks = [self.get_chunk(i) for i in ids]
             shapes = {c.shape for c in chunks}
             if len(shapes) == 1:
-                from .parallel.pipeline import DeviceBatchEncoder
-                enc = DeviceBatchEncoder(self)
-                if enc.supported(chunks[0].shape[0]):
-                    payloads = enc.encode_batch(
-                        np.stack([np.asarray(c) for c in chunks]))
-                    if payloads is not None:
-                        return {i: (c, p) for i, c, p
-                                in zip(ids, chunks, payloads)}
+                got = self._compress_batch_device(ids, chunks)
+                if got is not None:
+                    return got
         if hasattr(self.codec, 'encode_batch'):
             # Native batch path: one FFI call deflates the whole batch with
             # C++ worker threads (no Python thread pool in the hot loop).

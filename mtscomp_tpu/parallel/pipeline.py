@@ -864,14 +864,29 @@ class DeviceBatchEncoder:
     quantization and mode decisions, then the grouped encode scan.
     """
 
-    def __init__(self, writer):
+    def __init__(self, writer, transform=None):
         self.writer = writer
         self.codec = writer.codec
         # Bitcast float writers hand the encoder integer views; code in
         # the coding dtype (float16 -> int16 runs the full device path).
         self.dtype = np.dtype(getattr(writer, 'code_dtype', writer.dtype))
         self.order = writer.chunk_order
+        self.do_time_diff = bool(writer.do_time_diff)
+        self.do_spatial_diff = bool(writer.do_spatial_diff)
         self.diff_order = int(getattr(writer, 'time_diff_order', 1))
+        # Adaptive windows: ``transform=(order, spatial)`` overrides the
+        # writer's global transform for this (window-uniform) batch, and
+        # every produced container gets the bit5 descriptor stamp —
+        # byte-identical to what Writer._compress_chunk's host path
+        # writes for the same chunks.
+        self.stamp = None
+        if transform is not None:
+            t_order, t_spatial = transform
+            self.do_spatial_diff = bool(t_spatial)
+            self.diff_order = t_order if t_order else 1
+            self.do_time_diff = self.do_time_diff and t_order > 0
+            self.stamp = (t_order if writer.do_time_diff else 0,
+                          bool(t_spatial))
 
     def supported(self, n_samples):
         return (self.dtype.kind in 'iu' and self.dtype.itemsize <= 2
@@ -1012,8 +1027,8 @@ class DeviceBatchEncoder:
         seg = self.codec.seg
         w = self.writer
         transform = _build_transform_fn(
-            B, T, C, str(self.dtype), self.order, bool(w.do_time_diff),
-            bool(w.do_spatial_diff), True, self.diff_order)
+            B, T, C, str(self.dtype), self.order, self.do_time_diff,
+            self.do_spatial_diff, True, self.diff_order)
         with phase('encode.transform'):
             planes_d, hists_d, head_d = transform(jnp.asarray(chunks))
         hists = np.asarray(hists_d)
@@ -1090,8 +1105,10 @@ class DeviceBatchEncoder:
                     enc_one = getattr(self.codec, 'encode', None)
                     for b in ids:
                         payloads[b] = enc_one(
-                            self.writer._transform_chunk(chunks[b]),
-                            order=self.order)
+                            self.writer._transform_chunk(
+                                chunks[b], self.diff_order,
+                                self.do_spatial_diff),
+                            order=self.order, transform=self.stamp)
                     continue
                 sub = self.encode_batch(np.ascontiguousarray(chunks[ids]),
                                         mesh=mesh)
@@ -1225,14 +1242,18 @@ class DeviceBatchEncoder:
             multitable = any(
                 plane_tables[(b, p)][1] is not None
                 for p in rans_planes)
+            flags = (1 | 2 | (4 if aligned else 0)
+                     | (ans_mod.FLAG_MULTITABLE if multitable else 0)
+                     | ans_mod.FLAG_CRC32)
+            tdesc = 0
+            if self.stamp is not None:
+                flags |= ans_mod.FLAG_TRANSFORM
+                tdesc = self.stamp[0] | (4 if self.stamp[1] else 0)
             parts = [ans_mod._HEADER.pack(
                 ans_mod.MAGIC, ans_mod.CONTAINER_VERSION, P,
-                1 | 2 | (4 if aligned else 0)
-                | (ans_mod.FLAG_MULTITABLE if multitable else 0)
-                | ans_mod.FLAG_CRC32,
-                rans.SCALE_BITS, T * C,
+                flags, rans.SCALE_BITS, T * C,
                 k if aligned else self.codec.seg_log2,
-                rans.MIN_FREQ, rans.GROUP_ROWS, 0, C, 0)]
+                rans.MIN_FREQ, rans.GROUP_ROWS, tdesc, C, 0)]
             parts.append(np.ascontiguousarray(heads[b]).tobytes())
             for p in range(P):
                 m = mode_row[p]

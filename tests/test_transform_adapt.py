@@ -406,3 +406,43 @@ def test_adapt_writer_reuse_probes_fresh_file(tmp_path_):
     finally:
         r1.close()
         r2.close()
+
+
+def test_adapt_device_encode_byte_identical(tmp_path_, monkeypatch):
+    """Adaptive writers now ride the device encoder too: the batch
+    splits into uniform-transform window runs, each device-encoded with
+    the window's transform and the bit5 stamp — containers must be
+    byte-identical to the host path's (runt runs take the host codec)."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    arr = drifting_signal(n_chunks=10)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    for tag, dev in (('h', 'none'), ('d', 'cpu')):
+        compress(path, tmp_path_ / (tag + '.cbin'),
+                 tmp_path_ / (tag + '.ch'), sample_rate=SR,
+                 n_channels=NC, dtype='int16', algorithm='ans',
+                 quiet=True, transform_adapt=4, device=dev,
+                 check_after_compress=False, n_threads=5)
+    assert (tmp_path_ / 'h.cbin').read_bytes() \
+        == (tmp_path_ / 'd.cbin').read_bytes()
+    r = decompress(tmp_path_ / 'd.cbin', tmp_path_ / 'd.ch', quiet=True)
+    try:
+        assert all(d is not None for d in _descs(r))
+        assert np.array_equal(r[:], arr)
+    finally:
+        r.close()
+
+
+def test_adapt_device_encode_runt_windows(tmp_path_, monkeypatch):
+    """1-chunk windows (every run below MIN_DEVICE_SUBBATCH) fall to
+    the host codec per chunk, still byte-identical to device='none'."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    arr = drifting_signal(n_chunks=6)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    for tag, dev in (('h', 'none'), ('d', 'cpu')):
+        compress(path, tmp_path_ / (tag + '.cbin'),
+                 tmp_path_ / (tag + '.ch'), sample_rate=SR,
+                 n_channels=NC, dtype='int16', algorithm='ans',
+                 quiet=True, transform_adapt=1, device=dev,
+                 check_after_compress=False)
+    assert (tmp_path_ / 'h.cbin').read_bytes() \
+        == (tmp_path_ / 'd.cbin').read_bytes()
