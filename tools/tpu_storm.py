@@ -614,9 +614,21 @@ def main():
         sub.mkdir()
         raw = sub / 'x.bin'
         arr.tofile(raw)
+        # Short chunks -> 10 of them: window 0 (8 chunks) exercises the
+        # device-encode run path, the 2-chunk tail run falls to the
+        # host codec (MIN_DEVICE_SUBBATCH) — both must produce bytes
+        # identical to the all-host compress.
+        cd = (NS // 10) / SR
         compress(raw, sub / 'x.cbin', sub / 'x.ch', sample_rate=SR,
                  n_channels=C, dtype='int16',
-                 **cbase(transform_adapt=1))
+                 **cbase(transform_adapt=8, chunk_duration=cd))
+        compress(raw, sub / 'd.cbin', sub / 'd.ch', sample_rate=SR,
+                 n_channels=C, dtype='int16',
+                 **cbase(transform_adapt=8, chunk_duration=cd,
+                         device='tpu'))
+        assert (sub / 'd.cbin').read_bytes() \
+            == (sub / 'x.cbin').read_bytes(), \
+            "adaptive device encode diverged from host bytes"
         r = decompress(sub / 'x.cbin', sub / 'x.ch', quiet=True)
         try:
             from mtscomp_tpu.parallel.pipeline import _read_payload
@@ -624,7 +636,8 @@ def main():
                      for i in range(r.n_chunks)]
             assert all(d is not None for d in descs)
             device_decode_all(r, arr)    # per-window device batches
-            return {'descs': [list(d) for d in descs]}
+            return {'descs': [list(d) for d in descs],
+                    'device_encode': 'byte-identical'}
         finally:
             r.close()
 
