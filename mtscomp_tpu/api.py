@@ -473,11 +473,14 @@ class Writer:
         from .parallel.pipeline import DeviceBatchEncoder, \
             MIN_DEVICE_SUBBATCH
         ids = list(ids)
+        # supported() is transform-independent (dtype/geometry only):
+        # checked BEFORE any window probes run, so batches that can
+        # never device-encode fall straight to the host pool without
+        # serializing leader probes on this thread.
+        if not DeviceBatchEncoder(self).supported(chunks[0].shape[0]):
+            return None
         if not self.transform_adapt:
-            enc = DeviceBatchEncoder(self)
-            if not enc.supported(chunks[0].shape[0]):
-                return None
-            payloads = enc.encode_batch(
+            payloads = DeviceBatchEncoder(self).encode_batch(
                 np.stack([np.asarray(c) for c in chunks]))
             if payloads is None:
                 return None
@@ -489,26 +492,29 @@ class Writer:
                 runs[-1][1].append(j)
             else:
                 runs.append((tr, [j]))
+        # Device runs FIRST: if any declines, nothing is wasted (the
+        # host pool re-encodes the whole batch); runt windows (below
+        # MIN_DEVICE_SUBBATCH — a device signature per run length
+        # would thrash the compiled-builder caches) go to the host
+        # codec afterwards, on the n_threads pool.
         out = {}
+        runts = []
         for tr, js in runs:
-            enc = DeviceBatchEncoder(self, transform=tr)
-            if not enc.supported(chunks[0].shape[0]):
-                return None
             if len(js) < MIN_DEVICE_SUBBATCH:
-                # Host codec for runt runs (byte-identical by the
-                # cross-implementation invariant): a drifting file
-                # with 1-chunk windows would otherwise compile a
-                # device signature per run length.
-                for j in js:
-                    _, res = self._compress_chunk(ids[j])
-                    out[ids[j]] = res
+                runts.extend(ids[j] for j in js)
                 continue
-            payloads = enc.encode_batch(
+            payloads = DeviceBatchEncoder(self, transform=tr).encode_batch(
                 np.stack([np.asarray(chunks[j]) for j in js]))
             if payloads is None:
                 return None
             for j, p in zip(js, payloads):
                 out[ids[j]] = (chunks[j], p)
+        if runts:
+            if self.n_threads > 1 and self._pool is not None:
+                out.update(dict(self._pool.map(self._compress_chunk,
+                                               runts)))
+            else:
+                out.update(dict(self._compress_chunk(i) for i in runts))
         return out
 
     def compress_batch(self, first_chunk, last_chunk):

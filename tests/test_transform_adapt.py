@@ -443,6 +443,25 @@ def test_adapt_device_encode_runt_windows(tmp_path_, monkeypatch):
                  tmp_path_ / (tag + '.ch'), sample_rate=SR,
                  n_channels=NC, dtype='int16', algorithm='ans',
                  quiet=True, transform_adapt=1, device=dev,
-                 check_after_compress=False)
+                 check_after_compress=False, n_threads=4)
     assert (tmp_path_ / 'h.cbin').read_bytes() \
         == (tmp_path_ / 'd.cbin').read_bytes()
+
+
+def test_adapt_device_unsupported_dtype_falls_back(tmp_path_, monkeypatch):
+    """int32 (itemsize > 2) never device-encodes: the adaptive device
+    batcher must decline BEFORE probing window leaders and the host
+    pool must produce the exact file."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    arr = drifting_signal(n_chunks=6).astype(np.int32)
+    path = write_arr(tmp_path_ / 'd.bin', arr)
+    compress(path, tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch',
+             sample_rate=SR, n_channels=NC, dtype='int32',
+             algorithm='ans', quiet=True, transform_adapt=3,
+             device='cpu', check_after_compress=False)
+    r = decompress(tmp_path_ / 'a.cbin', tmp_path_ / 'a.ch', quiet=True)
+    try:
+        assert np.array_equal(r[:], arr)
+        assert all(d is not None for d in _descs(r))
+    finally:
+        r.close()
