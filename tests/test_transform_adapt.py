@@ -465,3 +465,41 @@ def test_adapt_device_unsupported_dtype_falls_back(tmp_path_, monkeypatch):
         assert all(d is not None for d in _descs(r))
     finally:
         r.close()
+
+
+def test_adapt_decompress_multi_merges_uniform_windows(tmp_path_,
+                                                       monkeypatch):
+    """Adaptive probes whose requested range lies in ONE window (all
+    chunks share a transform) must still merge into a single device
+    batch — only mixed-transform ranges fall back per reader."""
+    monkeypatch.setenv('MTSCOMP_PALLAS_INTERPRET', '1')
+    from mtscomp_tpu.parallel import pipeline as pl
+    arrs, readers = [], []
+    calls = []
+    orig = pl.DeviceBatchDecoder.decode_batch
+
+    def spy(self, parsed_list, ns, mesh=None):
+        calls.append(len(parsed_list))
+        return orig(self, parsed_list, ns, mesh=mesh)
+
+    try:
+        for i in range(2):
+            arr = drifting_signal(n_chunks=8, seed=20 + i)
+            path = write_arr(tmp_path_ / ('q%d.bin' % i), arr)
+            compress(path, tmp_path_ / ('q%d.cbin' % i),
+                     tmp_path_ / ('q%d.ch' % i), sample_rate=SR,
+                     n_channels=NC, dtype='int16', algorithm='ans',
+                     quiet=True, transform_adapt=4,
+                     check_after_compress=False)
+            arrs.append(arr)
+            readers.append(decompress(tmp_path_ / ('q%d.cbin' % i),
+                                      tmp_path_ / ('q%d.ch' % i),
+                                      quiet=True))
+        monkeypatch.setattr(pl.DeviceBatchDecoder, 'decode_batch', spy)
+        outs = pl.decompress_multi(readers, first_chunk=0, last_chunk=3)
+        for out, arr in zip(outs, arrs):
+            assert np.array_equal(out, arr[:4 * 2000])
+        assert calls == [8]       # ONE merged batch of both probes
+    finally:
+        for r in readers:
+            r.close()
