@@ -108,6 +108,21 @@ FLAG_MULTITABLE = 16
 # semantics, i.e. every pre-bit5 file decodes unchanged).
 FLAG_TRANSFORM = 32
 
+# flags bit6: ragged-tail segment split. When the channel-aligned
+# layout leaves ONE short remainder segment per plane (C % k leftover
+# channels) and that segment would occupy a 32-row group alone
+# (n_segs % group_rows == 1), the whole group scans the tail's full
+# step count with 1 live row — and on the stacked device decoder the
+# tail's step count gates its whole cell. With bit6 the ragged
+# segment is instead emitted as M sub-segments (the header's trailing
+# reserved u16 carries M), each a contiguous 128-aligned symbol range
+# of the same channels: the tail group becomes M short rows, so its
+# cell scans ~tail/M steps. Coding is unchanged (groups are generic
+# over segment lists); only the segment DERIVATION differs, so every
+# decoder follows the header bit symmetrically. Cost: (M-1) extra
+# state blocks (512 B each) — ~0.05% of a headline chunk.
+FLAG_TAILSPLIT = 64
+
 DEFAULT_SEG_LOG2 = 16           # 65536 symbols per segment
 
 
@@ -193,15 +208,64 @@ def join_planes(planes, dtype, zigzag):
     return flat.view(dtype)
 
 
-def segment_counts(n_elems, seg, modes):
-    """Per-RANS-plane segment count and the flat (plane, start, n) list."""
+def segment_counts(n_elems, seg, modes, tail_split=1):
+    """Per-RANS-plane segment count and the flat (plane, start, n) list.
+
+    ``tail_split=M`` (flags bit6) re-derives each plane's ragged LAST
+    segment as up to M sub-segments of 128-aligned size (the last sub
+    takes the remainder) — same symbols, same order, more rows. M=1 is
+    the historical derivation; writers and readers must pass the same
+    value (the container header carries it), or states/words parse at
+    the wrong offsets and the CRC/word audits fire.
+    """
     segments = []
     for p, mode in enumerate(modes):
         if mode != MODE_RANS:
             continue
         for start in range(0, n_elems, seg):
-            segments.append((p, start, min(seg, n_elems - start)))
+            n = min(seg, n_elems - start)
+            if tail_split > 1 and n < seg:
+                steps = -(-n // 128)
+                q = -(-steps // tail_split) * 128
+                off = 0
+                while off < n:
+                    sub = min(q, n - off)
+                    segments.append((p, start + off, sub))
+                    off += sub
+            else:
+                segments.append((p, start, n))
     return segments
+
+
+def tail_split_for(aligned, modes, n_stream, seg):
+    """Writer-side flags-bit6 decision: the sub-segment count M (1 = off).
+
+    Engages exactly where the ragged tail hurts the stacked decoder: a
+    single RANS plane whose segment list ends with one short segment
+    that would sit ALONE in the last 32-row group (n_segs % 32 == 1) —
+    the canonical 385-channel geometry. Shared by the host codec and
+    the device batch encoder so both emit identical containers.
+    MTSCOMP_ENC_TAILSPLIT=0 disables (A/B escape); =N overrides M.
+    """
+    import os
+    env = os.environ.get('MTSCOMP_ENC_TAILSPLIT', '')
+    if env == '0':
+        return 1
+    if not aligned:
+        return 1
+    if sum(1 for m in modes if m == MODE_RANS) != 1:
+        return 1
+    n_segs = -(-n_stream // seg)
+    if n_segs < 2 or n_segs % rans.GROUP_ROWS != 1:
+        return 1
+    L = n_stream - (n_segs - 1) * seg
+    if L >= seg:
+        return 1
+    tail_steps = -(-L // 128)
+    if 2 * tail_steps > -(-seg // 128):
+        return 1                   # tail not short enough to matter
+    M = int(env) if env.isdigit() and int(env) > 1 else 8
+    return min(M, max(1, tail_steps))
 
 
 def aligned_geometry(n_coded, n_head, seg0):
@@ -614,11 +678,15 @@ class AnsCodec:
                                  "(got %r)." % (t_order,))
             flags |= FLAG_TRANSFORM
             tdesc = int(t_order) | (4 if t_spatial else 0)
+        tsplit = tail_split_for(aligned, modes, n_stream, seg)
+        if tsplit > 1:
+            flags |= FLAG_TAILSPLIT
         seg_field = k if aligned else self.seg_log2
         parts = [_HEADER.pack(MAGIC, CONTAINER_VERSION, itemsize,
                               flags, rans.SCALE_BITS, n_elems,
                               seg_field, rans.MIN_FREQ,
-                              rans.GROUP_ROWS, tdesc, n_head, 0)]
+                              rans.GROUP_ROWS, tdesc, n_head,
+                              tsplit if tsplit > 1 else 0)]
         if split_head:
             h = head
             if h.dtype.byteorder == '>':  # pragma: no cover
@@ -645,7 +713,7 @@ class AnsCodec:
             ptables, tidx = rans_tables[p]
             return ptables[0 if tidx is None else tidx[start // seg]]
 
-        segments = segment_counts(n_stream, seg, modes)
+        segments = segment_counts(n_stream, seg, modes, tail_split=tsplit)
         if segments:
             plane_bytes = streams
             group_inputs = []
@@ -1078,7 +1146,13 @@ class AnsCodec:
             else:
                 raise IOError("Unknown ANS plane mode %d." % mode)
 
-        segments = segment_counts(n_stream, seg, modes)
+        tsplit = 1
+        if flags & FLAG_TAILSPLIT:
+            tsplit = int(_r2)
+            if not 2 <= tsplit <= 256:
+                raise IOError("ANS chunk tail_split %d out of range."
+                              % tsplit)
+        segments = segment_counts(n_stream, seg, modes, tail_split=tsplit)
         groups = []
         if segments:
             (n_groups,) = struct.unpack_from('<I', mv, off); off += 4
@@ -1113,4 +1187,5 @@ class AnsCodec:
                 'zigzag': bool(flags & 1), 'seg_log2': seg_log2,
                 'seg': seg, 'aligned': aligned, 'tcs': tcs, 'tp': tp,
                 'n_stream': n_stream, 'transform': transform,
+                'tail_split': tsplit,
                 'modes': modes, 'planes': planes, 'groups': groups}

@@ -285,7 +285,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                      do_time_diff, do_spatial_diff, zigzag, has_head,
                      use_pallas, small_alpha=False, aligned=False,
                      one_fixup=False, diff_order=1, octet=False,
-                     tail=None):
+                     tail=None, tail_split=1):
     """Compile the fused decode for one shape signature.
 
     B chunks of (T, C); ``modes`` per-plane; each RANS plane has
@@ -335,6 +335,12 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
     four_byte = dtype in (np.dtype(np.int32), np.dtype(np.uint32))
     kdtype = jnp.int32 if four_byte else jnp.int16
     scan_kinds = i16_kind or one_byte or four_byte
+    if tail_split > 1 and tail is None:
+        # flags bit6 without the tail packing engaged (kill switch, or
+        # a foreign layout the tail check rejected): the plain fuse8
+        # reshape assumes uniform k-channel rows, which bit6's sub-rows
+        # are not — use the generic per-row reassembly instead.
+        fuse8 = False
     c_cap = G * GROUP_ROWS * k if fuse8 else 0
     assert tail is None or (fuse8 and G >= 2), \
         "tail-split packing requires the fuse8 path"
@@ -376,7 +382,7 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
             # tail block (B x rem x tp bytes) is sliced out. The
             # two-ref finalize merges the blocks in VMEM — a plain
             # concatenate would burn a full extra HBM pass.
-            rem, S_t, ctB = tail
+            rem, ctB, rows_n = tail
             NF = B * (G - 1)                       # full-group rows
             cA = (G - 1) * GROUP_ROWS * k          # == C - rem
             from ..ops.device_delta import cumsum_time_transposed_u8_tail
@@ -385,7 +391,12 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                 small_alpha=small_alpha, steps_per_block=spb_f,
                 one_fixup=one_fixup, octet=octet)
             chanA = syms[:NF].reshape(B, cA, tp)
-            chanB = syms[NF:, 0, :rem * tp].reshape(B, rem, tp)
+            # Tail rows: one ragged segment pre-bit6, M sub-rows with
+            # flags bit6 — their real symbol ranges concatenate to the
+            # tail channels' stream (tiny: B x rem x tp bytes).
+            chanB = jnp.concatenate(
+                [syms[NF:, r, :n] for r, n in enumerate(rows_n)],
+                axis=1).reshape(B, rem, tp)
             chanB = jnp.pad(chanB, ((0, 0), (0, ctB - rem), (0, 0)))
             heads16 = as_i16(heads)
             headB = jnp.pad(heads16[:, cA:], ((0, 0), (0, ctB - rem)))
@@ -434,9 +445,23 @@ def _build_decode_fn(B, T, C, dtype_str, modes, n_seg, seg, G, S, W, order,
                 rows = syms.reshape(B, G, S, GROUP_ROWS, LANES)
                 rows = jnp.transpose(rows, (0, 1, 3, 2, 4))
                 rows = rows.reshape(B, G * GROUP_ROWS, S * LANES)
-            rows = rows[:, :n_rows, :seg_eff]
-            planes = rows.reshape(B, len(rans_planes), n_seg * seg_eff)
-            planes = planes[:, :, :n_stream]
+            if tail_split > 1:
+                # flags bit6: the flat segment list is non-uniform (the
+                # ragged tail is M sub-rows), so the uniform reshape
+                # below does not apply — reassemble the plane streams
+                # from each row's real symbol range (fallback path;
+                # the fuse8 branch above handles the hot shape).
+                from ..codec.ans import segment_counts as _seg_counts
+                seg_list = _seg_counts(n_stream, seg, modes, tail_split)
+                planes = jnp.concatenate(
+                    [rows[:, r, :n] for r, (_sp, _ss, n)
+                     in enumerate(seg_list)], axis=1)
+                planes = planes.reshape(B, len(rans_planes), n_stream)
+            else:
+                rows = rows[:, :n_rows, :seg_eff]
+                planes = rows.reshape(B, len(rans_planes),
+                                      n_seg * seg_eff)
+                planes = planes[:, :, :n_stream]
             if aligned:
                 # Drop the per-channel zero pads of the coded streams.
                 planes = planes.reshape(
@@ -560,6 +585,8 @@ class DeviceBatchDecoder:
                 # one compiled decode fn; host path decodes them
                 # per-chunk (uniform windows still batch on device).
                 return False
+            if parsed.get('tail_split', 1) != first.get('tail_split', 1):
+                return False
             if parsed['seg'] != first['seg']:
                 return False
             if parsed['aligned'] != first['aligned']:
@@ -659,12 +686,23 @@ class DeviceBatchDecoder:
                 and os.environ.get('MTSCOMP_DEC_TAILSPLIT', '1') != '0'):
             tail_segs = first['groups'][-1]['segments']
             rem = C - (n_seg - 1) * k8 if k8 else 0
-            if len(tail_segs) == 1 and 0 < rem < k8:
-                n_tail = tail_segs[0][2]
-                S_t = -(-n_tail // LANES)
-                if (n_tail == rem * tp and 2 * S_t <= S and rem <= 32
-                        and (G - 1) * GROUP_ROWS * k8 + 128 <= 1024):
-                    tail = (rem, S_t, -(-rem // 8) * 8)
+            # The last group must hold exactly the ragged channels'
+            # symbols, contiguously (one segment pre-bit6, M sub-rows
+            # with flags bit6 — either way the rows concatenate to the
+            # tail channels' stream).
+            base = (n_seg - 1) * seg
+            n_tail = sum(n for _, _, n in tail_segs)
+            contiguous, nxt = True, base
+            for _, s, n in tail_segs:
+                contiguous = contiguous and s == nxt
+                nxt = s + n
+            S_t = max((-(-n // LANES) for _, _, n in tail_segs),
+                      default=0)
+            if (0 < rem < k8 and contiguous and n_tail == rem * tp
+                    and S_t and 2 * S_t <= S and rem <= 32
+                    and (G - 1) * GROUP_ROWS * k8 + 128 <= 1024):
+                tail = (rem, -(-rem // 8) * 8,
+                        tuple(n for _, _, n in tail_segs))
 
         w_max = 1
         for parsed in parsed_list:
@@ -783,7 +821,8 @@ class DeviceBatchDecoder:
                 B, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
                 self.order, do_time_diff, do_spatial_diff,
                 first['zigzag'], has_head, use_pallas, small_alpha,
-                aligned, one_fixup, diff_order, octet, tail)
+                aligned, one_fixup, diff_order, octet, tail,
+                first.get('tail_split', 1))
             return fn, tuple(jnp.asarray(a) for a in raw_args)
 
         # Shard the chunk batch over the mesh: every array's leading dim
@@ -801,7 +840,8 @@ class DeviceBatchDecoder:
             B // n_dev, T, C, str(self.dtype), modes, n_seg, seg, G, S, W,
             self.order, do_time_diff, do_spatial_diff,
             first['zigzag'], has_head, use_pallas, small_alpha, aligned,
-            one_fixup, diff_order, octet, tail)
+            one_fixup, diff_order, octet, tail,
+            first.get('tail_split', 1))
         spec = PartitionSpec(axis)
         # check_vma stays on for compiled (TPU) runs; interpret-mode
         # pallas_call cannot declare its outputs' varying-manifest, so
@@ -1123,17 +1163,24 @@ class DeviceBatchEncoder:
         raw_planes = [p for p, m in enumerate(mode_row)
                       if m == ans_mod.MODE_RAW]
 
+        # Ragged-tail segment split (flags bit6): identical decision to
+        # the host codec (shared helper) so containers stay
+        # byte-identical.
+        tsplit = ans_mod.tail_split_for(aligned, mode_row, n_stream, seg)
+
         group_words, group_states, group_counts = [], [], []
         if rans_planes:
             n_seg = -(-n_stream // seg)
-            segments = ans_mod.segment_counts(n_stream, seg, mode_row)
+            segments = ans_mod.segment_counts(n_stream, seg, mode_row,
+                                              tail_split=tsplit)
             G = -(-len(segments) // rans.GROUP_ROWS)
             R = rans.GROUP_ROWS
             S = -(-min(seg, n_stream) // rans.LANES)
             seg_eff = S * rans.LANES
             # Device: assemble (B*G, R, S*128) symbols from the planes.
             Pr = len(rans_planes)
-            pad_rows = G * R - Pr * n_seg
+            n_rows = len(segments)
+            pad_rows = G * R - n_rows
             pad_tail = n_seg * seg_eff - n_stream
 
             @jax.jit
@@ -1146,8 +1193,21 @@ class DeviceBatchEncoder:
                     sel = jnp.pad(sel, ((0, 0), (0, 0), (0, 0),
                                         (0, tp - tcs)))
                     sel = sel.reshape(B, Pr, n_stream)
-                sel = jnp.pad(sel, ((0, 0), (0, 0), (0, pad_tail)))
-                rows = sel.reshape(B, Pr * n_seg, seg_eff)
+                if tsplit > 1:
+                    # Non-uniform rows: one seg_eff-padded row per
+                    # (start, n) of the flat list (bit6 tails shorter).
+                    flat = sel.reshape(B, Pr * n_stream)
+                    rows = jnp.stack(
+                        [jnp.pad(
+                            flat[:, rans_planes.index(p) * n_stream
+                                 + start:
+                                 rans_planes.index(p) * n_stream
+                                 + start + n],
+                            ((0, 0), (0, seg_eff - n)))
+                         for p, start, n in segments], axis=1)
+                else:
+                    sel = jnp.pad(sel, ((0, 0), (0, 0), (0, pad_tail)))
+                    rows = sel.reshape(B, Pr * n_seg, seg_eff)
                 rows = jnp.pad(rows, ((0, 0), (0, pad_rows), (0, 0)))
                 return rows.reshape(B * G, R, seg_eff)
 
@@ -1249,11 +1309,14 @@ class DeviceBatchEncoder:
             if self.stamp is not None:
                 flags |= ans_mod.FLAG_TRANSFORM
                 tdesc = self.stamp[0] | (4 if self.stamp[1] else 0)
+            if tsplit > 1:
+                flags |= ans_mod.FLAG_TAILSPLIT
             parts = [ans_mod._HEADER.pack(
                 ans_mod.MAGIC, ans_mod.CONTAINER_VERSION, P,
                 flags, rans.SCALE_BITS, T * C,
                 k if aligned else self.codec.seg_log2,
-                rans.MIN_FREQ, rans.GROUP_ROWS, tdesc, C, 0)]
+                rans.MIN_FREQ, rans.GROUP_ROWS, tdesc, C,
+                tsplit if tsplit > 1 else 0)]
             parts.append(np.ascontiguousarray(heads[b]).tobytes())
             for p in range(P):
                 m = mode_row[p]

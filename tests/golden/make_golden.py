@@ -124,6 +124,21 @@ def main():
                  sample_rate=1000.0, n_channels=13, dtype='int16',
                  algorithm='ans', transform_adapt=2, quiet=True)
 
+
+    if wanted('ts_int16_129ch'):
+        # Ragged-tail segment split (flags bit6): 129 channels at
+        # seg_log2=12 -> k=4 segments, 33 per plane, the 33rd ragged ->
+        # the writer splits it into 8 sub-rows. Freezes the bit6 layout.
+        rng = np.random.default_rng(6)
+        arr = np.clip(np.cumsum(rng.normal(0, 5, size=(2500, 129)),
+                                axis=0), -30000, 30000).astype(np.int16)
+        raw = HERE / 'np_ts_int16_129ch.bin'
+        arr.tofile(raw)
+        compress(raw, HERE / 'ans_ts_int16_129ch.cbin',
+                 HERE / 'ans_ts_int16_129ch.ch',
+                 sample_rate=1000.0, n_channels=129, dtype='int16',
+                 algorithm='ans', ans_seg_log2=12, quiet=True)
+
     if wanted('f32_11ch'):
         rng = np.random.default_rng(4)
         arr = np.cumsum(rng.normal(0, 0.5, size=(2500, 11)),

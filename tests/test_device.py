@@ -1697,8 +1697,9 @@ def test_auto_routing_many_core_fast_link(tmp_path_, monkeypatch):
 
 def _ragged_geometry_file(tmp_path_, name, dtype='int16', **kw):
     """129 channels at ans_seg_log2=12 -> k=4-channel segments, 33 per
-    plane: groups [32, 1] with a 1-channel ragged tail segment — the
-    385th-channel geometry scaled down (385 ch @30 kHz is [3x32, 1]).
+    plane: the 1-channel ragged tail segment splits into 8 sub-rows
+    (flags bit6) -> groups [32, 8] — the 385th-channel geometry scaled
+    down.
     """
     rng = np.random.default_rng(7)
     C, T = 129, 1000
@@ -1724,11 +1725,12 @@ def test_ragged_tail_split_bit_exact(tmp_path_, monkeypatch):
     r = decompress(tmp_path_ / 'rg.cbin', tmp_path_ / 'rg.ch', quiet=True)
     try:
         parsed = [r.codec.parse(_read_payload(r, i)) for i in range(4)]
-        assert [len(g['segments']) for g in parsed[0]['groups']] == [32, 1]
+        assert [len(g['segments']) for g in parsed[0]['groups']] == [32, 8]
+        assert parsed[0]['tail_split'] == 8
         dec = DeviceBatchDecoder(r)
         assert dec.supported(parsed, T)
         fn, args = dec.pack(parsed, T)
-        assert dec.last_tail == (1, 8, 8)   # (rem, S_t, ctB) engaged
+        assert dec.last_tail == (1, 8, (128,) * 8)  # (rem, ctB, rows)
         out, used = fn(*args)
         check_words_used(parsed, used)
         assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
@@ -1831,7 +1833,7 @@ def test_ragged_tail_split_mesh(tmp_path_, monkeypatch):
         dec = DeviceBatchDecoder(r)
         assert dec.supported(parsed, T)
         fn, args = dec.pack(parsed, T, mesh=chunk_mesh(n_devices=8))
-        assert dec.last_tail == (1, 8, 8)
+        assert dec.last_tail == (1, 8, (128,) * 8)
         out, used = fn(*args)
         check_words_used(parsed, used)
         assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)

@@ -124,6 +124,24 @@ def test_golden_transform_adapt_decode(tmp_path_):
         r.close()
 
 
+def test_golden_tail_split_decode(tmp_path_):
+    """The frozen flags-bit6 (ragged-tail split) file keeps decoding
+    exactly — segment derivation must honor the header's tail_split."""
+    from mtscomp_tpu.parallel.pipeline import _read_payload
+    arr = _raw('ts_int16_129ch', np.int16, 129)
+    r = decompress(GOLDEN / 'ans_ts_int16_129ch.cbin',
+                   GOLDEN / 'ans_ts_int16_129ch.ch', quiet=True)
+    try:
+        parsed = r.codec.parse(_read_payload(r, 0))
+        assert parsed['tail_split'] == 8
+        assert [len(g['segments']) for g in parsed['groups']] == [32, 8]
+        assert np.array_equal(r[:], arr)
+        assert np.array_equal(r[300:2100, 120:], arr[300:2100, 120:])
+        assert np.array_equal(r[:, 128], arr[:, 128])
+    finally:
+        r.close()
+
+
 def test_golden_float_bitcast_decode(tmp_path_):
     """The frozen `float_bitcast` file keeps decoding BIT-exactly."""
     import json

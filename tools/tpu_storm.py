@@ -555,8 +555,9 @@ def main():
                             expect_meta={'do_spatial_diff': True}))
 
     # --- ragged-tail split packing (the 385th-channel fix) --------------
-    # ans_seg_log2=14 -> k=4-channel segments, 97 per plane, groups
-    # [32,32,32,1]: the packer must engage the [fulls | tails] layout
+    # ans_seg_log2=14 -> k=4-channel segments, 97 per plane; the bit6
+    # writer splits the ragged tail into 8 sub-rows -> groups
+    # [32,32,32,8]: the packer must engage the [fulls | tails] layout
     # (pack introspection asserted) and the two-ref finalize must be
     # byte-exact on silicon — the interpret tests cannot prove the
     # Mosaic lowering of either.
@@ -580,7 +581,7 @@ def main():
             parsed = [r.codec.parse(_read_payload(r, i))
                       for i in range(2)]          # the two full chunks
             assert [len(g['segments'])
-                    for g in parsed[0]['groups']] == [32, 32, 32, 1]
+                    for g in parsed[0]['groups']] == [32, 32, 32, 8]
             ns = r.chunk_bounds[1]
             dec = DeviceBatchDecoder(r)
             assert dec.supported(parsed, ns)
