@@ -1431,17 +1431,26 @@ def decompress_to_array(reader, first_chunk=0, last_chunk=None, out=None,
     if out is not None:
         assert out.shape == (total, C) and out.dtype == reader.dtype
     def _peek_desc(idx):
-        # Adaptive files (flags bit5): batches must be uniform in the
-        # per-chunk transform, so runs split at window boundaries —
-        # each uniform run still rides the device path instead of the
-        # whole span falling back to host. 20-byte header pread only.
+        # Batches must be uniform in the per-chunk transform (flags
+        # bit5) and the tail-split derivation (bit6 — data-dependent
+        # plane modes can flip it between chunks), so runs split at
+        # those boundaries — each uniform run still rides the device
+        # path instead of the whole span falling back to host.
+        # 20-byte header pread only.
         if reader.algorithm != 'ans':
             return None
-        from ..codec.ans import peek_transform
+        from ..codec.ans import (peek_transform, FLAG_TAILSPLIT,
+                                 _HEADER, MAGIC)
         from ..io_host import pread_exact
         start = reader.chunk_offsets[idx]
         length = min(20, reader.chunk_offsets[idx + 1] - start)
-        return peek_transform(pread_exact(reader.cdata, length, start))
+        hdr = pread_exact(reader.cdata, length, start)
+        tsplit = 1
+        if len(hdr) >= _HEADER.size:
+            fields = _HEADER.unpack_from(hdr, 0)
+            if fields[0] == MAGIC and fields[3] & FLAG_TAILSPLIT:
+                tsplit = int(fields[11])
+        return peek_transform(hdr), tsplit
 
     groups = []
     for idx in range(first_chunk, last_chunk + 1):
