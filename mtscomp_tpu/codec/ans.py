@@ -160,6 +160,24 @@ _HEADER = struct.Struct('<IBBBBIBBBBHH')
 assert _HEADER.size == 20
 
 
+def peek_desc(payload):
+    """``(transform, tail_split)`` from a container's 20-byte header.
+
+    The single header-peeking helper for callers that group or route
+    chunks without a full parse (e.g. bulk-decode run grouping):
+    format-layout knowledge stays here, validation matches
+    :func:`peek_transform`. Malformed/foreign headers read as
+    ``(None, 1)`` and fail loudly in the full parse instead.
+    """
+    if len(payload) < _HEADER.size:
+        return None, 1
+    fields = _HEADER.unpack_from(payload, 0)
+    if fields[0] != MAGIC or fields[1] != CONTAINER_VERSION:
+        return None, 1
+    tsplit = int(fields[11]) if fields[3] & FLAG_TAILSPLIT else 1
+    return peek_transform(payload), tsplit
+
+
 def peek_transform(payload):
     """Per-chunk transform descriptor of a container, or None.
 
@@ -249,8 +267,8 @@ def tail_split_for(aligned, modes, n_stream, seg):
     """
     import os
     env = os.environ.get('MTSCOMP_ENC_TAILSPLIT', '')
-    if env == '0':
-        return 1
+    if env.isdigit() and int(env) <= 1:
+        return 1                       # 0 or 1 = disabled
     if not aligned:
         return 1
     if sum(1 for m in modes if m == MODE_RANS) != 1:
@@ -265,7 +283,9 @@ def tail_split_for(aligned, modes, n_stream, seg):
     if 2 * tail_steps > -(-seg // 128):
         return 1                   # tail not short enough to matter
     M = int(env) if env.isdigit() and int(env) > 1 else 8
-    return min(M, max(1, tail_steps))
+    # Clamp to the format cap (the parser rejects > 256) and to the
+    # tail's own step count (more rows than steps is pure overhead).
+    return max(1, min(M, 256, tail_steps))
 
 
 def aligned_geometry(n_coded, n_head, seg0):

@@ -1439,18 +1439,11 @@ def decompress_to_array(reader, first_chunk=0, last_chunk=None, out=None,
         # 20-byte header pread only.
         if reader.algorithm != 'ans':
             return None
-        from ..codec.ans import (peek_transform, FLAG_TAILSPLIT,
-                                 _HEADER, MAGIC)
+        from ..codec.ans import peek_desc
         from ..io_host import pread_exact
         start = reader.chunk_offsets[idx]
         length = min(20, reader.chunk_offsets[idx + 1] - start)
-        hdr = pread_exact(reader.cdata, length, start)
-        tsplit = 1
-        if len(hdr) >= _HEADER.size:
-            fields = _HEADER.unpack_from(hdr, 0)
-            if fields[0] == MAGIC and fields[3] & FLAG_TAILSPLIT:
-                tsplit = int(fields[11])
-        return peek_transform(hdr), tsplit
+        return peek_desc(pread_exact(reader.cdata, length, start))
 
     groups = []
     for idx in range(first_chunk, last_chunk + 1):

@@ -258,6 +258,11 @@ def test_device_encode_bit_identical():
     (True, {'do_spatial_diff': True}),
     (False, {'chunk_order': 'C'}),
     (True, {'dtype_name': 'uint16'}),
+    # Ragged-tail segment split (flags bit6): 129 ch at seg_log2=12 ->
+    # tsplit=8; pins the device encoder's non-uniform row gather and
+    # bit6 header emission byte-identical to the host codec on the
+    # CPU suite (the storm re-proves it on silicon).
+    (True, {'nc': 129}),
 ])
 def test_device_encode_batch_byte_identical(tmp_path_, aligned, extra):
     """Device-encoded containers match the host codec byte for byte."""
@@ -265,17 +270,18 @@ def test_device_encode_batch_byte_identical(tmp_path_, aligned, extra):
     from mtscomp_tpu.parallel.pipeline import DeviceBatchEncoder
     extra = dict(extra)
     dtype_name = extra.pop('dtype_name', 'int16')
+    nc = extra.pop('nc', 24)
     if not aligned:
         # Segment clustering (the default) requires the aligned layout
         # and correctly declines the device batch otherwise; the
         # non-aligned cells pin plane tables to test the device path.
         extra.setdefault('ans_table_mode', 'plane')
-    arr = to_int16(make_signal('colored', ns=4 * 3000, nc=24))
+    arr = to_int16(make_signal('colored', ns=4 * 3000, nc=nc))
     arr = arr.astype(np.dtype(dtype_name))
     path = write_arr(tmp_path_ / 'd.bin', arr)
     w = Writer(algorithm='ans', quiet=True, ans_seg_log2=12,
                ans_channel_segments=aligned, **extra)
-    w.open(path, sample_rate=3000.0, n_channels=24, dtype=dtype_name)
+    w.open(path, sample_rate=3000.0, n_channels=nc, dtype=dtype_name)
     chunks = [np.asarray(w.get_chunk(i)) for i in range(w.n_chunks)]
     enc = DeviceBatchEncoder(w)
     assert enc.supported(chunks[0].shape[0])
@@ -1859,3 +1865,24 @@ def test_ragged_tail_split_kill_switch(tmp_path_, monkeypatch):
         assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
     finally:
         r.close()
+
+
+def test_tail_split_env_clamps(monkeypatch):
+    """MTSCOMP_ENC_TAILSPLIT: '1' and '0' disable; oversized overrides
+    clamp to the format cap (the parser rejects > 256) so the writer
+    can never emit a container its own reader refuses."""
+    import numpy as np
+    from mtscomp_tpu.codec.ans import AnsCodec
+    rng = np.random.default_rng(1)
+    d = np.diff(np.cumsum(rng.normal(0, 5, size=(1000, 129)), axis=0)
+                .astype(np.int16), axis=0,
+                prepend=np.zeros((1, 129), np.int16))
+    codec = AnsCodec(seg_log2=12)
+    for env, want in (('0', 1), ('1', 1), ('300', 8), ('4', 4)):
+        monkeypatch.setenv('MTSCOMP_ENC_TAILSPLIT', env)
+        payload = codec.encode(d, order='F')
+        parsed = codec.parse(payload)       # must parse (<= 256 always)
+        assert parsed['tail_split'] == want, (env, parsed['tail_split'])
+        back = codec.decode(payload, 1000, 129, np.dtype('int16'),
+                            order='F')
+        assert np.array_equal(back, d)
