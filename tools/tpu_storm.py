@@ -592,7 +592,15 @@ def main():
             got = np.asarray(out).reshape(2 * ns, C)
             assert np.array_equal(got, arr[:2 * ns]), "split mismatch"
             device_decode_all(r, arr)      # incl. the partial tail chunk
-            return {'tail': list(dec.last_tail)}
+            # Device window reads over the split layout (the chunk
+            # cache packs B=1 batches through the same tail path).
+            from mtscomp_tpu.parallel.pipeline import DeviceChunkCache
+            cache = DeviceChunkCache(r)
+            for (a, b) in [(3, ns // 2), (ns - 5, ns + 7)]:
+                w = cache.read_window(a, b)
+                assert np.array_equal(w, arr[a:b]), \
+                    "bit6 device window [%d:%d) mismatch" % (a, b)
+            return {'tail': list(dec.last_tail), 'windows': 'ok'}
         finally:
             r.close()
 
